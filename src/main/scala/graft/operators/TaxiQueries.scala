@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Taxi
+import graft.sources.Rides
+
+/** Batch forms of the reference's four demo queries
+  * (TaxiRideQueries.scala:72-167), over the deterministic rides-from-events
+  * table so each has a DuckDB oracle. Streaming forms live in
+  * graft.streaming. All outputs use lower_snake_case column names (DuckDB
+  * lowercases unquoted identifiers; the driver's compare is name-sensitive)
+  * and carry a total ORDER BY for hash determinism.
+  */
+object TaxiQueries {
+
+  /** Filter + cell projection shared by all four queries
+    * (TaxiRideQueries.scala:74-78,133-135,150-152).
+    */
+  private def departures(spark: SparkSession, dir: String): DataFrame =
+    Rides.fromEvents(spark, dir)
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .select(
+        col("rideId").as("ride_id"),
+        Taxi.toCellId(col("startLon"), col("startLat")).as("cell"),
+        col("rowtime"))
+
+  private val oracleDepartures: String =
+    """departures AS (
+      |  SELECT
+      |    ride_id,
+      |    CAST(floor((74.05 - abs(CAST(start_lon AS DOUBLE))) / 0.0014) AS INT)
+      |      + CAST(floor((41.0 - CAST(start_lat AS DOUBLE)) / 0.00125) AS INT) * 250 AS cell,
+      |    rowtime_ms
+      |  FROM rides
+      |  WHERE is_start
+      |    -- literals cast to DOUBLE: DuckDB otherwise compares REAL vs
+      |    -- DECIMAL with scale rounding, unlike Spark's double promotion
+      |    AND NOT (start_lon > CAST(-73.7 AS DOUBLE) OR start_lon < CAST(-74.05 AS DOUBLE))
+      |    AND NOT (start_lat > CAST(41.0 AS DOUBLE) OR start_lat < CAST(40.5 AS DOUBLE))
+      |)""".stripMargin
+
+  private val oracleCellCoords: String =
+    """CAST((74.05 - (cell % 250) * 0.0014 - 0.0014 / 2) * -1.0 AS REAL) AS cell_lon,
+      |CAST(41.0 - (cell // 250) * 0.00125 - 0.00125 / 2 AS REAL) AS cell_lat""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Q1: departuresPerTenMinsTumble (TaxiRideQueries.scala:72-101)
+  // -------------------------------------------------------------------------
+
+  /** 10-min tumbling-window departure counts per cell, with the cell-center
+    * geo point and window-end epoch millis (Flink cast(ts AS LONG) = millis,
+    * hence unix_millis — SURVEY §7.4).
+    */
+  def q1Tumble(spark: SparkSession, dir: String): DataFrame =
+    departures(spark, dir)
+      .groupBy(col("cell"), window(col("rowtime"), "10 minutes").as("w"))
+      .agg(count(col("ride_id")).as("dept_cnt"))
+      .select(
+        col("cell"),
+        Taxi.cellLon(col("cell")).as("cell_lon"),
+        Taxi.cellLat(col("cell")).as("cell_lat"),
+        unix_millis(col("w.end")).as("dept_time"),
+        col("dept_cnt"))
+      .orderBy("dept_time", "cell")
+
+  val q1OracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures
+       |SELECT cell, $oracleCellCoords,
+       |  (rowtime_ms // 600000) * 600000 + 600000 AS dept_time,
+       |  count(ride_id) AS dept_cnt
+       |FROM departures
+       |GROUP BY cell, dept_time
+       |ORDER BY dept_time, cell""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Q2: departuresPerTenMinsTumbleSQL (TaxiRideQueries.scala:104-128)
+  // -------------------------------------------------------------------------
+
+  /** Same semantics as Q1 but through `spark.sql` with by-name registered
+    * UDFs, mirroring the reference's nested-SELECT SQL shape.
+    */
+  def q2TumbleSql(spark: SparkSession, dir: String): DataFrame = {
+    Taxi.registerAll(spark)
+    Rides.fromEvents(spark, dir).createOrReplaceTempView("rides")
+    spark.sql(
+      """SELECT cell, location._1 AS cell_lon, location._2 AS cell_lat,
+        |       toLong(dept_ts) AS dept_time, dept_cnt
+        |FROM (
+        |  SELECT
+        |    toCellId(startLon, startLat) AS cell,
+        |    toCoords(toCellId(startLon, startLat)) AS location,
+        |    window.end AS dept_ts,
+        |    COUNT(rideId) AS dept_cnt
+        |  FROM rides
+        |  WHERE isStart AND inNyc(startLon, startLat)
+        |  GROUP BY toCellId(startLon, startLat), window(rowtime, '10 minutes')
+        |)
+        |ORDER BY dept_time, cell""".stripMargin)
+  }
+
+  val q2OracleSql: String = q1OracleSql
+
+  // -------------------------------------------------------------------------
+  // Q3: freqDeptLocations (TaxiRideQueries.scala:130-146)
+  // -------------------------------------------------------------------------
+
+  /** Per departure, the count of departures from the same cell in the
+    * trailing 10 minutes of event time (RANGE frame over epoch millis),
+    * kept only when that count exceeds 10.
+    */
+  def q3OverWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("dept_time"))
+      .rangeBetween(-600000L, Window.currentRow)
+    departures(spark, dir)
+      .withColumn("dept_time", unix_millis(col("rowtime")))
+      .withColumn("dept_cnt", count(col("ride_id")).over(w))
+      .filter(col("dept_cnt") > 10)
+      .select("ride_id", "cell", "dept_time", "dept_cnt")
+      .orderBy("ride_id")
+  }
+
+  val q3OracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures
+       |SELECT ride_id, cell, dept_time, dept_cnt FROM (
+       |  SELECT ride_id, cell, rowtime_ms AS dept_time,
+       |    count(ride_id) OVER (PARTITION BY cell ORDER BY rowtime_ms
+       |      RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS dept_cnt
+       |  FROM departures
+       |)
+       |WHERE dept_cnt > 10
+       |ORDER BY ride_id""".stripMargin
+
+  /** Same OVER-RANGE shape with a coarser partition (cell % 5), a 24 h
+    * trailing frame, and the reference's >10 threshold — the synthetic data
+    * is too sparse for per-cell 10-min counts to ever exceed 10, and a
+    * 0-row result would leave the frame semantics untested.
+    */
+  def q3OverDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("dept_time"))
+      .rangeBetween(-86400000L, Window.currentRow)
+    departures(spark, dir)
+      .withColumn("bucket", col("cell") % 5)
+      .withColumn("dept_time", unix_millis(col("rowtime")))
+      .withColumn("dept_cnt", count(col("ride_id")).over(w))
+      .filter(col("dept_cnt") > 10)
+      .select("ride_id", "bucket", "dept_time", "dept_cnt")
+      .orderBy("ride_id")
+  }
+
+  val q3DailyOracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures
+       |SELECT ride_id, bucket, dept_time, dept_cnt FROM (
+       |  SELECT ride_id, cell % 5 AS bucket, rowtime_ms AS dept_time,
+       |    count(ride_id) OVER (PARTITION BY cell % 5 ORDER BY rowtime_ms
+       |      RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS dept_cnt
+       |  FROM departures
+       |)
+       |WHERE dept_cnt > 10
+       |ORDER BY ride_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Q4: departureCntFreq (TaxiRideQueries.scala:148-167)
+  // -------------------------------------------------------------------------
+
+  /** Histogram of departure counts: cell -> count, then count -> number of
+    * cells with that count (the reference's cascaded-aggregate flagship).
+    */
+  def q4CntFreq(spark: SparkSession, dir: String): DataFrame =
+    departures(spark, dir)
+      .groupBy("cell").agg(count(col("ride_id")).as("dept_cnt"))
+      .groupBy("dept_cnt").agg(count(col("cell")).as("cnt_freq"))
+      .orderBy("dept_cnt")
+
+  val q4OracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures
+       |SELECT dept_cnt, count(cell) AS cnt_freq FROM (
+       |  SELECT cell, count(ride_id) AS dept_cnt FROM departures GROUP BY cell
+       |)
+       |GROUP BY dept_cnt
+       |ORDER BY dept_cnt""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Source-parity dump (S2/S3/S5 of SURVEY §2.1): the parsed rides table
+  // -------------------------------------------------------------------------
+
+  /** The full derived rides table with epoch-millis times, verifying the
+    * source derivation (schema, CASE-WHEN rowtime, interval arithmetic,
+    * float coordinate truncation) against the oracle CTE.
+    */
+  def srcRides(spark: SparkSession, dir: String): DataFrame =
+    Rides.fromEvents(spark, dir)
+      .select(
+        col("rideId").as("ride_id"),
+        col("isStart").as("is_start"),
+        unix_millis(col("startTime")).as("start_ms"),
+        unix_millis(col("endTime")).as("end_ms"),
+        col("startLon").as("start_lon"),
+        col("startLat").as("start_lat"),
+        col("endLon").as("end_lon"),
+        col("endLat").as("end_lat"),
+        col("passengerCnt").as("passenger_cnt"),
+        unix_millis(col("rowtime")).as("rowtime_ms"))
+      .orderBy("ride_id")
+
+  val srcRidesOracleSql: String =
+    s"""${Rides.oracleCte}
+       |SELECT ride_id, is_start,
+       |  rowtime_ms - CASE WHEN is_start THEN 0 ELSE dur_s * 1000 END AS start_ms,
+       |  rowtime_ms + CASE WHEN is_start THEN dur_s * 1000 ELSE 0 END AS end_ms,
+       |  start_lon, start_lat, end_lon, end_lat, passenger_cnt, rowtime_ms
+       |FROM rides
+       |ORDER BY ride_id""".stripMargin
+}
