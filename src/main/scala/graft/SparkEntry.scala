@@ -1,11 +1,11 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.TaxiQueries
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every entry in [[queries]] has a DuckDB oracle in [[oracleSql]] (same
-  * column names, total ORDER BY) unless noted; the driver hash-compares them
-  * at sf0.01.
+  * column names in lower_snake_case, total ORDER BY); the driver
+  * hash-compares them at sf0.01.
   */
 object SparkEntry {
 
@@ -13,14 +13,40 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TaxiQueries.q1Tumble(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * LLM-pipeline extensions (dedup / similarity / text / multimodal /
+    * relational).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference parity (SURVEY §2.1-2.7)
     "src_rides" -> (TaxiQueries.srcRides _),
     "q1_tumble" -> (TaxiQueries.q1Tumble _),
     "q2_tumble_sql" -> (TaxiQueries.q2TumbleSql _),
     "q3_over_window" -> (TaxiQueries.q3OverWindow _),
     "q3_over_daily" -> (TaxiQueries.q3OverDaily _),
     "q4_cnt_freq" -> (TaxiQueries.q4CntFreq _),
+    // text analysis
+    "txt_stats" -> (TextAnalysis.textStats _),
+    "txt_lang_id" -> (TextAnalysis.langId _),
+    "txt_token_count" -> (TextAnalysis.tokenCount _),
+    "txt_fingerprint" -> (TextAnalysis.fingerprint _),
+    // dedup
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_near_key" -> (Dedup.nearKey _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    // similarity search
+    "sim_topk_bf" -> (Similarity.topkBruteforce _),
+    "sim_lsh_neardup" -> (Similarity.lshNearDup _),
+    // multimodal plumbing
+    "mm_features" -> (Multimodal.features _),
+    // relational / analytics
+    "rel_pricing" -> (Relational.pricingSummary _),
+    "rel_revenue_nation" -> (Relational.revenueByNation _),
+    "rel_top_customers" -> (Relational.topCustomers _),
+    "rel_grouping_sets" -> (Relational.segmentNationRollup _),
+    "rel_sessionize" -> (Relational.sessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,5 +58,22 @@ object SparkEntry {
     "q3_over_window" -> TaxiQueries.q3OracleSql,
     "q3_over_daily" -> TaxiQueries.q3DailyOracleSql,
     "q4_cnt_freq" -> TaxiQueries.q4OracleSql,
+    "txt_stats" -> TextAnalysis.textStatsOracle,
+    "txt_lang_id" -> TextAnalysis.langIdOracle,
+    "txt_token_count" -> TextAnalysis.tokenCountOracle,
+    "txt_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "dedup_exact" -> Dedup.exactOracle,
+    "dedup_near_key" -> Dedup.nearKeyOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
+    "dedup_simhash" -> Dedup.simhashOracle,
+    "sim_topk_bf" -> Similarity.topkBruteforceOracle,
+    "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
+    "mm_features" -> Multimodal.featuresOracle,
+    "rel_pricing" -> Relational.pricingSummaryOracle,
+    "rel_revenue_nation" -> Relational.revenueByNationOracle,
+    "rel_top_customers" -> Relational.topCustomersOracle,
+    "rel_grouping_sets" -> Relational.segmentNationRollupOracle,
+    "rel_sessionize" -> Relational.sessionizeOracle,
   )
 }

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Deduplication operators for LLM-data pipelines over `documents`:
+  * exact (hash-groupBy), near-key blocking, n-gram Jaccard, MinHash+LSH,
+  * SimHash. All hashing is md5-derived (identical in Spark and DuckDB), so
+  * every stage is oracle-checkable; no RNG anywhere.
+  *
+  * Scale design (100 TB): every pipeline is shuffle-on-key only — shingle
+  * inverted indexes are df-capped so no hot key explodes a join; signatures
+  * are fixed-width per doc (16 minhash slots / 60 simhash bits); candidate
+  * generation joins on band buckets, never cross-joins the corpus.
+  */
+object Dedup {
+
+  /** 60-bit non-negative hash from md5 hex — bit-identical in DuckDB via
+    * CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT).
+    */
+  private def hash60(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS LONG)"
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // -------------------------------------------------------------------------
+  // Exact dedup (hash-groupBy)
+  // -------------------------------------------------------------------------
+
+  /** Exact dedup on md5(text): one keeper (min doc_id) per distinct text +
+    * copy count. At scale: a single hash shuffle on a 128-bit key.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_md5")
+
+  val exactOracle: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin
+
+  /** Blocking-key dedup: groups by a lossy key (lang, length bucket, first
+    * token) — the cheap first pass of a near-dup pipeline; unlike [[exact]]
+    * it produces real multi-document groups on this corpus.
+    */
+  def nearKey(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("doc_id",
+        "concat(lang, ':', CAST(n_chars div 100 AS STRING), ':', split(text, ' ')[0]) AS block_key")
+      .groupBy("block_key")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .orderBy("block_key")
+
+  val nearKeyOracle: String =
+    """SELECT concat(lang, ':', CAST(n_chars // 100 AS VARCHAR), ':', split_part(text, ' ', 1)) AS block_key,
+      |  min(doc_id) AS keeper_id, count(*) AS n_members
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) > 1 ORDER BY block_key""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Word-3-gram shingles (shared by Jaccard + MinHash)
+  // -------------------------------------------------------------------------
+
+  /** Distinct word-3-gram shingles per doc. df-capped downstream where
+    * joined (stop-shingles would otherwise quadratically blow up the
+    * inverted-index self-join at scale).
+    */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+        "doc_id",
+        // CASE guard: Spark's sequence(1, n) is DESCENDING for n < 1, so a
+        // <3-token doc would otherwise yield junk shingles instead of none
+        """explode(array_distinct(CASE WHEN size(split(text, ' ')) >= 3
+             THEN transform(
+               sequence(1, size(split(text, ' ')) - 2),
+               i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i], ' ', split(text, ' ')[i+1]))
+             ELSE CAST(array() AS ARRAY<STRING>) END)) AS shingle""")
+
+  private val shinglesCte: String =
+    """shingles AS (
+      |  SELECT doc_id, unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+      |    FOR i IN range(1, greatest(len(s) - 1, 1))])) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+      |)""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // n-gram Jaccard near-dup pairs
+  // -------------------------------------------------------------------------
+
+  /** Pairwise Jaccard over distinct 3-gram shingle sets via an inverted
+    * index self-join (shuffle on shingle), df-capped at 100 docs/shingle.
+    * Emits pairs with J >= 0.2.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
+    val idx = sh.join(df, "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = idx.as("a").join(idx.as("b"), "shingle")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "n_common", "n_a", "n_b",
+        "CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard")
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val ngramJaccardOracle: String =
+    s"""WITH $shinglesCte,
+       |capped AS (
+       |  SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= 100
+       |),
+       |idx AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN capped USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------------
+
+  val NumPerms = 16
+  val BandRows = 4 // 4 bands x 4 rows
+
+  /** 16-slot MinHash signatures (slot p = min over shingles of
+    * hash60(p || shingle)), banded 4x4; candidate pairs share at least one
+    * band bucket; est_sim = matching slots / 16. The full LSH pipeline:
+    * signature build is one shuffle on (doc, perm); banding one shuffle on
+    * band key; no cross join.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = shingles(spark, dir)
+      .selectExpr("doc_id", "shingle", s"explode(sequence(0, ${NumPerms - 1})) AS p")
+      .selectExpr("doc_id", "p", s"${hash60("concat(CAST(p AS STRING), ':', shingle)")} AS h")
+      .groupBy("doc_id", "p").agg(min("h").as("minh"))
+    sig.cache()
+    val bands = sig
+      .withColumn("band", col("p") % lit(NumPerms / BandRows)) // p mod 4: rows of a band interleave
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",", transform(sort_array(collect_list(struct(col("p"), col("minh")))),
+        x => x.getField("minh").cast("string"))).as("band_sig"))
+    val cands = bands.as("a").join(bands.as("b"), Seq("band", "band_sig"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val est = cands.join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minh", "ha"), "doc_a")
+      .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minh", "hb"), Seq("doc_b", "p"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)).cast("double") / NumPerms).as("est_sim"))
+    est.orderBy("doc_a", "doc_b")
+  }
+
+  val minhashLshOracle: String =
+    s"""WITH $shinglesCte,
+       |sig AS (
+       |  SELECT doc_id, p, min(CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), ':', shingle)), 1, 15)) AS BIGINT)) AS minh
+       |  FROM shingles, range(0, $NumPerms) r(p)
+       |  GROUP BY doc_id, p
+       |),
+       |bands AS (
+       |  SELECT doc_id, p % ${NumPerms / BandRows} AS band,
+       |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY p) AS band_sig
+       |  FROM sig GROUP BY doc_id, band
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+       |    AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |  CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+       |FROM cands
+       |JOIN sig sa ON sa.doc_id = doc_a
+       |JOIN sig sb ON sb.doc_id = doc_b AND sb.p = sa.p
+       |GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------------
+
+  /** 60-bit SimHash over word unigrams weighted by term frequency: bit j is
+    * the sign of sum over tokens of tf * (2*bit_j(hash60(token)) - 1).
+    * One narrow shuffle on (doc, token), one on (doc, bit), one on doc.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .selectExpr("doc_id", "tf", s"${hash60("token")} AS h")
+    tf.selectExpr("doc_id", "tf", "h", "explode(sequence(0, 59)) AS j")
+      .selectExpr("doc_id", "j", "CASE WHEN shiftright(h, j) & 1 = 1 THEN tf ELSE -tf END AS w")
+      .groupBy("doc_id", "j").agg(sum("w").as("s"))
+      .selectExpr("doc_id", "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END AS bit")
+      .groupBy("doc_id").agg(sum("bit").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val simhashOracle: String =
+    """WITH tf AS (
+      |  SELECT doc_id, token, count(*) AS tf,
+      |    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY doc_id, token
+      |),
+      |bits AS (
+      |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+      |  FROM tf, range(0, 60) r(j)
+      |  GROUP BY doc_id, j
+      |)
+      |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}

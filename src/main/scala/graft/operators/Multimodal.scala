@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** A media record: opaque bytes + typed metadata, the schema shape a
+  * 100 TB multimodal corpus uses (payload as parquet binary, metadata as
+  * queryable columns so pruning/filtering never touches the bytes).
+  */
+case class MediaRecord(doc_id: Long, kind: String, n_bytes: Long, payload: Array[Byte])
+
+/** Decoded features (what an image/audio decoder would emit). */
+case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Long,
+                         width: Int, height: Int, n_frames: Int, checksum: Long)
+
+/** Pluggable decoder seam: a real deployment binds an image/audio decoder
+  * here; this container has no media libs, so the default is a
+  * DETERMINISTIC FAKE that derives "decoded" dimensions from the payload
+  * bytes. The Spark-side plumbing (typed Dataset, mapPartitions batching,
+  * partition-local decoder init) is real and tested.
+  */
+trait MediaDecoder extends Serializable {
+  def decode(r: MediaRecord): MediaFeatures
+}
+
+/** Stand-in decoder: width/height/frames are pure functions of the payload
+  * so results are oracle-checkable. A real decoder replaces exactly this
+  * class and nothing else.
+  */
+object DeterministicFakeDecoder extends MediaDecoder {
+  def decode(r: MediaRecord): MediaFeatures = {
+    val b0 = if (r.payload.nonEmpty) r.payload(0) & 0xff else 0
+    val b1 = if (r.payload.length > 1) r.payload(1) & 0xff else 0
+    // rolling checksum, same recurrence as TextAnalysis.fingerprint
+    var h = 0L
+    var i = 0
+    while (i < r.payload.length) { h = (h * 31 + (r.payload(i) & 0xff)) % 1000000007L; i += 1 }
+    MediaFeatures(r.doc_id, r.kind, r.n_bytes,
+      width = 16 * (1 + b0 % 64), height = 16 * (1 + b1 % 64),
+      n_frames = 1 + (r.n_bytes / 64).toInt, checksum = h)
+  }
+}
+
+/** Multimodal-column plumbing over synthesized binary payloads (the
+  * testdata has no real media, so payloads are the UTF-8 document bytes —
+  * the plumbing doesn't care what the bytes mean).
+  */
+object Multimodal {
+
+  /** documents -> typed media records (binary payload + metadata). */
+  def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video")).as("kind"),
+        length(col("text")).cast("long").as("n_bytes"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Decode via mapPartitions: the decoder is resolved once per partition
+    * (the pattern that amortizes native-lib init over a whole parquet row
+    * group at scale), rows stream through without materializing the
+    * partition.
+    */
+  def decodeFeatures(ds: Dataset[MediaRecord], decoder: MediaDecoder = DeterministicFakeDecoder): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val d = decoder // partition-local handle; real impl would init native libs here
+      it.map(d.decode)
+    }
+  }
+
+  /** End-to-end: records -> mapPartitions decode -> DataFrame, ordered. */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(mediaRecords(spark, dir)).toDF().orderBy("doc_id")
+
+  /** The fake decode arithmetic, replayed relationally over the original
+    * text (payload bytes are ASCII here, so ascii()/length() line up with
+    * the byte math).
+    */
+  val featuresOracle: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(16 * (1 + ascii(substr(text, 1, 1)) % 64) AS INT) AS width,
+      |  CAST(16 * (1 + ascii(substr(text, 2, 1)) % 64) AS INT) AS height,
+      |  CAST(1 + length(text) // 64 AS INT) AS n_frames,
+      |  list_reduce(list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS checksum
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** General analytics over the TPC-H-ish tables: multi-way joins, exact
+  * decimal aggregation, top-k windows, grouping sets, and gap-based
+  * sessionization of the events stream table.
+  *
+  * Determinism notes: double sums are order-dependent, so every money/value
+  * sum goes through DECIMAL (exact, associative) and is cast to DOUBLE only
+  * at the very end — hash-identical across Spark partial aggregation and
+  * DuckDB.
+  *
+  * Scale notes: dimension tables (region, nation, and at 100 TB still
+  * customer vs lineitem) are broadcast; fact-fact joins shuffle on the join
+  * key; aggregations are partial+final (Spark default). AQE handles skew.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(spark, dir, n)
+
+  // -------------------------------------------------------------------------
+  // Pricing summary (TPC-H Q1 shape: scan + filter + hash agg)
+  // -------------------------------------------------------------------------
+
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty_d"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_d"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).as("sum_disc_d"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_d").cast("double").as("sum_qty"),
+        col("sum_base_d").cast("double").as("sum_base_price"),
+        col("sum_disc_d").cast("double").as("sum_disc_price"),
+        (col("sum_qty_d").cast("double") / col("count_order")).as("avg_qty"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummaryOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Multi-way join revenue rollup (broadcast dims + shuffle fact join)
+  // -------------------------------------------------------------------------
+
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).as("revenue_d"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .select(col("r_name"), col("n_name"),
+        col("revenue_d").cast("double").as("revenue"), col("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val revenueByNationOracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Top-k per group (window + filter; the sort/limit family)
+  // -------------------------------------------------------------------------
+
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val totals = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "c_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total_d"),
+        count(lit(1)).as("n_orders"))
+    totals
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(col("total_d").desc, col("c_custkey"))))
+      .filter(col("rank") <= 5)
+      .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
+        col("total_d").cast("double").as("total_spend"), col("n_orders"))
+      .orderBy("c_mktsegment", "rank")
+  }
+
+  val topCustomersOracle: String =
+    """SELECT c_mktsegment, rank, c_custkey, CAST(total_d AS DOUBLE) AS total_spend, n_orders
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey, total_d, n_orders,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY total_d DESC, c_custkey) AS rank
+      |  FROM (
+      |    SELECT c_mktsegment, c_custkey,
+      |      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_d, count(*) AS n_orders
+      |    FROM orders JOIN customer ON o_custkey = c_custkey
+      |    GROUP BY c_mktsegment, c_custkey
+      |  )
+      |)
+      |WHERE rank <= 5
+      |ORDER BY c_mktsegment, rank""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Grouping sets (multi-level rollup in one pass)
+  // -------------------------------------------------------------------------
+
+  def segmentNationRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(CAST(c_nationkey AS INT), -1) AS nationkey,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY segment, nationkey""".stripMargin)
+  }
+
+  val segmentNationRollupOracle: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      |  coalesce(CAST(c_nationkey AS INT), -1) AS nationkey,
+      |  count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      |ORDER BY segment, nationkey""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Gap-based sessionization of the events table
+  // -------------------------------------------------------------------------
+
+  val SessionGapMs = 30L * 60 * 1000
+
+  /** Classic lag + cumulative-sum sessionization: a >30-min silence starts a
+    * new session per user; emits per-session stats. The batch analogue of a
+    * session window (streaming form: flatMapGroupsWithState).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("value").cast("decimal(18,2)").as("value_d"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > SessionGapMs, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("start_ms"),
+        max(col("ts_ms")).as("end_ms"),
+        sum(col("value_d")).as("value_d"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_ms"), col("end_ms"),
+        (col("end_ms") - col("start_ms")).as("duration_ms"),
+        col("value_d").cast("double").as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val sessionizeOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       |    CAST(value AS DECIMAL(18,2)) AS value_d
+       |  FROM events
+       |),
+       |marked AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > $SessionGapMs
+       |      THEN 1 ELSE 0 END AS is_new
+       |  FROM (
+       |    SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ts
+       |    FROM ev
+       |  )
+       |),
+       |sessions AS (
+       |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM marked
+       |)
+       |SELECT user_id, session_seq, count(*) AS n_events,
+       |  min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       |  max(ts_ms) - min(ts_ms) AS duration_ms,
+       |  CAST(sum(value_d) AS DOUBLE) AS total_value
+       |FROM sessions
+       |GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+}

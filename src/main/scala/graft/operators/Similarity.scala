@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Cosine is computed as an explicit left-fold in double
+  * (zip_with + aggregate) so it is bit-identical to the DuckDB oracle's
+  * list_sum(list_transform(...)) — no rounding fudge needed.
+  *
+  * Scale design (100 TB): [[topkBruteforce]] broadcasts the (small) query
+  * set against the full corpus — the baseline ANN answer, embarrassingly
+  * parallel, no shuffle except the final per-query top-k. [[lshNearDup]]
+  * buckets by deterministic hyperplane signs so the self-join touches only
+  * same-bucket pairs (corpus²/2^planes), the standard LSH scale path.
+  */
+object Similarity {
+
+  /** dot(a, b) in double as a strict left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** DuckDB rendering of the same fold (list_sum is a sequential sum). */
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Embeddings + precomputed norm (computed once, reused across pairs). */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).withColumn("nrm", norm(col("embedding")))
+
+  // -------------------------------------------------------------------------
+  // Brute-force cosine top-k (the exact baseline every ANN is judged against)
+  // -------------------------------------------------------------------------
+
+  val TopK = 10
+
+  /** For each query vector (every 20th vec_id), the exact top-10 cosine
+    * neighbors. Query side is broadcast; ranking is a per-query window with
+    * (cosine DESC, vec_id) tie-break for full determinism.
+    */
+  def topkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val topkBruteforceOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |    ${duckDot("e.embedding", "q.embedding")} / (e.nrm * q.nrm) AS cosine
+       |  FROM e JOIN e q ON q.vec_id % 20 = 0 AND e.vec_id <> q.vec_id
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine FROM (
+       |  SELECT q_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // LSH-bucketed near-dup pairs (the scale path)
+  // -------------------------------------------------------------------------
+
+  val NumPlanes = 6
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived value in [-1000, 1000]. Spark and DuckDB renderings of the
+    * identical computation (they differ only in hex-to-int spelling).
+    */
+  private def planeComponent(p: String, d: String): String =
+    s"CAST(CAST(conv(substr(md5(concat('pl', CAST($p AS STRING), '_', CAST($d AS STRING))), 1, 15), 16, 10) AS LONG) % 2001 - 1000 AS DOUBLE)"
+
+  private def duckPlaneComponent(p: String, d: String): String =
+    s"CAST(CAST(concat('0x', substr(md5(concat('pl', CAST($p AS VARCHAR), '_', CAST($d AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE)"
+
+  /** Sign-of-hyperplane-projection sketch: bucket = 6 sign bits. Candidate
+    * pairs share a bucket (and label block); cosine >= 0.3 confirms. At
+    * scale the bucket join replaces the corpus cross-join.
+    */
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val sketch = e.selectExpr("vec_id", "embedding", "nrm", "label",
+      s"""aggregate(
+            sequence(0, ${NumPlanes - 1}),
+            CAST(0 AS INT),
+            (acc, p) -> acc + CASE WHEN aggregate(
+                sequence(0, size(embedding) - 1),
+                CAST(0.0 AS DOUBLE),
+                (s, d) -> s + CAST(embedding[d] AS DOUBLE) * ${planeComponent("p", "d")}
+              ) > 0 THEN shiftleft(1, p) ELSE 0 END
+          ) AS bucket""")
+    sketch.as("a").join(sketch.as("b"), Seq("bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("bucket"), col("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val lshNearDupOracle: String = {
+    val pc = duckPlaneComponent("p", "d")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm,
+       |    CAST(list_sum(list_transform(range(0, $NumPlanes), p ->
+       |      CASE WHEN list_sum(list_transform(range(0, len(embedding)), d ->
+       |          CAST(embedding[d + 1] AS DOUBLE) * $pc)) > 0
+       |        THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
+       |  FROM embeddings
+       |)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+       |  ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

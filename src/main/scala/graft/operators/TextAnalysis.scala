@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators for LLM-data pipelines over the `documents`
+  * table: tokenization stats, quality scoring, n-gram language-ID heuristic,
+  * BPE-ish regex token counting, rolling-hash fingerprinting.
+  *
+  * Everything is expressed with codegen'd builtins + higher-order array
+  * functions (no Scala UDFs), so plans stay whole-stage-codegen and
+  * pushdown-eligible — at 100 TB these run as a single scan + project with
+  * no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens; single-space-separated corpus so `\s+` is exact in
+    * both Spark (Java regex) and the DuckDB oracle (RE2).
+    */
+  private val toks = "split(text, '\\\\s+')"
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // -------------------------------------------------------------------------
+  // Per-document stats + quality score
+  // -------------------------------------------------------------------------
+
+  /** Length/punct/stopword-ratio quality metrics. All ratios are
+    * exact-integer divisions done in double, so they hash-match the oracle
+    * bit-for-bit.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+        "doc_id", "lang", "n_chars",
+        s"size($toks) AS n_tokens",
+        s"size(array_distinct($toks)) AS n_distinct",
+        s"aggregate(transform($toks, t -> length(t)), 0L, (a, x) -> a + x) AS token_chars",
+        s"size(filter($toks, t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop")
+      .selectExpr(
+        "doc_id", "lang", "n_chars", "n_tokens", "n_distinct",
+        "CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len",
+        "CAST(n_distinct AS DOUBLE) / n_tokens AS ttr",
+        "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio",
+        // composite quality score: favors mid-length docs with diverse tokens
+        """CAST(n_distinct AS DOUBLE) / n_tokens * 0.5
+           + CAST(n_stop AS DOUBLE) / n_tokens * 0.3
+           + CAST(least(n_chars, 400) AS DOUBLE) / 400 * 0.2 AS quality_score""")
+      .orderBy("doc_id")
+
+  val textStatsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    len(string_split_regex(text, '\s+')) AS n_tokens,
+      |    len(list_distinct(string_split_regex(text, '\s+'))) AS n_distinct,
+      |    list_sum(list_transform(string_split_regex(text, '\s+'), t -> length(t))) AS token_chars,
+      |    len(list_filter(string_split_regex(text, '\s+'),
+      |        t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, n_chars, n_tokens, n_distinct,
+      |  CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens * 0.5
+      |    + CAST(n_stop AS DOUBLE) / n_tokens * 0.3
+      |    + CAST(least(n_chars, 400) AS DOUBLE) / 400 * 0.2 AS quality_score
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Language-ID heuristic (stopword-list scoring)
+  // -------------------------------------------------------------------------
+
+  private val langLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "une", "est"),
+    "es" -> Seq("el", "los", "y", "de", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist"))
+
+  /** Stopword-count language scoring with a deterministic priority
+    * tie-break (en > fr > es > de). The synthetic corpus shares one
+    * vocabulary across langs, so accuracy is meaningless — the operator
+    * and its plan shape are what's exercised.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langLists.map { case (l, ws) =>
+      s"size(filter($toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+    }
+    docs(spark, dir)
+      .selectExpr(Seq("doc_id", "lang") ++ scores: _*)
+      .selectExpr("doc_id", "lang", "s_en", "s_fr", "s_es", "s_de",
+        """CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+           WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+           WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang""")
+      .withColumn("is_match", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdOracle: String = {
+    val scores = langLists.map { case (l, ws) =>
+      s"len(list_filter(string_split_regex(text, '\\s+'), t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+    }.mkString(",\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, s_en, s_fr, s_es, s_de,
+       |  CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+       |       WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+       |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang,
+       |  (CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+       |       WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+       |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END) = lang AS is_match
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
+  // BPE-ish regex token counting
+  // -------------------------------------------------------------------------
+
+  /** Token counts under a BPE-ish lexer regex (letter runs | digit runs |
+    * single punctuation). Pattern restricted to constructs with identical
+    * semantics in Java regex and RE2.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+        "doc_id",
+        "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS n_bpe_tokens",
+        s"size($toks) AS n_ws_tokens",
+        "length(text) AS n_chars")
+      .orderBy("doc_id")
+
+  val tokenCountOracle: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+      |  len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+      |  length(text) AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Rolling-hash document fingerprint
+  // -------------------------------------------------------------------------
+
+  /** Polynomial rolling hash over the character stream:
+    * h = fold(chars)(h * 31 + code) mod 1e9+7 — a cheap order-sensitive
+    * fingerprint (same family as Rabin-Karp). Pure codegen'd higher-order
+    * functions; no UDF.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr(
+        "doc_id",
+        """aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
+           0L, (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint""",
+        "md5(text) AS md5_hex")
+      .orderBy("doc_id")
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |  list_reduce(list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint,
+      |  md5(text) AS md5_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}
