@@ -55,7 +55,9 @@ object Rides {
     val isStart = c.getItem(1) === "START"
     val t2 = to_timestamp(c.getItem(2), "yyyy-MM-dd HH:mm:ss")
     val t3 = to_timestamp(c.getItem(3), "yyyy-MM-dd HH:mm:ss")
-    def f(i: Int) = coalesce(c.getItem(i).cast(FloatType), lit(0.0f))
+    // nullif before cast: ANSI mode (Spark 4 default) would otherwise throw
+    // on the reference's empty-coordinate fields instead of yielding 0.0f
+    def f(i: Int) = coalesce(nullif(c.getItem(i), lit("")).cast(FloatType), lit(0.0f))
     raw.select(
       c.getItem(0).cast(LongType).as("rideId"),
       isStart.as("isStart"),

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.functions.Taxi
+import graft.sinks.{MemoryUpsertSink, UpsertKeys}
+import scala.collection.concurrent.TrieMap
+
+/** Structured-Streaming forms of the reference's queries. The reference is
+  * a pure streaming app (dynamic tables over an unbounded taxi-ride stream,
+  * TaxiRideQueries.scala:33-37); these are the Spark-native equivalents:
+  *
+  *  - Q1/Q2 (tumbling-window agg): watermarked streaming aggregation —
+  *    append mode emits finalized windows, update mode mirrors Flink's
+  *    eagerly-updating dynamic table.
+  *  - Q4 (cascaded agg): Spark forbids chained streaming aggregations; the
+  *    level-1 agg runs in update mode and [[CascadeQ4]] replays its
+  *    changelog into the level-2 histogram inside foreachBatch — the
+  *    decrement of a cell's old count bucket IS the Flink retraction
+  *    (ElasticUpsertTableSink.scala:144-146), the increment the add.
+  *  - Q3 (event-time OVER window): no streaming OVER in Spark;
+  *    [[OverWindowState]] keeps a per-cell time-ordered buffer in
+  *    flatMapGroupsWithState, pruned below the watermark horizon.
+  */
+object StreamingQueries {
+
+  /** Q1 streaming: departures per (cell, 10-min tumbling window).
+    * Watermark 61 s = the demo's maxOutOfOrder 60 s + 1 ms rounded up
+    * (TaxiRideSource.java:102,150,210).
+    */
+  def q1Tumble(rides: DataFrame, watermark: String = "61 seconds"): DataFrame =
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .select(col("rideId"), Taxi.toCellId(col("startLon"), col("startLat")).as("cell"), col("rowtime"))
+      .withWatermark("rowtime", watermark)
+      .groupBy(col("cell"), window(col("rowtime"), "10 minutes").as("w"))
+      .agg(count(col("rideId")).as("dept_cnt"))
+      .select(col("cell"),
+        Taxi.cellLon(col("cell")).as("cell_lon"),
+        Taxi.cellLat(col("cell")).as("cell_lat"),
+        unix_millis(col("w.end")).as("dept_time"),
+        col("dept_cnt"))
+
+  /** Level-1 of Q4: continuous per-cell departure count (unbounded keyed
+    * agg; update-mode changelog = Flink's upsert stream on key `cell`).
+    */
+  def q4Level1(rides: DataFrame): DataFrame =
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .select(col("rideId"), Taxi.toCellId(col("startLon"), col("startLat")).as("cell"))
+      .groupBy("cell")
+      .agg(count(col("rideId")).as("dept_cnt"))
+}
+
+/** Stateful two-level cascade for Q4 (TaxiRideQueries.scala:148-167).
+  *
+  * Maintains the level-1 materialization (cell -> dept_cnt) and the level-2
+  * histogram (dept_cnt -> cnt_freq). Each update-mode micro-batch delivers
+  * the changed (cell, dept_cnt) pairs; for each, the old count's bucket is
+  * decremented (retraction) and the new count's bucket incremented (add) —
+  * exactly the changelog the Flink planner feeds the second aggregation.
+  * Deleted buckets (freq 0) are removed from the sink, exercising the
+  * (false, row) delete path of the reference sink contract.
+  */
+object CascadeQ4 {
+
+  private val histSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dept_cnt", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cnt_freq", org.apache.spark.sql.types.LongType)))
+
+  private def histRow(bucket: Long, freq: Long): Row =
+    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array(bucket, freq), histSchema)
+
+  /** Correct single-update merge, exposed for testing. */
+  def applyUpdate(cellCounts: TrieMap[Int, Long], histogram: TrieMap[Long, Long],
+                  cell: Int, newCnt: Long): Unit = {
+    val old = cellCounts.put(cell, newCnt)
+    if (old.contains(newCnt)) return // no-op update
+    old.foreach { o =>
+      val dec = histogram.getOrElse(o, 0L) - 1
+      if (dec <= 0L) histogram.remove(o) else histogram.put(o, dec)
+    }
+    histogram.put(newCnt, histogram.getOrElse(newCnt, 0L) + 1L)
+  }
+
+  /** Start the full streaming cascade: level-1 update-mode agg ->
+    * foreachBatch changelog replay -> histogram upserted into `sink`
+    * (keyed by dept_cnt, the terminal groupBy column, as the reference's
+    * key inference would derive).
+    */
+  def start(rides: DataFrame, sink: MemoryUpsertSink,
+            checkpoint: String): StreamingQuery = {
+    val cellCounts = TrieMap.empty[Int, Long]
+    val histogram = TrieMap.empty[Long, Long]
+    StreamingQueries.q4Level1(rides)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val updates = batch.select(col("cell").cast("int"), col("dept_cnt").cast("long")).collect()
+        val touched = scala.collection.mutable.Set.empty[Long]
+        updates.foreach { r =>
+          val oldBucket = cellCounts.get(r.getInt(0))
+          applyUpdate(cellCounts, histogram, r.getInt(0), r.getLong(1))
+          oldBucket.foreach(touched += _)
+          touched += r.getLong(1)
+        }
+        // upsert touched buckets; delete emptied ones (the (false,row) path)
+        touched.foreach { bucket =>
+          histogram.get(bucket) match {
+            case Some(freq) => sink.upsert(histRow(bucket, freq))
+            case None => sink.delete(histRow(bucket, 0L))
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}
+
+/** Streaming OVER-window state for Q3 (TaxiRideQueries.scala:130-146):
+  * per cell, a time-ordered buffer of departure timestamps; each arriving
+  * departure is annotated with the count of same-cell departures in the
+  * trailing 10 minutes of event time. Buffer entries older than
+  * (max seen event time - 10 min) can never affect future rows (rows
+  * arrive at most `maxOutOfOrder` late) and are pruned — the Spark
+  * analogue of Flink's OVER-window state cleanup.
+  */
+object OverWindowState {
+
+  case class Departure(rideId: Long, cell: Int, deptTimeMs: Long)
+  case class Annotated(ride_id: Long, cell: Int, dept_time: Long, dept_cnt: Long)
+  case class CellBuffer(times: List[Long], maxSeenMs: Long)
+
+  val WindowMs: Long = 10 * 60 * 1000
+  val MaxLatenessMs: Long = 61 * 1000 // demo maxOutOfOrder 60 s + 1
+
+  /** Counts are over data seen so far (rows sorted by event time within a
+    * batch); a straggler crossing a batch boundary gets a correct count for
+    * its own timestamp but already-emitted rows are not retro-updated —
+    * the same emit-once contract as Flink's append OVER output.
+    */
+  def annotate(key: Int, rows: Iterator[Departure],
+               state: GroupState[CellBuffer]): Iterator[Annotated] = {
+    val buf = state.getOption.getOrElse(CellBuffer(Nil, Long.MinValue))
+    var times = buf.times
+    var maxSeen = buf.maxSeenMs
+    val out = rows.toSeq.sortBy(d => (d.deptTimeMs, d.rideId)).map { d =>
+      times = (d.deptTimeMs :: times)
+      maxSeen = math.max(maxSeen, d.deptTimeMs)
+      val cnt = times.count(t => t >= d.deptTimeMs - WindowMs && t <= d.deptTimeMs)
+      Annotated(d.rideId, key, d.deptTimeMs, cnt)
+    }
+    // prune entries invisible to any future row: the earliest timestamp a
+    // future row can carry is maxSeen - MaxLatenessMs, and it looks back
+    // WindowMs further
+    val horizon = maxSeen - WindowMs - MaxLatenessMs
+    state.update(CellBuffer(times.filter(_ >= horizon), maxSeen))
+    out.iterator
+  }
+
+  /** rides stream -> per-departure trailing-10-min counts (append stream,
+    * one row per input row — the reference's Q3 output contract).
+    */
+  def q3Streaming(rides: DataFrame): Dataset[Annotated] = {
+    val spark = rides.sparkSession
+    import spark.implicits._
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .select(col("rideId").as("rideId"),
+        Taxi.toCellId(col("startLon"), col("startLat")).as("cell"),
+        unix_millis(col("rowtime")).as("deptTimeMs"))
+      .as[Departure]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(annotate)
+  }
+}

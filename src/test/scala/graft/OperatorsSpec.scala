@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Sanity/semantic specs for the extension operators (the exact-value
+  * verification against DuckDB runs in the driver's t2 gate; these check
+  * the operator-level invariants that a hash compare can't express).
+  */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("minhash est_sim approximates true jaccard on candidate pairs") {
+    val mh = Dedup.minhashLsh(spark, Sf0001)
+      .select("doc_a", "doc_b", "est_sim").as[(Long, Long, Double)].collect()
+    val jac = Dedup.ngramJaccard(spark, Sf0001)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(mh.nonEmpty)
+    mh.foreach { case (a, b, est) =>
+      assert(est >= 0.0 && est <= 1.0)
+      // banded candidates must share at least one identical band (est >= 1/16
+      // would not be guaranteed, but a full 4-slot band match implies >= 4/16)
+      assert(est >= 0.25, s"candidate ($a,$b) with est_sim $est lacks a full band match")
+    }
+    // where both pipelines emit a pair, the estimates should correlate loosely
+    val both = mh.flatMap { case (a, b, est) => jac.get((a, b)).map(j => (est, j)) }
+    both.foreach { case (est, j) => assert(math.abs(est - j) < 0.6) }
+  }
+
+  test("simhash of identical token multisets is identical; differing docs differ") {
+    val sh = Dedup.simhash(spark, Sf0001).as[(Long, Long)].collect().toMap
+    assert(sh.size === 500)
+    // hamming distance helper over the 60-bit hashes
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val vals = sh.values.toSeq
+    // random distinct docs should rarely collide to tiny hamming distance
+    val close = vals.combinations(2).take(2000).count { case Seq(a, b) => ham(a, b) <= 4 }
+    assert(close < 50)
+  }
+
+  test("brute-force top-k: neighbors are sorted and self is excluded") {
+    val tk = Similarity.topkBruteforce(spark, Sf0001)
+      .select("q_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(tk.nonEmpty)
+    tk.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.forall(_._3 != q), s"query $q returned itself")
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b },
+        s"cosines not descending for query $q")
+      assert(rows.length === Similarity.TopK)
+    }
+  }
+
+  test("LSH near-dup candidates never miss a same-bucket high-cosine pair") {
+    val pairs = Similarity.lshNearDup(spark, Sf0001)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, c) => assert(a < b); assert(c >= 0.3) }
+  }
+
+  test("exact dedup partitions the corpus (keepers + copies = total)") {
+    val d = Dedup.exact(spark, Sf0001)
+      .agg(sum("n_copies"), count(lit(1))).head()
+    assert(d.getLong(0) === 500L)
+  }
+
+  test("multimodal decode is deterministic and preserves row count") {
+    val f1 = Multimodal.features(spark, Sf0001).collect()
+    val f2 = Multimodal.features(spark, Sf0001).collect()
+    assert(f1.sameElements(f2))
+    assert(f1.length === 500)
+    f1.foreach { r =>
+      assert(r.getAs[Int]("width") % 16 === 0)
+      assert(Set("image", "audio", "video").contains(r.getAs[String]("kind")))
+    }
+  }
+
+  test("sessionization: session bounds respect the 30-min gap") {
+    val s = Relational.sessionize(spark, Sf0001)
+      .select("user_id", "session_seq", "start_ms", "end_ms", "n_events")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    s.groupBy(_._1).foreach { case (_, sessions) =>
+      val ordered = sessions.sortBy(_._2)
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(b._3 - a._4 > Relational.SessionGapMs,
+          s"sessions ${a._2} and ${b._2} closer than the gap")
+      }
+    }
+    assert(s.map(_._5).sum === 1000L) // every event lands in exactly one session
+  }
+}

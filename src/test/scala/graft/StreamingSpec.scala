@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.sinks.{MemoryUpsertSink, UpsertKeys}
+import graft.streaming.{CascadeQ4, OverWindowState, StreamingQueries}
+import graft.operators.TaxiQueries
+import graft.sources.Rides
+import scala.collection.concurrent.TrieMap
+
+/** Streaming semantics: windowed agg vs batch recompute, late-data
+  * watermark behavior, the Q4 cascade's retract/add changelog replay, and
+  * streaming-OVER state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ride(id: Long, t: String, lon: Float = -73.99f, lat: Float = 40.75f): (Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short) =
+    (id, true, Timestamp.valueOf(t), Timestamp.valueOf(t), lon, lat, lon, lat, 1.toShort)
+
+  private def ridesDf(rows: Seq[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)]) =
+    rows.toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+
+  test("streaming Q1 tumbling agg (append on watermark) matches batch recompute") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+
+    val q = StreamingQueries.q1Tumble(rides).writeStream
+      .format("memory").queryName("q1_stream").outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("q1ck").toString)
+      .start()
+
+    // two windows of data, then advance event time far enough that the
+    // watermark (61 s) closes both
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"),
+      ride(3, "2013-01-01 00:11:00"))
+    q.processAllAvailable()
+    input.addData(ride(4, "2013-01-01 00:30:00")) // watermark -> 00:28:59
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("q1_stream")
+      .select("cell", "dept_time", "dept_cnt").as[(Int, Long, Long)].collect().toSet
+    val batch = StreamingQueries.q1Tumble(ridesDf(Seq(
+        ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"),
+        ride(3, "2013-01-01 00:11:00"))))
+      .select("cell", "dept_time", "dept_cnt").as[(Int, Long, Long)].collect().toSet
+    assert(batch.subsetOf(streamed ++ Set.empty), s"batch=$batch streamed=$streamed")
+    assert(streamed.size === 2) // the two closed windows, third still open
+  }
+
+  test("late data beyond the watermark is dropped from closed windows") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val q = StreamingQueries.q1Tumble(rides).writeStream
+      .format("memory").queryName("q1_late").outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("q1ck2").toString)
+      .start()
+    input.addData(ride(1, "2013-01-01 00:01:00"))
+    q.processAllAvailable()
+    input.addData(ride(2, "2013-01-01 01:00:00")) // watermark -> 00:58:59, closes 00:00 window
+    q.processAllAvailable()
+    input.addData(ride(3, "2013-01-01 00:02:00")) // > 61 s late: must be dropped
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("q1_late").select("dept_time", "dept_cnt")
+      .as[(Long, Long)].collect().toMap
+    assert(counts(Timestamp.valueOf("2013-01-01 00:10:00").getTime) === 1L) // ride 3 not counted
+  }
+
+  test("Q4 cascade: changelog replay equals batch two-level aggregate") {
+    val cells = TrieMap.empty[Int, Long]
+    val hist = TrieMap.empty[Long, Long]
+    // simulate level-1 update stream: cells a,b,c reaching counts over batches
+    Seq((1, 1L), (2, 1L), (1, 2L), (3, 1L), (1, 3L), (2, 2L), (3, 2L), (4, 1L))
+      .foreach { case (c, n) => CascadeQ4.applyUpdate(cells, hist, c, n) }
+    // final counts: 1->3, 2->2, 3->2, 4->1  => histogram {3:1, 2:2, 1:1}
+    assert(hist.toMap === Map(3L -> 1L, 2L -> 2L, 1L -> 1L))
+    // equals the batch recomputation from the final level-1 table
+    val batch = cells.values.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    assert(hist.toMap === batch)
+  }
+
+  test("Q4 end-to-end streaming cascade upserts the histogram into the sink") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val sink = new MemoryUpsertSink(Seq("dept_cnt"))
+    // same cell twice + another cell once => histogram {2:1, 1:1}
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"),
+      ride(3, "2013-01-01 00:03:00", lon = -73.90f))
+    val q = CascadeQ4.start(rides, sink, Files.createTempDirectory("q4ck").toString)
+    q.awaitTermination()
+    val hist = sink.snapshot.values.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist === Map(2L -> 1L, 1L -> 1L))
+  }
+
+  test("upsert key inference finds terminal groupBy columns (reference setKeyFields)") {
+    val q4 = TaxiQueries.q4CntFreq(spark, Sf0001)
+    assert(UpsertKeys.derive(q4) === Seq("dept_cnt"))
+    val q1 = TaxiQueries.q1Tumble(spark, Sf0001)
+    assert(UpsertKeys.derive(q1).contains("cell"))
+    // append-only plan (no aggregate) -> no keys
+    assert(UpsertKeys.derive(Rides.fromEvents(spark, Sf0001)) === Nil)
+  }
+
+  test("streaming OVER window counts trailing 10-min departures per cell") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val q = OverWindowState.q3Streaming(rides).writeStream
+      .format("memory").queryName("q3_stream").outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("q3ck").toString)
+      .start()
+    input.addData(
+      ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:05:00"),
+      ride(3, "2013-01-01 00:12:00"), // 00:05 and 00:12 within 10 min
+      ride(4, "2013-01-01 00:30:00")) // alone in its window
+    q.processAllAvailable()
+    q.stop()
+    val cnts = spark.table("q3_stream").select("ride_id", "dept_cnt")
+      .as[(Long, Long)].collect().toMap
+    assert(cnts === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+}
