@@ -70,14 +70,17 @@ object Dedup {
     * inverted-index self-join at scale).
     */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).selectExpr(
+    docs(spark, dir)
+      // tokenize ONCE into a column: referencing split(...) inside the
+      // transform lambda would re-split the whole text per n-gram (O(n^2))
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr(
         "doc_id",
         // CASE guard: Spark's sequence(1, n) is DESCENDING for n < 1, so a
         // <3-token doc would otherwise yield junk shingles instead of none
-        """explode(array_distinct(CASE WHEN size(split(text, ' ')) >= 3
-             THEN transform(
-               sequence(1, size(split(text, ' ')) - 2),
-               i -> concat(split(text, ' ')[i-1], ' ', split(text, ' ')[i], ' ', split(text, ' ')[i+1]))
+        """explode(array_distinct(CASE WHEN size(toks) >= 3
+             THEN transform(sequence(1, size(toks) - 2),
+               i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
              ELSE CAST(array() AS ARRAY<STRING>) END)) AS shingle""")
 
   private val shinglesCte: String =
@@ -97,12 +100,16 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).cache()
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= 100)
-    val idx = sh.join(df, "shingle")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = idx.as("a").join(idx.as("b"), "shingle")
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // group to per-shingle doc lists (df cap applied on list size), then
+    // expand pairs with two generates — one shuffle instead of a two-sided
+    // self-join shuffle, and the df cap bounds each row's fan-out at scale
+    val pairs = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= 100)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -147,23 +154,40 @@ object Dedup {
     * band key; no cross join.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = shingles(spark, dir)
-      .selectExpr("doc_id", "shingle", s"explode(sequence(0, ${NumPerms - 1})) AS p")
-      .selectExpr("doc_id", "p", s"${hash60("concat(CAST(p AS STRING), ':', shingle)")} AS h")
-      .groupBy("doc_id", "p").agg(min("h").as("minh"))
+    val sh = shingles(spark, dir)
+    val numBands = NumPerms / BandRows
+    // hash only DISTINCT shingles, all 16 slots as one array column — md5
+    // work drops by the shingle-repetition factor and the join back to the
+    // doc index moves 1 array row per shingle instead of 16 scalar rows
+    val hashes = (0 until NumPerms)
+      .map(p => hash60(s"concat('$p:', shingle)")).mkString("array(", ", ", ")")
+    val hashed = sh.select("shingle").distinct().selectExpr("shingle", s"$hashes AS hs")
+    // element-wise array min via 16 scalar min aggregates -> signature array;
+    // the hash dictionary is tiny relative to the index — broadcast it
+    val sig = sh.join(broadcast(hashed), "shingle")
+      .groupBy("doc_id")
+      .agg(array((0 until NumPerms).map(i => min(element_at(col("hs"), i + 1))): _*).as("sig"))
     sig.cache()
-    val bands = sig
-      .withColumn("band", col("p") % lit(NumPerms / BandRows)) // p mod 4: rows of a band interleave
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",", transform(sort_array(collect_list(struct(col("p"), col("minh")))),
-        x => x.getField("minh").cast("string"))).as("band_sig"))
+    // band b holds slots {p : p % numBands == b}, ordered by p (matches the
+    // oracle's string_agg ... ORDER BY p)
+    def bandSig(b: Int): org.apache.spark.sql.Column =
+      concat_ws(",", (b until NumPerms by numBands)
+        .map(p => element_at(col("sig"), p + 1).cast("string")): _*)
+    val bands = sig.select(col("doc_id"), explode(array((0 until numBands).map(b =>
+      struct(lit(b).as("band"), bandSig(b).as("band_sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
     val cands = bands.as("a").join(bands.as("b"), Seq("band", "band_sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    val est = cands.join(sig.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("minh", "ha"), "doc_a")
-      .join(sig.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("minh", "hb"), Seq("doc_b", "p"))
-      .groupBy("doc_a", "doc_b")
-      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)).cast("double") / NumPerms).as("est_sim"))
+    // est_sim from the two signature arrays directly (no slot explosion)
+    val est = cands
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_sim",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / NumPerms)
+      .select("doc_a", "doc_b", "est_sim")
     est.orderBy("doc_a", "doc_b")
   }
 
@@ -201,10 +225,14 @@ object Dedup {
     * One narrow shuffle on (doc, token), one on (doc, bit), one on doc.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tf = docs(spark, dir)
+    val toks = docs(spark, dir)
       .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+    val hashedTokens = toks.select("token").distinct()
+      .selectExpr("token", s"${hash60("token")} AS h")
+    val tf = toks
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .selectExpr("doc_id", "tf", s"${hash60("token")} AS h")
+      .join(broadcast(hashedTokens), "token")
+      .select("doc_id", "tf", "h")
     tf.selectExpr("doc_id", "tf", "h", "explode(sequence(0, 59)) AS j")
       .selectExpr("doc_id", "j", "CASE WHEN shiftright(h, j) & 1 = 1 THEN tf ELSE -tf END AS w")
       .groupBy("doc_id", "j").agg(sum("w").as("s"))

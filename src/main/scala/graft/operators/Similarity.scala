@@ -18,12 +18,12 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** dot(a, b) in double as a strict left fold. */
+  /** dot(a, b) in double as a strict left fold — the custom codegen'd
+    * expression (graft.functions.FloatDotProduct) with arithmetic identical
+    * to aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.FastFunctions.float_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -89,31 +89,42 @@ object Similarity {
   val NumPlanes = 6
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * md5-derived value in [-1000, 1000]. Spark and DuckDB renderings of the
-    * identical computation (they differ only in hex-to-int spelling).
+    * md5-derived value in [-1000, 1000] — DuckDB rendering; the engine uses
+    * [[planeMatrix]], the same computation precomputed driver-side.
     */
-  private def planeComponent(p: String, d: String): String =
-    s"CAST(CAST(conv(substr(md5(concat('pl', CAST($p AS STRING), '_', CAST($d AS STRING))), 1, 15), 16, 10) AS LONG) % 2001 - 1000 AS DOUBLE)"
-
   private def duckPlaneComponent(p: String, d: String): String =
     s"CAST(CAST(concat('0x', substr(md5(concat('pl', CAST($p AS VARCHAR), '_', CAST($d AS VARCHAR))), 1, 15)) AS BIGINT) % 2001 - 1000 AS DOUBLE)"
 
+  /** Driver-side replica of the md5-derived plane component (same value
+    * the oracle recomputes in SQL), precomputed once per (plane, dim) and
+    * embedded as array literals — the per-row md5 storm this replaces was
+    * 6x64 digests per vector.
+    */
+  private def planeMatrix(dims: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, dims) { (p, d) =>
+      val hex = md.digest(s"pl${p}_$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble
+    }
+  }
+
   /** Sign-of-hyperplane-projection sketch: bucket = 6 sign bits. Candidate
-    * pairs share a bucket (and label block); cosine >= 0.3 confirms. At
-    * scale the bucket join replaces the corpus cross-join.
+    * pairs share a bucket; cosine >= 0.3 confirms. At scale the bucket join
+    * replaces the corpus cross-join.
     */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(spark, dir)
-    val sketch = e.selectExpr("vec_id", "embedding", "nrm", "label",
-      s"""aggregate(
-            sequence(0, ${NumPlanes - 1}),
-            CAST(0 AS INT),
-            (acc, p) -> acc + CASE WHEN aggregate(
-                sequence(0, size(embedding) - 1),
-                CAST(0.0 AS DOUBLE),
-                (s, d) -> s + CAST(embedding[d] AS DOUBLE) * ${planeComponent("p", "d")}
-              ) > 0 THEN shiftleft(1, p) ELSE 0 END
-          ) AS bucket""")
+    val dims = 64
+    // plane components are whole numbers in [-1000, 1000] — float-exact, so
+    // float_dot over a float-cast plane literal is bit-identical to the
+    // oracle's double products
+    val planes = planeMatrix(dims)
+    val bucket = (0 until NumPlanes).map { p =>
+      val proj = dot(col("embedding"), typedLit(planes(p).map(_.toFloat)))
+      when(proj > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+    val sketch = e.withColumn("bucket", bucket)
     sketch.as("a").join(sketch.as("b"), Seq("bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",

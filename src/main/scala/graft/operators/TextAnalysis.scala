@@ -32,12 +32,14 @@ object TextAnalysis {
     * bit-for-bit.
     */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).selectExpr(
+    docs(spark, dir)
+      .selectExpr("doc_id", "lang", "n_chars", s"$toks AS toks") // tokenize once
+      .selectExpr(
         "doc_id", "lang", "n_chars",
-        s"size($toks) AS n_tokens",
-        s"size(array_distinct($toks)) AS n_distinct",
-        s"aggregate(transform($toks, t -> length(t)), 0L, (a, x) -> a + x) AS token_chars",
-        s"size(filter($toks, t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop")
+        "size(toks) AS n_tokens",
+        "size(array_distinct(toks)) AS n_distinct",
+        "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x) AS token_chars",
+        "size(filter(toks, t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop")
       .selectExpr(
         "doc_id", "lang", "n_chars", "n_tokens", "n_distinct",
         "CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len",
@@ -86,9 +88,10 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val scores = langLists.map { case (l, ws) =>
-      s"size(filter($toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+      s"size(filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS s_$l"
     }
     docs(spark, dir)
+      .selectExpr("doc_id", "lang", s"$toks AS toks")
       .selectExpr(Seq("doc_id", "lang") ++ scores: _*)
       .selectExpr("doc_id", "lang", "s_en", "s_fr", "s_es", "s_de",
         """CASE WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
@@ -152,11 +155,10 @@ object TextAnalysis {
     * functions; no UDF.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).selectExpr(
-        "doc_id",
-        """aggregate(transform(sequence(1, length(text)), i -> ascii(substr(text, i, 1))),
-           0L, (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint""",
-        "md5(text) AS md5_hex")
+    docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.FastFunctions.rolling_hash(col("text")).as("fingerprint"),
+        md5(col("text")).as("md5_hex"))
       .orderBy("doc_id")
 
   val fingerprintOracle: String =
