@@ -25,6 +25,7 @@ object SparkEntry {
     "q3_over_window" -> (TaxiQueries.q3OverWindow _),
     "q3_over_daily" -> (TaxiQueries.q3OverDaily _),
     "q4_cnt_freq" -> (TaxiQueries.q4CntFreq _),
+    "q5_geo_hour" -> (TaxiQueries.q5GeoHour _),
     // text analysis
     "txt_stats" -> (TextAnalysis.textStats _),
     "txt_lang_id" -> (TextAnalysis.langId _),
@@ -58,6 +59,7 @@ object SparkEntry {
     "q3_over_window" -> TaxiQueries.q3OracleSql,
     "q3_over_daily" -> TaxiQueries.q3DailyOracleSql,
     "q4_cnt_freq" -> TaxiQueries.q4OracleSql,
+    "q5_geo_hour" -> TaxiQueries.q5OracleSql,
     "txt_stats" -> TextAnalysis.textStatsOracle,
     "txt_lang_id" -> TextAnalysis.langIdOracle,
     "txt_token_count" -> TextAnalysis.tokenCountOracle,

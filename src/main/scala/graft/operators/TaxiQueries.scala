@@ -184,6 +184,32 @@ object TaxiQueries {
        |ORDER BY dept_cnt""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Q5: geo-point rendering + hourOfDay (the remaining UDF surface: F4/F5/F6)
+  // -------------------------------------------------------------------------
+
+  /** Exercises toGeoPoint's "lat,lon" string rendering (the reference ES
+    * sink wire format, ElasticUpsertTableSink.scala:156-158), hourOfDay
+    * (millis-since-midnight, TaxiFunctions.scala:82-85), and toLong.
+    */
+  def q5GeoHour(spark: SparkSession, dir: String): DataFrame =
+    departures(spark, dir)
+      .select(
+        col("ride_id"),
+        col("cell"),
+        Taxi.geoPointString(Taxi.toCoords(col("cell"))).as("location"),
+        Taxi.hourOfDay(Taxi.toLong(col("rowtime"))).as("ms_of_day"))
+      .orderBy("ride_id")
+
+  val q5OracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures
+       |SELECT ride_id, cell,
+       |  concat(CAST(CAST(41.0 - (cell // 250) * 0.00125 - 0.00125 / 2 AS REAL) AS VARCHAR), ',',
+       |         CAST(CAST((74.05 - (cell % 250) * 0.0014 - 0.0014 / 2) * -1.0 AS REAL) AS VARCHAR)) AS location,
+       |  rowtime_ms % 86400000 AS ms_of_day
+       |FROM departures
+       |ORDER BY ride_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Source-parity dump (S2/S3/S5 of SURVEY §2.1): the parsed rides table
   // -------------------------------------------------------------------------
 
