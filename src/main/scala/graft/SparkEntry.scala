@@ -40,6 +40,7 @@ object SparkEntry {
     // similarity search
     "sim_topk_bf" -> (Similarity.topkBruteforce _),
     "sim_lsh_neardup" -> (Similarity.lshNearDup _),
+    "sim_ivf_topk" -> (Similarity.ivfTopk _),
     // multimodal plumbing
     "mm_features" -> (Multimodal.features _),
     // relational / analytics
@@ -48,6 +49,8 @@ object SparkEntry {
     "rel_top_customers" -> (Relational.topCustomers _),
     "rel_grouping_sets" -> (Relational.segmentNationRollup _),
     "rel_sessionize" -> (Relational.sessionize _),
+    "rel_json_extract" -> (Relational.jsonExtract _),
+    "rel_order_coverage" -> (Relational.orderCoverage _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,11 +74,14 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashOracle,
     "sim_topk_bf" -> Similarity.topkBruteforceOracle,
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
+    "sim_ivf_topk" -> Similarity.ivfTopkOracle,
     "mm_features" -> Multimodal.featuresOracle,
     "rel_pricing" -> Relational.pricingSummaryOracle,
     "rel_revenue_nation" -> Relational.revenueByNationOracle,
     "rel_top_customers" -> Relational.topCustomersOracle,
     "rel_grouping_sets" -> Relational.segmentNationRollupOracle,
     "rel_sessionize" -> Relational.sessionizeOracle,
+    "rel_json_extract" -> Relational.jsonExtractOracle,
+    "rel_order_coverage" -> Relational.orderCoverageOracle,
   )
 }

@@ -159,6 +159,73 @@ object Relational {
       |ORDER BY segment, nationkey""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Semi-structured extraction (JSON props column)
+  // -------------------------------------------------------------------------
+
+  /** Extracts the JSON `props.k` field from every event and aggregates per
+    * event type — the semi-structured projection path (get_json_object is
+    * codegen'd; at scale this is scan + project + one hash agg, and the
+    * JSON never leaves the executor).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        count(when(col("k") % 2 === 0, 1)).as("n_even_k"))
+      .orderBy("event_type")
+
+  val jsonExtractOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+      |  count(CASE WHEN k % 2 = 0 THEN 1 END) AS n_even_k
+      |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Semi/anti join coverage
+  // -------------------------------------------------------------------------
+
+  /** Customers partitioned by order activity: left-semi (has orders) and
+    * left-anti (never ordered) joins per market segment.
+    */
+  def orderCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select("o_custkey").distinct()
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val orderCoverageOracle: String =
+    """WITH w AS (
+      |  SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment
+      |),
+      |wo AS (
+      |  SELECT c_mktsegment, count(*) AS n_without_orders FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment
+      |)
+      |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+      |  coalesce(n_with_orders, 0) AS n_with_orders,
+      |  coalesce(n_without_orders, 0) AS n_without_orders
+      |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Gap-based sessionization of the events table
   // -------------------------------------------------------------------------
 

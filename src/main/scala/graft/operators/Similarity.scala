@@ -134,6 +134,80 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  // -------------------------------------------------------------------------
+  // IVF-style ANN (coarse quantizer + probe subset — the other scale path)
+  // -------------------------------------------------------------------------
+
+  val NProbe = 3
+
+  /** IVF search with the `label` column as the coarse partition and the
+    * min-vec_id member of each label as its deterministic pivot (a data-
+    * independent stand-in for trained centroids — k-means means would be
+    * float-sum order-dependent and unverifiable against the oracle).
+    * Each query probes the NProbe labels whose pivots are closest by cosine
+    * and brute-forces only those partitions: the candidate set shrinks by
+    * ~nprobe/nlists, the IVF scaling argument.
+    */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(spark, dir)
+    val pivotIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
+    val pivots = e.join(pivotIds, Seq("label", "vec_id"))
+      .select(col("label").as("p_label"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+    // rank labels per query by pivot cosine (tie-break on label)
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("p_cos").desc, col("p_label"))
+    val probed = q.crossJoin(broadcast(pivots))
+      .withColumn("p_cos", dot(col("q_emb"), col("p_emb")) / (col("q_nrm") * col("p_nrm")))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p_label"))
+    // brute-force only the probed partitions
+    val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    probed.join(e, e("label") === probed("p_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val ivfTopkOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |),
+       |pivots AS (
+       |  SELECT e.label AS p_label, e.embedding AS p_emb, e.nrm AS p_nrm
+       |  FROM e JOIN (SELECT label, min(vec_id) AS vec_id FROM e GROUP BY label) m
+       |    ON e.label = m.label AND e.vec_id = m.vec_id
+       |),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+       |  FROM e WHERE vec_id % 20 = 0
+       |),
+       |probed AS (
+       |  SELECT q_id, q_emb, q_nrm, p_label FROM (
+       |    SELECT q.q_id, q.q_emb, q.q_nrm, p.p_label,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${duckDot("q.q_emb", "p.p_emb")} / (q.q_nrm * p.p_nrm) DESC, p.p_label) AS p_rank
+       |    FROM q CROSS JOIN pivots p
+       |  ) WHERE p_rank <= $NProbe
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine FROM (
+       |  SELECT pr.q_id, e.vec_id AS neighbor_id,
+       |    ${duckDot("e.embedding", "pr.q_emb")} / (e.nrm * pr.q_nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY pr.q_id
+       |      ORDER BY ${duckDot("e.embedding", "pr.q_emb")} / (e.nrm * pr.q_nrm) DESC, e.vec_id) AS rank
+       |  FROM probed pr JOIN e ON e.label = pr.p_label AND e.vec_id <> pr.q_id
+       |)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
   val lshNearDupOracle: String = {
     val pc = duckPlaneComponent("p", "d")
     s"""WITH e AS (

@@ -75,12 +75,14 @@ object Rides {
   def fromCsv(spark: SparkSession, path: String): DataFrame =
     parseCsvLines(spark.read.text(path))
 
-  /** Streaming read of a directory of reference-format CSV chunks with the
-    * demo's watermark policy: maxOutOfOrder = 60 s -> watermark lag 61 s
-    * (TaxiRideQueries.scala:48, TaxiRideSource.java:102,150,210).
+  /** Streaming read of a directory of reference-format CSV chunks. The
+    * watermark is applied by the consuming query (Spark forbids redefining
+    * it); the demo policy is maxOutOfOrder = 60 s -> lag 61 s
+    * (TaxiRideQueries.scala:48, TaxiRideSource.java:102,150,210), the
+    * default in graft.streaming.StreamingQueries.
     */
-  def streamFromCsv(spark: SparkSession, dir: String, watermark: String = "61 seconds"): DataFrame =
-    parseCsvLines(spark.readStream.text(dir)).withWatermark("rowtime", watermark)
+  def streamFromCsv(spark: SparkSession, dir: String): DataFrame =
+    parseCsvLines(spark.readStream.text(dir))
 
   // -------------------------------------------------------------------------
   // Deterministic derivation from events.parquet (oracle-friendly)
