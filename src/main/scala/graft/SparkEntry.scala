@@ -51,6 +51,10 @@ object SparkEntry {
     "rel_sessionize" -> (Relational.sessionize _),
     "rel_json_extract" -> (Relational.jsonExtract _),
     "rel_order_coverage" -> (Relational.orderCoverage _),
+    // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
+    // algorithms differ across engines) -> driver's rows-only check; the
+    // error bound vs exact values is asserted in OperatorsSpec
+    "rel_approx_stats" -> (Relational.approxStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

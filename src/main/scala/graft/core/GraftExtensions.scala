@@ -1,0 +1,29 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{FloatDotProduct, RollingHash}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * codegen expressions as SQL functions, so
+  * `spark.sql("SELECT float_dot(a, b)")` works cluster-wide via
+  *   spark.sql.extensions=graft.core.GraftExtensions
+  * or `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  * This is the sanctioned seam for engine extensions — no spark-internal
+  * patching, survives session cloning, visible to pure-SQL users.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHash(exprs.head)))
+  }
+}

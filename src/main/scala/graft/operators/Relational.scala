@@ -188,6 +188,29 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Sketch aggregates (HLL distinct, approximate quantiles)
+  // -------------------------------------------------------------------------
+
+  /** HyperLogLog++ distinct counts and approximate quantiles per segment —
+    * the sketch family a 100 TB profiler runs instead of exact
+    * distinct/sort. No DuckDB oracle (sketch algorithms differ across
+    * engines); the spec asserts the approximation error bound against the
+    * exact values instead.
+    */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  // -------------------------------------------------------------------------
   // Semi/anti join coverage
   // -------------------------------------------------------------------------
 

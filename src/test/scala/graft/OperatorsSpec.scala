@@ -77,6 +77,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("approx sketches stay within error bounds of exact values") {
+    val rows = Relational.approxStats(spark, Sf0001)
+      .select("approx_customers", "exact_customers").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"HLL estimate $approx vs exact $exact exceeds 5%")
+    }
+  }
+
+  test("custom expressions register as SQL functions via SparkSessionExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val prior = spark // keep the shared session handle
+    // getOrCreate returns the existing session (ignoring withExtensions), so
+    // clear the default/active slots to force a fresh session on the same
+    // SparkContext with the extensions applied
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.core.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                 array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d,
+          |       rolling_hash('abc') AS h""".stripMargin).head()
+      assert(r.getDouble(0) === 4.0)
+      assert(r.getLong(1) === ((('a'.toInt * 31L + 'b'.toInt) % 1000000007L * 31 + 'c'.toInt) % 1000000007L))
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("sessionization: session bounds respect the 30-min gap") {
     val s = Relational.sessionize(spark, Sf0001)
       .select("user_id", "session_seq", "start_ms", "end_ms", "n_events")
