@@ -26,6 +26,7 @@ object SparkEntry {
     "q3_over_daily" -> (TaxiQueries.q3OverDaily _),
     "q4_cnt_freq" -> (TaxiQueries.q4CntFreq _),
     "q5_geo_hour" -> (TaxiQueries.q5GeoHour _),
+    "q6_sliding" -> (TaxiQueries.q6Sliding _),
     // text analysis
     "txt_stats" -> (TextAnalysis.textStats _),
     "txt_lang_id" -> (TextAnalysis.langId _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "q3_over_daily" -> TaxiQueries.q3DailyOracleSql,
     "q4_cnt_freq" -> TaxiQueries.q4OracleSql,
     "q5_geo_hour" -> TaxiQueries.q5OracleSql,
+    "q6_sliding" -> TaxiQueries.q6OracleSql,
     "txt_stats" -> TextAnalysis.textStatsOracle,
     "txt_lang_id" -> TextAnalysis.langIdOracle,
     "txt_token_count" -> TextAnalysis.tokenCountOracle,

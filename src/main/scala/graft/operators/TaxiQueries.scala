@@ -184,6 +184,30 @@ object TaxiQueries {
        |ORDER BY dept_cnt""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Q6: sliding (hopping) window — beyond the reference's Tumble/Over pair
+  // -------------------------------------------------------------------------
+
+  /** 10-min windows sliding every 5 min: each departure lands in exactly two
+    * windows (Spark plans this as Expand -> hash agg; at scale the expand
+    * factor is window/slide, bounded and shuffle-neutral).
+    */
+  def q6Sliding(spark: SparkSession, dir: String): DataFrame =
+    departures(spark, dir)
+      .groupBy(col("cell"), window(col("rowtime"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(col("ride_id")).as("dept_cnt"))
+      .select(col("cell"), unix_millis(col("w.end")).as("dept_time"), col("dept_cnt"))
+      .orderBy("dept_time", "cell")
+
+  val q6OracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures
+       |SELECT cell,
+       |  (rowtime_ms // 300000) * 300000 - k * 300000 + 600000 AS dept_time,
+       |  count(ride_id) AS dept_cnt
+       |FROM departures CROSS JOIN (VALUES (0), (1)) offs(k)
+       |GROUP BY cell, dept_time
+       |ORDER BY dept_time, cell""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Q5: geo-point rendering + hourOfDay (the remaining UDF surface: F4/F5/F6)
   // -------------------------------------------------------------------------
 
