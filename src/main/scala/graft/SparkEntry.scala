@@ -44,6 +44,9 @@ object SparkEntry {
     "sim_ivf_topk" -> (Similarity.ivfTopk _),
     // multimodal plumbing
     "mm_features" -> (Multimodal.features _),
+    // corpus-curation pipeline compositions
+    "pipe_corpus_filter" -> (Pipeline.corpusFilter _),
+    "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
     "rel_revenue_nation" -> (Relational.revenueByNation _),
@@ -82,6 +85,8 @@ object SparkEntry {
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
     "sim_ivf_topk" -> Similarity.ivfTopkOracle,
     "mm_features" -> Multimodal.featuresOracle,
+    "pipe_corpus_filter" -> Pipeline.corpusFilterOracle,
+    "pipe_stratified_sample" -> Pipeline.stratifiedSampleOracle,
     "rel_pricing" -> Relational.pricingSummaryOracle,
     "rel_revenue_nation" -> Relational.revenueByNationOracle,
     "rel_top_customers" -> Relational.topCustomersOracle,
