@@ -120,6 +120,56 @@ object CascadeQ4 {
   }
 }
 
+/** Continuous keyed count with idle-state TTL — the reference's
+  * `withIdleStateRetentionTime(Time.hours(1), Time.hours(2))` query config
+  * (TaxiRideQueries.scala:97-99, SURVEY A6): keys receiving no events for
+  * the retention period are evicted from state (their count restarts from
+  * zero if they reappear — exactly Flink's idle-state cleanup contract).
+  *
+  * Implemented with flatMapGroupsWithState + EventTimeTimeout: eviction is
+  * driven by the watermark, so behavior is deterministic and testable
+  * (processing-time TTL would be wall-clock-dependent).
+  */
+object TtlContinuousCount {
+
+  // carries the watermarked timestamp column itself: EventTimeTimeout
+  // requires the event-time attribute to reach the stateful operator
+  case class Keyed(cell: Int, rowtime: java.sql.Timestamp)
+  case class CountState(cnt: Long)
+  case class CellCount(cell: Int, dept_cnt: Long)
+
+  def count(ttlMs: Long)(key: Int, rows: Iterator[Keyed],
+                         state: GroupState[CountState]): Iterator[CellCount] = {
+    if (state.hasTimedOut) { // watermark passed last activity + TTL: evict
+      state.remove()
+      Iterator.empty
+    } else {
+      val prev = state.getOption.map(_.cnt).getOrElse(0L)
+      val cnt = prev + rows.size
+      state.update(CountState(cnt))
+      // re-arm the eviction timer relative to this key's latest activity
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+      Iterator.single(CellCount(key, cnt))
+    }
+  }
+
+  /** rides stream -> per-cell running departure counts with idle TTL
+    * (update-style changelog, one row per touched key per batch).
+    */
+  def query(rides: DataFrame, ttlMs: Long = 60L * 60 * 1000,
+            watermark: String = "61 seconds"): Dataset[CellCount] = {
+    val spark = rides.sparkSession
+    import spark.implicits._
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .withWatermark("rowtime", watermark)
+      .select(Taxi.toCellId(col("startLon"), col("startLat")).as("cell"), col("rowtime"))
+      .as[Keyed]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(count(ttlMs))
+  }
+}
+
 /** Streaming OVER-window state for Q3 (TaxiRideQueries.scala:130-146):
   * per cell, a time-ordered buffer of departure timestamps; each arriving
   * departure is annotated with the count of same-cell departures in the

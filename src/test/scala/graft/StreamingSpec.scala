@@ -116,6 +116,34 @@ class StreamingSpec extends SparkSpec {
     assert(UpsertKeys.derive(Rides.fromEvents(spark, Sf0001)) === Nil)
   }
 
+  test("idle-state TTL evicts a key after the retention period (reference A6)") {
+    import graft.streaming.TtlContinuousCount
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val q = TtlContinuousCount.query(rides, ttlMs = 60L * 60 * 1000).writeStream
+      .format("memory").queryName("ttl_cnt").outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("ttlck").toString)
+      .start()
+    // two rides for the cell, then silence far beyond watermark + TTL
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"))
+    q.processAllAvailable()
+    input.addData(ride(3, "2013-01-01 06:00:00", lon = -73.90f)) // other cell, advances watermark 6h
+    q.processAllAvailable()
+    input.addData(ride(4, "2013-01-01 06:00:30", lon = -73.90f)) // triggers timeout processing
+    q.processAllAvailable()
+    // the original cell reappears: TTL must have reset its count
+    input.addData(ride(5, "2013-01-01 06:01:00"))
+    q.processAllAvailable()
+    q.stop()
+    val byBatch = spark.table("ttl_cnt").select("cell", "dept_cnt")
+      .as[(Int, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    val mainCell = graft.functions.Taxi.toCellIdScalar(-73.99f, 40.75f)
+    assert(byBatch(mainCell).contains(2L), s"pre-TTL count missing: $byBatch")
+    assert(byBatch(mainCell).last === 1L, s"count not reset after TTL eviction: $byBatch")
+  }
+
   test("streaming OVER window counts trailing 10-min departures per cell") {
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
