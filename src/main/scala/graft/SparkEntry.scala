@@ -55,6 +55,7 @@ object SparkEntry {
     "rel_sessionize" -> (Relational.sessionize _),
     "rel_json_extract" -> (Relational.jsonExtract _),
     "rel_order_coverage" -> (Relational.orderCoverage _),
+    "rel_asof_attribution" -> (Relational.asofAttribution _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
     // error bound vs exact values is asserted in OperatorsSpec
@@ -94,5 +95,6 @@ object SparkEntry {
     "rel_sessionize" -> Relational.sessionizeOracle,
     "rel_json_extract" -> Relational.jsonExtractOracle,
     "rel_order_coverage" -> Relational.orderCoverageOracle,
+    "rel_asof_attribution" -> Relational.asofAttributionOracle,
   )
 }

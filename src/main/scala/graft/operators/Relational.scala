@@ -191,6 +191,60 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------------
+  // As-of join (composed from builtins: union + last_value window)
+  // -------------------------------------------------------------------------
+
+  /** As-of join without a join operator: attribute every `error` event to
+    * the same user's most recent preceding-or-simultaneous `click`. The
+    * union + last_value(IGNORE NULLS) window is the scalable as-of pattern
+    * (one shuffle on the key, one sort per partition — no range cross-join;
+    * preference (a) of the custom-operator ladder: compose built-ins before
+    * reaching for a custom SparkPlan).
+    */
+  def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .filter(col("event_type").isin("click", "error"))
+    // clicks sort before errors at identical timestamps (is_click DESC) so a
+    // simultaneous click is visible to the error row
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("is_click", (col("event_type") === "click").cast("int"))
+      .withColumn("last_click_id",
+        last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when(col("is_click") === 1, col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("last_click_id").isNotNull)
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("last_click_id"), (col("ts_ms") - col("last_click_ts")).as("gap_ms"))
+      .orderBy("error_id")
+  }
+
+  val asofAttributionOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      |  FROM events WHERE event_type IN ('click', 'error')
+      |),
+      |attributed AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ms, is_click DESC, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
+      |    last_value(CASE WHEN is_click = 1 THEN ts_ms END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ms, is_click DESC, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      |  FROM ev
+      |)
+      |SELECT event_id AS error_id, user_id, last_click_id,
+      |  ts_ms - last_click_ts AS gap_ms
+      |FROM attributed
+      |WHERE event_type = 'error' AND last_click_id IS NOT NULL
+      |ORDER BY error_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Sketch aggregates (HLL distinct, approximate quantiles)
   // -------------------------------------------------------------------------
 
