@@ -195,11 +195,15 @@ object Relational {
   // -------------------------------------------------------------------------
 
   /** As-of join without a join operator: attribute every `error` event to
-    * the same user's most recent preceding-or-simultaneous `click`. The
-    * union + last_value(IGNORE NULLS) window is the scalable as-of pattern
-    * (one shuffle on the key, one sort per partition — no range cross-join;
-    * preference (a) of the custom-operator ladder: compose built-ins before
-    * reaching for a custom SparkPlan).
+    * the same user's most recent preceding-or-simultaneous `click` (at
+    * millisecond resolution — sub-ms ordering within one truncated
+    * millisecond is not observable). Both sides come from one filtered
+    * scan here; with two separate tables the same pattern starts with a
+    * tagged union. The last_value(IGNORE NULLS) running window is the
+    * scalable as-of shape (one shuffle on the key, one sort per
+    * partition — no range cross-join; preference (a) of the
+    * custom-operator ladder: compose built-ins before reaching for a
+    * custom SparkPlan).
     */
   def asofAttribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
@@ -207,9 +211,10 @@ object Relational {
         unix_millis(col("ts")).as("ts_ms"))
       .filter(col("event_type").isin("click", "error"))
     // clicks sort before errors at identical timestamps (is_click DESC) so a
-    // simultaneous click is visible to the error row
+    // simultaneous click is visible to the error row; NULLS LAST explicitly
+    // on both engines (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST)
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_ms"), col("is_click").desc, col("event_id"))
+      .orderBy(col("ts_ms").asc_nulls_last, col("is_click").desc, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("is_click", (col("event_type") === "click").cast("int"))
       .withColumn("last_click_id",
@@ -231,10 +236,10 @@ object Relational {
       |attributed AS (
       |  SELECT *,
       |    last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY ts_ms, is_click DESC, event_id
+      |      OVER (PARTITION BY user_id ORDER BY ts_ms NULLS LAST, is_click DESC, event_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id,
       |    last_value(CASE WHEN is_click = 1 THEN ts_ms END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY ts_ms, is_click DESC, event_id
+      |      OVER (PARTITION BY user_id ORDER BY ts_ms NULLS LAST, is_click DESC, event_id
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
       |  FROM ev
       |)
