@@ -37,9 +37,9 @@ object Pipeline {
     val metrics = docs(spark, dir)
       .selectExpr("doc_id", "lang", "n_chars", "text", "split(text, ' ') AS toks")
       .selectExpr("doc_id", "lang", "n_chars", "text",
-        "size(toks) AS n_tokens",
-        "size(array_distinct(toks)) AS n_distinct",
-        "size(filter(toks, t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop")
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
+        "CAST(size(filter(toks, t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop")
     val keepers = docs(spark, dir)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min("doc_id").as("doc_id"))

@@ -111,7 +111,7 @@ object Relational {
         count(lit(1)).as("n_orders"))
     totals
       .withColumn("rank", row_number().over(
-        Window.partitionBy("c_mktsegment").orderBy(col("total_d").desc, col("c_custkey"))))
+        Window.partitionBy("c_mktsegment").orderBy(col("total_d").desc, col("c_custkey"))).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("c_mktsegment"), col("rank"), col("c_custkey"),
         col("total_d").cast("double").as("total_spend"), col("n_orders"))

@@ -65,7 +65,7 @@ object Similarity {
       .groupBy("q_id")
       .agg(graft.functions.TopK.topk(TopK)(col("vec_id"), col("cosine")).as("top"))
       .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).cast("int").as("rank"),
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
       .orderBy("q_id", "rank")
 

@@ -36,10 +36,10 @@ object TextAnalysis {
       .selectExpr("doc_id", "lang", "n_chars", s"$toks AS toks") // tokenize once
       .selectExpr(
         "doc_id", "lang", "n_chars",
-        "size(toks) AS n_tokens",
-        "size(array_distinct(toks)) AS n_distinct",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
         "aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x) AS token_chars",
-        "size(filter(toks, t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop")
+        "CAST(size(filter(toks, t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop")
       .selectExpr(
         "doc_id", "lang", "n_chars", "n_tokens", "n_distinct",
         "CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len",
@@ -88,7 +88,7 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val scores = langLists.map { case (l, ws) =>
-      s"size(filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS s_$l"
+      s"CAST(size(filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
     }
     docs(spark, dir)
       .selectExpr("doc_id", "lang", s"$toks AS toks")
@@ -132,9 +132,9 @@ object TextAnalysis {
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).selectExpr(
         "doc_id",
-        "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS n_bpe_tokens",
-        s"size($toks) AS n_ws_tokens",
-        "length(text) AS n_chars")
+        "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_bpe_tokens",
+        s"CAST(size($toks) AS BIGINT) AS n_ws_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars")
       .orderBy("doc_id")
 
   val tokenCountOracle: String =

@@ -43,7 +43,7 @@ class OperatorsSpec extends SparkSpec {
   test("brute-force top-k: neighbors are sorted and self is excluded") {
     val tk = Similarity.topkBruteforce(spark, Sf0001)
       .select("q_id", "rank", "neighbor_id", "cosine")
-      .as[(Long, Int, Long, Double)].collect()
+      .as[(Long, Long, Long, Double)].collect()
     assert(tk.nonEmpty)
     tk.groupBy(_._1).foreach { case (q, rows) =>
       assert(rows.forall(_._3 != q), s"query $q returned itself")
