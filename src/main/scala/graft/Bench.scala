@@ -22,6 +22,9 @@ object Bench {
     // warm up codegen/classloading/shuffle machinery off the clock
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // settle the heap between queries: allocation-heavy neighbors were
+      // bleeding GC pauses into unrelated queries' timings
+      System.gc()
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

@@ -137,6 +137,10 @@ object TaxiQueries {
     * trailing frame, and the reference's >10 threshold — the synthetic data
     * is too sparse for per-cell 10-min counts to ever exceed 10, and a
     * 0-row result would leave the frame semantics untested.
+    *
+    * Note the 5-way partition caps parallelism at 5 tasks — fine for a
+    * yield-oriented test variant, NOT a scale pattern; the faithful [[q3OverWindow]]
+    * partitions by full cell id (tens of thousands of keys).
     */
   def q3OverDaily(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("bucket"))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
@@ -17,7 +17,25 @@ import graft.core.Tables
   *    derivation uses only arithmetic that is bit-identical between Spark and
   *    DuckDB (integer ops, IEEE-754 double ops, one final cast to float).
   */
+/** Typed record matching the reference's TaxiRide POJO layout
+  * (TaxiRide.java:39-69) plus the derived event-time attribute.
+  */
+case class TaxiRide(
+    rideId: Long, isStart: Boolean,
+    startTime: java.sql.Timestamp, endTime: java.sql.Timestamp,
+    startLon: Float, startLat: Float, endLon: Float, endLat: Float,
+    passengerCnt: Short, rowtime: java.sql.Timestamp)
+
 object Rides {
+
+  /** Typed Dataset surface (the reference exposes the stream as
+    * DataStream[TaxiRide]; this is the Spark analogue — same engine plans,
+    * compile-time field access for per-record logic).
+    */
+  def typed(spark: SparkSession, dir: String): Dataset[TaxiRide] = {
+    import spark.implicits._
+    fromEvents(spark, dir).as[TaxiRide]
+  }
 
   /** Parsed-ride schema (FIXTURES.md §A.2). */
   val schema: StructType = StructType(Seq(

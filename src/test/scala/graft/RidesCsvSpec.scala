@@ -40,6 +40,13 @@ class RidesCsvSpec extends SparkSpec {
     assert(rows.head.getShort(8) === 1.toShort)
   }
 
+  test("typed Dataset[TaxiRide] surface round-trips the derived rides") {
+    val ds = graft.sources.Rides.typed(spark, Sf0001)
+    val first = ds.filter(_.isStart).head()
+    assert(first.rowtime === first.startTime) // event time of a START event
+    assert(ds.count() === 1000) // one ride event per source event row
+  }
+
   test("schema matches the reference POJO layout") {
     val rows = parse("1,START,2013-01-01 00:00:00,2013-01-01 00:09:12,-73.99,40.75,-73.98,40.73,2")
     val schema = Rides.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
