@@ -60,7 +60,13 @@ object Similarity {
   }
 
   /** (q_id, vec_id, cosine) -> per-query ranked top-k rows. */
-  private def rankTopK(scored: DataFrame): DataFrame =
+  private def rankTopK(scored: DataFrame): DataFrame = {
+    // ObjectHashAggregate (which executes the udaf) falls back to SORT-based
+    // aggregation after 128 distinct keys — that re-creates the giant sort
+    // the bounded top-k exists to avoid. Our buffers hold <= k entries, so
+    // hash mode is safe at any group count.
+    scored.sparkSession.conf
+      .set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
     scored
       .groupBy("q_id")
       .agg(graft.functions.TopK.topk(TopK)(col("vec_id"), col("cosine")).as("top"))
@@ -68,6 +74,7 @@ object Similarity {
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
       .orderBy("q_id", "rank")
+  }
 
   val topkBruteforceOracle: String =
     s"""WITH e AS (
