@@ -70,6 +70,9 @@ object Relational {
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
     val r = t(spark, dir, "region")
+    // n_orders must stay a countDistinct over the joined fact: ~0.2% of
+    // orders have no lineitems in this generator, so an orders-side count
+    // (the cheaper plan) would overcount — measured before optimizing
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
