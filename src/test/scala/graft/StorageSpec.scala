@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+/** Sink-side scale techniques: partitioned parquet layout with partition
+  * pruning, and the written corpus round-trip.
+  */
+class StorageSpec extends SparkSpec {
+
+  test("curated corpus written partitioned by lang prunes partitions on read") {
+    val out = Files.createTempDirectory("corpus").toString
+    Pipeline.corpusFilter(spark, Sf0001)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    // layout check: one directory per language
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("lang=")), dirs.mkString(","))
+    assert(dirs.length >= 3)
+
+    val back = spark.read.parquet(out).filter(col("lang") === "en")
+    // partition pruning must reach the scan (PartitionFilters, not a
+    // post-scan Filter over all partitions)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"no partition filter in plan:\n$plan")
+    val full = Pipeline.corpusFilter(spark, Sf0001).filter(col("lang") === "en").count()
+    assert(back.count() === full)
+  }
+
+  test("bucketed tables co-locate the join (no shuffle exchange on the key)") {
+    // warehouse dir is a static conf; the default (./spark-warehouse) is
+    // used and the tables are dropped at the end
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    val li = s2.read.parquet(s"$Sf0001/lineitem.parquet")
+    val o = s2.read.parquet(s"$Sf0001/orders.parquet")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").saveAsTable("o_b")
+    val joined = s2.table("li_b").join(s2.table("o_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides read pre-bucketed: the sort-merge join needs no Exchange
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in bucketed join:\n$plan")
+    assert(joined.count() > 0)
+    s2.sql("DROP TABLE IF EXISTS li_b")
+    s2.sql("DROP TABLE IF EXISTS o_b")
+  }
+}
