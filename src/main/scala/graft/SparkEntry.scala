@@ -56,6 +56,8 @@ object SparkEntry {
     "rel_json_extract" -> (Relational.jsonExtract _),
     "rel_order_coverage" -> (Relational.orderCoverage _),
     "rel_asof_attribution" -> (Relational.asofAttribution _),
+    "rel_shipping_priority" -> (Relational.shippingPriority _),
+    "rel_segment_set_ops" -> (Relational.segmentSetOps _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
     // error bound vs exact values is asserted in OperatorsSpec
@@ -96,5 +98,7 @@ object SparkEntry {
     "rel_json_extract" -> Relational.jsonExtractOracle,
     "rel_order_coverage" -> Relational.orderCoverageOracle,
     "rel_asof_attribution" -> Relational.asofAttributionOracle,
+    "rel_shipping_priority" -> Relational.shippingPriorityOracle,
+    "rel_segment_set_ops" -> Relational.segmentSetOpsOracle,
   )
 }

@@ -194,6 +194,73 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Global top-N (sort + limit; TPC-H Q3 shipping-priority shape)
+  // -------------------------------------------------------------------------
+
+  /** Highest-revenue urgent orders: join + filter + agg + global ORDER BY +
+    * LIMIT. Spark plans the limit as TakeOrderedAndProject (per-partition
+    * top-N then a tiny driver merge — no global sort materializes).
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(28,4)")).as("revenue_d"))
+      .select(col("o_orderkey").as("orderkey"),
+        // orders carries TIMESTAMP_NTZ; cast to LTZ under the UTC session so
+        // unix_millis matches DuckDB's naive-as-UTC epoch_ms
+        unix_millis(col("o_orderdate").cast("timestamp")).as("orderdate_ms"),
+        col("revenue_d").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("orderkey"))
+      .limit(10)
+  }
+
+  val shippingPriorityOracle: String =
+    """SELECT o_orderkey AS orderkey, epoch_ms(o_orderdate) AS orderdate_ms,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, orderkey
+      |LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Set operations (UNION / INTERSECT / EXCEPT)
+  // -------------------------------------------------------------------------
+
+  /** Nation-key sets across market segments combined with all three set
+    * operators, tagged and unioned into one result.
+    */
+  def segmentSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    def seg(s: String) = c.filter(col("c_mktsegment") === s)
+      .select(col("c_nationkey").cast("int").as("nationkey")).distinct()
+    val a = seg("AUTOMOBILE")
+    val b = seg("BUILDING")
+    a.intersect(b).withColumn("op", lit("both"))
+      .unionByName(a.except(b).withColumn("op", lit("auto_only")))
+      .unionByName(b.except(a).withColumn("op", lit("building_only")))
+      .orderBy("op", "nationkey")
+  }
+
+  val segmentSetOpsOracle: String =
+    """WITH a AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+      |b AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT nationkey, op FROM (
+      |  SELECT nationkey, 'both' AS op FROM (SELECT nationkey FROM a INTERSECT SELECT nationkey FROM b)
+      |  UNION ALL
+      |  SELECT nationkey, 'auto_only' AS op FROM (SELECT nationkey FROM a EXCEPT SELECT nationkey FROM b)
+      |  UNION ALL
+      |  SELECT nationkey, 'building_only' AS op FROM (SELECT nationkey FROM b EXCEPT SELECT nationkey FROM a)
+      |)
+      |ORDER BY op, nationkey""".stripMargin
+
+  // -------------------------------------------------------------------------
   // As-of join (composed from builtins: union + last_value window)
   // -------------------------------------------------------------------------
 

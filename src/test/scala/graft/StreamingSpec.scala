@@ -116,6 +116,33 @@ class StreamingSpec extends SparkSpec {
     assert(UpsertKeys.derive(Rides.fromEvents(spark, Sf0001)) === Nil)
   }
 
+  test("streaming SQL: windowed agg via spark.sql over a stream temp view (reference Q2 shape)") {
+    graft.functions.Taxi.registerAll(spark)
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+      .withWatermark("rowtime", "61 seconds")
+      .createOrReplaceTempView("rides_stream")
+    val agg = spark.sql(
+      """SELECT toCellId(startLon, startLat) AS cell, window.end AS w_end, COUNT(rideId) AS dept_cnt
+        |FROM rides_stream
+        |WHERE isStart AND inNyc(startLon, startLat)
+        |GROUP BY toCellId(startLon, startLat), window(rowtime, '10 minutes')""".stripMargin)
+    assert(agg.isStreaming, "SQL over the stream view must stay a streaming plan")
+    val q = agg.writeStream.format("memory").queryName("q2_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("q2ck").toString)
+      .start()
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"))
+    q.processAllAvailable()
+    input.addData(ride(3, "2013-01-01 01:00:00")) // closes the first window
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("q2_stream").select("cell", "dept_cnt").as[(Int, Long)].collect()
+    assert(rows.toSeq === Seq((graft.functions.Taxi.toCellIdScalar(-73.99f, 40.75f), 2L)))
+  }
+
   test("idle-state TTL evicts a key after the retention period (reference A6)") {
     import graft.streaming.TtlContinuousCount
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
