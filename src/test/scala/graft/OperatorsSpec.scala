@@ -113,6 +113,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("salted aggregation equals direct aggregation on a hot-key distribution") {
+    // 90% of rows share one key — the shape that melts a single reducer
+    val skewed = spark.range(100000)
+      .selectExpr("CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 97) END AS k")
+    val direct = skewed.groupBy("k").count()
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(skewed, col("k"), salts = 16)
+      .as[(String, Long)].collect().toMap
+    assert(salted === direct)
+    assert(direct("hot") === 90000L)
+  }
+
   test("sessionization: session bounds respect the 30-min gap") {
     val s = Relational.sessionize(spark, Sf0001)
       .select("user_id", "session_seq", "start_ms", "end_ms", "n_events")
