@@ -24,8 +24,14 @@ case class TopKBuf(ids: Array[Long], scores: Array[Double])
 
 class TopKAgg(k: Int) extends Aggregator[ScoredId, TopKBuf, Array[ScoredId]] {
 
-  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  // java.lang.Double.compare, not raw > / ==: it totally orders NaN (as
+  // largest) and -0.0, matching Spark's and DuckDB's SQL double ordering —
+  // raw comparisons make NaN tie with everything and retention becomes
+  // arrival-order-dependent
+  private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   /** Sort desc by (score, -id) and truncate to k. */
   private def compact(ids: Array[Long], scores: Array[Double]): TopKBuf = {

@@ -99,13 +99,17 @@ object Dedup {
     * Emits pairs with J >= 0.2.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = shingles(spark, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // group to per-shingle doc lists (df cap applied on list size), then
-    // expand pairs with two generates — one shuffle instead of a two-sided
-    // self-join shuffle, and the df cap bounds each row's fan-out at scale
-    val pairs = sh.groupBy("shingle").agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= 100)
+    // df-cap BEFORE collect_list: the count aggregate is partial-agg safe
+    // (no buffers), so a 10^8-doc stop-shingle is discarded without ever
+    // materializing its doc list — capping on list size instead would build
+    // the unbounded list in one reducer first. The surviving lists are
+    // <= 100 elements by construction.
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= 100).select("shingle")
+    val pairs = sh.join(rare, "shingle")
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("docs"))
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
@@ -162,12 +166,16 @@ object Dedup {
     val hashes = (0 until NumPerms)
       .map(p => hash60(s"concat('$p:', shingle)")).mkString("array(", ", ", ")")
     val hashed = sh.select("shingle").distinct().selectExpr("shingle", s"$hashes AS hs")
-    // element-wise array min via 16 scalar min aggregates -> signature array;
-    // the hash dictionary is tiny relative to the index — broadcast it
-    val sig = sh.join(broadcast(hashed), "shingle")
+    // element-wise array min via 16 scalar min aggregates -> signature array.
+    // No broadcast hint: the distinct-shingle dictionary grows with corpus
+    // vocabulary (unbounded at 100 TB); AQE broadcasts it when it's actually
+    // small. No cache: the sig subplan appears three times downstream and
+    // ReuseExchange dedupes identical shuffles within the job — pinning a
+    // corpus-sized relation in the block cache is the thing that does NOT
+    // survive scale.
+    val sig = sh.join(hashed, "shingle")
       .groupBy("doc_id")
       .agg(array((0 until NumPerms).map(i => min(element_at(col("hs"), i + 1))): _*).as("sig"))
-    sig.cache()
     // band b holds slots {p : p % numBands == b}, ordered by p (matches the
     // oracle's string_agg ... ORDER BY p)
     def bandSig(b: Int): org.apache.spark.sql.Column =
@@ -230,11 +238,13 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+    // no broadcast hint: token vocabulary is corpus-dependent; AQE
+    // broadcasts when the dictionary is actually small
     val hashedTokens = toks.select("token").distinct()
       .selectExpr("token", s"${hash60("token")} AS h")
     val tf = toks
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .join(broadcast(hashedTokens), "token")
+      .join(hashedTokens, "token")
       .select("doc_id", "tf", "h")
     val bitSums = (0 until 60).map(j =>
       sum(when(expr(s"shiftright(h, $j) & 1") === 1, col("tf")).otherwise(-col("tf"))).as(s"s$j"))

@@ -86,12 +86,13 @@ object Multimodal {
       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
       |  CAST(length(text) AS BIGINT) AS n_bytes,
-      |  CAST(16 * (1 + ascii(substr(text, 1, 1)) % 64) AS INT) AS width,
-      |  CAST(16 * (1 + ascii(substr(text, 2, 1)) % 64) AS INT) AS height,
+      |  CAST(16 * (1 + CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END % 64) AS INT) AS width,
+      |  CAST(16 * (1 + CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END % 64) AS INT) AS height,
       |  CAST(1 + length(text) // 64 AS INT) AS n_frames,
-      |  list_reduce(list_transform(range(1, length(text) + 1),
-      |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
-      |    (h, c) -> (h * 31 + c) % 1000000007) AS checksum
+      |  CASE WHEN length(text) = 0 THEN 0 ELSE
+      |    list_reduce(list_transform(range(1, length(text) + 1),
+      |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      |      (h, c) -> (h * 31 + c) % 1000000007) END AS checksum
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 }

@@ -59,14 +59,17 @@ object Similarity {
     rankTopK(scored)
   }
 
-  /** (q_id, vec_id, cosine) -> per-query ranked top-k rows. */
+  /** (q_id, vec_id, cosine) -> per-query ranked top-k rows.
+    *
+    * Performance note: ObjectHashAggregate (which executes the udaf) falls
+    * back to SORT-based aggregation after 128 distinct keys, re-creating
+    * the giant candidate sort this aggregate avoids. The engine sessions
+    * (Bench/Verify) raise spark.sql.objectHashAggregate.sortBased
+    * .fallbackThreshold for that reason — a session-level policy rather
+    * than a hidden mutation here, so other object aggregates in the same
+    * session keep their spill safety net semantics visible in one place.
+    */
   private def rankTopK(scored: DataFrame): DataFrame = {
-    // ObjectHashAggregate (which executes the udaf) falls back to SORT-based
-    // aggregation after 128 distinct keys — that re-creates the giant sort
-    // the bounded top-k exists to avoid. Our buffers hold <= k entries, so
-    // hash mode is safe at any group count.
-    scored.sparkSession.conf
-      .set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
     scored
       .groupBy("q_id")
       .agg(graft.functions.TopK.topk(TopK)(col("vec_id"), col("cosine")).as("top"))

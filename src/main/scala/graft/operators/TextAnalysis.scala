@@ -163,8 +163,9 @@ object TextAnalysis {
 
   val fingerprintOracle: String =
     """SELECT doc_id,
-      |  list_reduce(list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
-      |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint,
+      |  CASE WHEN length(text) = 0 THEN 0 ELSE
+      |    list_reduce(list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      |      (h, c) -> (h * 31 + c) % 1000000007) END AS fingerprint,
       |  md5(text) AS md5_hex
       |FROM documents
       |ORDER BY doc_id""".stripMargin

@@ -197,12 +197,17 @@ object OverWindowState {
     val buf = state.getOption.getOrElse(CellBuffer(Nil, Long.MinValue))
     var times = buf.times
     var maxSeen = buf.maxSeenMs
-    val out = rows.toSeq.sortBy(d => (d.deptTimeMs, d.rideId)).map { d =>
-      times = (d.deptTimeMs :: times)
-      maxSeen = math.max(maxSeen, d.deptTimeMs)
-      val cnt = times.count(t => t >= d.deptTimeMs - WindowMs && t <= d.deptTimeMs)
-      Annotated(d.rideId, key, d.deptTimeMs, cnt)
-    }
+    // process per distinct timestamp: equal-timestamp rows are RANGE-frame
+    // peers and must count each other (adding one-at-a-time undercounted
+    // the earlier-sorted peer vs the batch q3OverWindow / Flink semantics)
+    val out = rows.toSeq.sortBy(d => (d.deptTimeMs, d.rideId))
+      .groupBy(_.deptTimeMs).toSeq.sortBy(_._1)
+      .flatMap { case (ts, peers) =>
+        peers.foreach { _ => times = ts :: times }
+        maxSeen = math.max(maxSeen, ts)
+        val cnt = times.count(t => t >= ts - WindowMs && t <= ts)
+        peers.sortBy(_.rideId).map(d => Annotated(d.rideId, key, ts, cnt))
+      }
     // prune entries invisible to any future row: the earliest timestamp a
     // future row can carry is maxSeen - MaxLatenessMs, and it looks back
     // WindowMs further
