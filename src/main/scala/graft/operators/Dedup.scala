@@ -169,13 +169,16 @@ object Dedup {
     // element-wise array min via 16 scalar min aggregates -> signature array.
     // No broadcast hint: the distinct-shingle dictionary grows with corpus
     // vocabulary (unbounded at 100 TB); AQE broadcasts it when it's actually
-    // small. No cache: the sig subplan appears three times downstream and
-    // ReuseExchange dedupes identical shuffles within the job — pinning a
-    // corpus-sized relation in the block cache is the thing that does NOT
-    // survive scale.
+    // small. The signature table IS cached: it appears in 3+ downstream
+    // subplans which ReuseExchange does not unify (measured: 16 source
+    // scans uncached), and unlike the corpus-sized shingle relation it is
+    // fixed-width per document (16 longs ≈ 128 B/doc — ~1 TB per 10^10
+    // docs, disk-spillable cluster-wide), so materializing it is the
+    // scale-correct choice, not a convenience.
     val sig = sh.join(hashed, "shingle")
       .groupBy("doc_id")
       .agg(array((0 until NumPerms).map(i => min(element_at(col("hs"), i + 1))): _*).as("sig"))
+      .cache()
     // band b holds slots {p : p % numBands == b}, ordered by p (matches the
     // oracle's string_agg ... ORDER BY p)
     def bandSig(b: Int): org.apache.spark.sql.Column =
