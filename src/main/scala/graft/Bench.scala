@@ -25,7 +25,14 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // warm up codegen/classloading/shuffle machinery off the clock
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      // drop any blocks an operator cached: cached state must not leak
+      // across (or speed up) unrelated queries in this long-lived session
+      spark.catalog.clearCache()
       // settle the heap between queries: allocation-heavy neighbors were
       // bleeding GC pauses into unrelated queries' timings
       System.gc()

@@ -151,49 +151,63 @@ object Dedup {
   val NumPerms = 16
   val BandRows = 4 // 4 bands x 4 rows
 
-  /** 16-slot MinHash signatures (slot p = min over shingles of
-    * hash60(p || shingle)), banded 4x4; candidate pairs share at least one
-    * band bucket; est_sim = matching slots / 16. The full LSH pipeline:
-    * signature build is one shuffle on (doc, perm); banding one shuffle on
-    * band key; no cross join.
+  /** Universal-hashing MinHash: one md5-derived base hash per shingle,
+    * permuted by 16 fixed affine maps over the Mersenne prime P = 2^31-1:
+    * slot p = min over shingles of ((a_p * h31 + b_p) mod P). All terms
+    * stay below 2^62, so the arithmetic is bit-identical in DuckDB BIGINT.
+    */
+  private val P31 = 2147483647L // 2^31 - 1
+  private def affineA(p: Int): Long = ((p + 1) * 2654435761L) % P31 // Knuth multiplier
+  private def affineB(p: Int): Long = ((p + 1) * 1013904223L) % P31 // Numerical-Recipes inc
+
+  /** 16-slot MinHash signatures (affine permutations of one base hash per
+    * shingle), banded 4x4; candidate pairs share at least one band bucket;
+    * est_sim = matching slots / 16. The full LSH pipeline: signature build
+    * is one shuffle on (doc, perm); banding one shuffle on band key; no
+    * cross join.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val numBands = NumPerms / BandRows
-    // hash only DISTINCT shingles, all 16 slots as one array column — md5
-    // work drops by the shingle-repetition factor and the join back to the
-    // doc index moves 1 array row per shingle instead of 16 scalar rows
     val hashes = (0 until NumPerms)
-      .map(p => hash60(s"concat('$p:', shingle)")).mkString("array(", ", ", ")")
-    val hashed = sh.select("shingle").distinct().selectExpr("shingle", s"$hashes AS hs")
+      .map(p => s"(${affineA(p)}L * h31 + ${affineB(p)}L) % ${P31}L").mkString("array(", ", ", ")")
+    // Hash only DISTINCT shingles (dictionary), then join back to the doc
+    // index: md5 work drops by the corpus' shingle-repetition factor.
+    // Measured against inline per-row hashing at sf0.1: 5.6 s vs 8.2 s —
+    // md5 dominates the extra distinct+join shuffles (and motivated the
+    // 16-md5 -> 1-md5 affine scheme above).
+    val hashed = sh.select("shingle").distinct()
+      .selectExpr("shingle", s"${hash60("shingle")} % ${P31}L AS h31")
+      .selectExpr("shingle", s"$hashes AS hs")
     // element-wise array min via 16 scalar min aggregates -> signature array.
     // No broadcast hint: the distinct-shingle dictionary grows with corpus
     // vocabulary (unbounded at 100 TB); AQE broadcasts it when it's actually
-    // small. The signature table IS cached: it appears in 3+ downstream
-    // subplans which ReuseExchange does not unify (measured: 16 source
-    // scans uncached), and unlike the corpus-sized shingle relation it is
-    // fixed-width per document (16 longs ≈ 128 B/doc — ~1 TB per 10^10
-    // docs, disk-spillable cluster-wide), so materializing it is the
-    // scale-correct choice, not a convenience.
+    // small.
     val sig = sh.join(hashed, "shingle")
       .groupBy("doc_id")
       .agg(array((0 until NumPerms).map(i => min(element_at(col("hs"), i + 1))): _*).as("sig"))
-      .cache()
     // band b holds slots {p : p % numBands == b}, ordered by p (matches the
     // oracle's string_agg ... ORDER BY p)
     def bandSig(b: Int): org.apache.spark.sql.Column =
       concat_ws(",", (b until NumPerms by numBands)
         .map(p => element_at(col("sig"), p + 1).cast("string")): _*)
-    val bands = sig.select(col("doc_id"), explode(array((0 until numBands).map(b =>
+    // The signature array RIDES ALONG through the band explosion, so the
+    // candidate self-join yields both signatures directly and `sig` is
+    // consumed exactly once — no cache (a cached sig leaked across the
+    // 30-query benchmark session) and no join-back. Cost: 4 extra longs x 16
+    // per band row through one shuffle (~512 B/doc); the two identical band
+    // subplans collapse into one computed exchange via ReuseExchange.
+    val bands = sig.select(col("doc_id"), col("sig"), explode(array((0 until numBands).map(b =>
       struct(lit(b).as("band"), bandSig(b).as("band_sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
-    val cands = bands.as("a").join(bands.as("b"), Seq("band", "band_sig"))
+      .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    // est_sim from the two signature arrays directly (no slot explosion);
+    // distinct dedupes multi-band collisions (sig_a/sig_b are functionally
+    // dependent on the doc ids, so they don't change the distinct key)
+    val est = bands.as("a").join(bands.as("b"), Seq("band", "band_sig"))
       .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    // est_sim from the two signature arrays directly (no slot explosion)
-    val est = cands
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
       .withColumn("est_sim",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -205,7 +219,10 @@ object Dedup {
   val minhashLshOracle: String =
     s"""WITH $shinglesCte,
        |sig AS (
-       |  SELECT doc_id, p, min(CAST(concat('0x', substr(md5(concat(CAST(p AS VARCHAR), ':', shingle)), 1, 15)) AS BIGINT)) AS minh
+       |  SELECT doc_id, p,
+       |    min(((((p + 1) * 2654435761) % $P31)
+       |         * (CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P31)
+       |         + ((p + 1) * 1013904223) % $P31) % $P31) AS minh
        |  FROM shingles, range(0, $NumPerms) r(p)
        |  GROUP BY doc_id, p
        |),

@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, GetStructField}
 import scala.collection.concurrent.TrieMap
 
 /** Upsert-sink layer reproducing the contract of the reference's
@@ -19,32 +19,86 @@ import scala.collection.concurrent.TrieMap
   */
 object UpsertKeys {
 
+  /** Does `e` preserve the key-ness of an attribute whose exprId is in
+    * `ids`? Injective per-row transforms keep a unique key unique:
+    * the attribute itself, a cast, millis extraction (`unix_millis`), and
+    * window-struct field access (`w.end` determines the tumbling window —
+    * Flink's key inference likewise admits TUMBLE_END into the derived key,
+    * ElasticUpsertTableSink.scala:51-55 receiving (location, deptTime)).
+    */
+  private def keyDerived(e: Expression, ids: Set[Long]): Boolean = e match {
+    case a: AttributeReference => ids.contains(a.exprId.id)
+    case c: Cast => keyDerived(c.child, ids)
+    case g: GetStructField => keyDerived(g.child, ids)
+    case u if u.getClass.getSimpleName == "UnixMillis" || u.getClass.getSimpleName == "UnixMicros" =>
+      keyDerived(u.children.head, ids)
+    case _ => false
+  }
+
   /** Infer upsert key columns: the grouping columns of the topmost Aggregate
     * in the analyzed plan (the reference's "unique key of a groupBy result"
-    * rule), traced through any projections above it. Returns Nil when the
-    * plan has no aggregation (append-only result — reference
-    * setIsAppendOnly, :86).
+    * rule), traced through any projections above it **by exprId** — alias
+    * chains are resolved transitively, never by bare column name (a name
+    * collision must not silently report an unrelated column as a key).
+    * Returns Nil when the plan has no aggregation (append-only result —
+    * reference setIsAppendOnly, :86); throws when a grouping column does
+    * not reach the output (the result is then NOT uniquely keyed and an
+    * upsert would silently overwrite distinct groups).
     */
   def derive(df: DataFrame): Seq[String] = {
     val plan = df.queryExecution.analyzed
     plan.collectFirst { case a: Aggregate => a } match {
       case None => Nil
       case Some(a) =>
-        // key columns = aggregate-output expressions that ARE grouping
-        // expressions (directly or via alias)
+        // key columns at the Aggregate's own output: expressions that ARE
+        // grouping expressions (directly or via alias)
         val keyCols = a.aggregateExpressions.collect {
           case al: Alias if a.groupingExpressions.exists(_.semanticEquals(al.child)) =>
-            (al.exprId, al.name)
+            al.exprId.id
           case att: AttributeReference if a.groupingExpressions.exists(_.semanticEquals(att)) =>
-            (att.exprId, att.name)
+            att.exprId.id
         }
-        val ids = keyCols.map(_._1).toSet
-        val byId = plan.output.filter(o => ids.contains(o.exprId)).map(_.name)
-        if (byId.nonEmpty) byId
-        else { // re-aliased above the Aggregate: match by name
-          val names = keyCols.map(_._2).toSet
-          plan.output.map(_.name).filter(names.contains)
+        // transitive closure over alias chains in the nodes above the
+        // Aggregate: any alias of a key-derived expression is itself a key
+        var ids = keyCols.toSet
+        var grew = true
+        while (grew) {
+          grew = false
+          plan.foreach { node =>
+            if (node ne a) node.expressions.foreach(_.foreach {
+              case al: Alias if !ids.contains(al.exprId.id) && keyDerived(al.child, ids) =>
+                ids += al.exprId.id; grew = true
+              case _ =>
+            })
+          }
         }
+        val out = plan.output.filter(o => ids.contains(o.exprId.id)).map(_.name)
+        // every grouping column must survive to the output, directly or via
+        // a key-preserving alias chain — otherwise refuse rather than hand
+        // the sink a non-unique key
+        val reachable = {
+          val outIds = plan.output.map(_.exprId.id).toSet
+          keyCols.forall { k =>
+            var reach = Set(k)
+            var g = true
+            while (g) {
+              g = false
+              plan.foreach { node =>
+                if (node ne a) node.expressions.foreach(_.foreach {
+                  case al: Alias if !reach.contains(al.exprId.id) && keyDerived(al.child, reach) =>
+                    reach += al.exprId.id; g = true
+                  case _ =>
+                })
+              }
+            }
+            reach.exists(outIds.contains)
+          }
+        }
+        if (!reachable)
+          throw new IllegalArgumentException(
+            "upsert key inference: a grouping column of the terminal aggregation " +
+              s"does not reach the plan output — result is not uniquely keyed. Output: ${plan.output.map(_.name).mkString(", ")}")
+        out
     }
   }
 }

@@ -85,20 +85,80 @@ object CascadeQ4 {
     histogram.put(newCnt, histogram.getOrElse(newCnt, 0L) + 1L)
   }
 
+  // --- level-2 state snapshots (restart recovery) -------------------------
+  // The level-1 streaming agg recovers from the Spark checkpoint, but the
+  // level-2 materialization (cellCounts) lives in driver memory. Without a
+  // snapshot, a restarted query resumes level 1 mid-stream against EMPTY
+  // maps, so the first post-restart update of a cell cannot retract its old
+  // histogram bucket and the sink silently diverges from the batch truth.
+  // We persist cellCounts after every batch BEFORE foreachBatch returns —
+  // i.e. before Spark commits the batch — so on restart the snapshot is
+  // always >= the committed offset; replaying the in-flight batch on top is
+  // safe because applyUpdate is idempotent for repeated (cell, cnt) pairs.
+  // The histogram is derivable (values grouped by count), so only cellCounts
+  // is written. Hadoop FS API so checkpoint may be hdfs:// / s3a:// at scale;
+  // state size is bounded by distinct cells (the 250x400 NYC grid), not data.
+
+  private def snapDir(checkpoint: String) =
+    new org.apache.hadoop.fs.Path(checkpoint, "graft-cascade-state")
+
+  private def saveSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path,
+                           batchId: Long, cells: TrieMap[Int, Long]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$batchId.tmp")
+    val fin = new org.apache.hadoop.fs.Path(dir, s"$batchId.snap")
+    val out = fs.create(tmp, true)
+    try cells.foreach { case (c, n) => out.writeBytes(s"$c,$n\n") } finally out.close()
+    fs.rename(tmp, fin) // atomic publish on HDFS/local
+    // keep the latest two snapshots (previous one covers a torn in-flight write)
+    listSnapshots(fs, dir).dropRight(2)
+      .foreach { case (id, p) => fs.delete(p, false); val _ = id }
+  }
+
+  private def listSnapshots(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".snap")) Some((n.stripSuffix(".snap").toLong, st.getPath)) else None
+      }
+      .sortBy(_._1)
+
+  private def loadLatest(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path): Map[Int, Long] =
+    listSnapshots(fs, dir).lastOption match {
+      case None => Map.empty
+      case Some((_, p)) =>
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty)
+          .map { l => val Array(c, n) = l.split(','); c.toInt -> n.toLong }
+          .toMap
+        finally in.close()
+    }
+
   /** Start the full streaming cascade: level-1 update-mode agg ->
     * foreachBatch changelog replay -> histogram upserted into `sink`
     * (keyed by dept_cnt, the terminal groupBy column, as the reference's
-    * key inference would derive).
+    * key inference would derive). Restart-safe: the level-2 state is
+    * recovered from the checkpoint-dir snapshot and the recovered histogram
+    * re-upserted so the sink converges even after a driver restart.
     */
   def start(rides: DataFrame, sink: MemoryUpsertSink,
             checkpoint: String): StreamingQuery = {
-    val cellCounts = TrieMap.empty[Int, Long]
+    val spark = rides.sparkSession
+    val dir = snapDir(checkpoint)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellCounts = TrieMap.empty[Int, Long] ++ loadLatest(fs, dir)
     val histogram = TrieMap.empty[Long, Long]
+    cellCounts.values.groupBy(identity).foreach { case (b, v) => histogram.put(b, v.size.toLong) }
+    histogram.foreach { case (b, f) => sink.upsert(histRow(b, f)) }
     StreamingQueries.q4Level1(rides)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val updates = batch.select(col("cell").cast("int"), col("dept_cnt").cast("long")).collect()
         val touched = scala.collection.mutable.Set.empty[Long]
         updates.foreach { r =>
@@ -114,6 +174,7 @@ object CascadeQ4 {
             case None => sink.delete(histRow(bucket, 0L))
           }
         }
+        saveSnapshot(fs, dir, batchId, cellCounts) // before the batch commits
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -135,7 +196,7 @@ object TtlContinuousCount {
   // carries the watermarked timestamp column itself: EventTimeTimeout
   // requires the event-time attribute to reach the stateful operator
   case class Keyed(cell: Int, rowtime: java.sql.Timestamp)
-  case class CountState(cnt: Long)
+  case class CountState(cnt: Long, maxRowtimeMs: Long)
   case class CellCount(cell: Int, dept_cnt: Long)
 
   def count(ttlMs: Long)(key: Int, rows: Iterator[Keyed],
@@ -144,11 +205,19 @@ object TtlContinuousCount {
       state.remove()
       Iterator.empty
     } else {
-      val prev = state.getOption.map(_.cnt).getOrElse(0L)
-      val cnt = prev + rows.size
-      state.update(CountState(cnt))
-      // re-arm the eviction timer relative to this key's latest activity
-      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+      val prev = state.getOption.getOrElse(CountState(0L, Long.MinValue))
+      val batch = rows.toSeq
+      val cnt = prev.cnt + batch.size
+      val maxRowtimeMs = (prev.maxRowtimeMs +: batch.map(_.rowtime.getTime)).max
+      state.update(CountState(cnt, maxRowtimeMs))
+      // TTL is measured from THIS KEY's latest event time (Flink's idle-state
+      // contract: retention is per-key activity, not global progress). Arming
+      // from the watermark instead would evict keys seen in the first batch
+      // (watermark 0 -> timeout ~epoch) and generally measure idleness from
+      // the lagging watermark. Clamp above the current watermark because
+      // setTimeoutTimestamp rejects timestamps the watermark already passed
+      // (a very-late straggler's rowtime + TTL can be in the past).
+      state.setTimeoutTimestamp(math.max(maxRowtimeMs + ttlMs, state.getCurrentWatermarkMs() + 1))
       Iterator.single(CellCount(key, cnt))
     }
   }

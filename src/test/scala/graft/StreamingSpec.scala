@@ -171,6 +171,58 @@ class StreamingSpec extends SparkSpec {
     assert(byBatch(mainCell).last === 1L, s"count not reset after TTL eviction: $byBatch")
   }
 
+  test("idle-state TTL does NOT evict a key idle for less than the retention period") {
+    import graft.streaming.TtlContinuousCount
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val q = TtlContinuousCount.query(rides, ttlMs = 60L * 60 * 1000).writeStream
+      .format("memory").queryName("ttl_keep").outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("ttlck2").toString)
+      .start()
+    // main cell active in batch 1 (count 2), then idle while OTHER batches
+    // advance the watermark ~40 min — well under the 1 h TTL
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"))
+    q.processAllAvailable()
+    input.addData(ride(3, "2013-01-01 00:30:00", lon = -73.90f)) // idle batch for main cell
+    q.processAllAvailable()
+    input.addData(ride(4, "2013-01-01 00:40:00", lon = -73.90f)) // fires any due timers
+    q.processAllAvailable()
+    input.addData(ride(5, "2013-01-01 00:45:00")) // main cell returns, 43 min idle < TTL
+    q.processAllAvailable()
+    q.stop()
+    val mainCell = graft.functions.Taxi.toCellIdScalar(-73.99f, 40.75f)
+    val counts = spark.table("ttl_keep").select("cell", "dept_cnt")
+      .as[(Int, Long)].collect().filter(_._1 == mainCell).map(_._2).toList
+    // with the old watermark-based arming, batch-1 keys got a ~epoch timer
+    // and were evicted on the first watermark advance -> last count would be 1
+    assert(counts === List(2L, 3L), s"key idle < TTL must keep its count: $counts")
+  }
+
+  test("Q4 cascade recovers level-2 state across a restart from the same checkpoint") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val ck = Files.createTempDirectory("q4restart").toString
+    // run 1: cell A twice, cell B once  => histogram {2:1, 1:1}
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"),
+      ride(3, "2013-01-01 00:03:00", lon = -73.90f))
+    val sink1 = new MemoryUpsertSink(Seq("dept_cnt"))
+    CascadeQ4.start(rides, sink1, ck).awaitTermination()
+    assert(sink1.snapshot.values.map(r => (r.getLong(0), r.getLong(1))).toMap
+      === Map(2L -> 1L, 1L -> 1L))
+    // run 2 (fresh maps + fresh sink = driver restart): cell A again -> 3.
+    // Without snapshot recovery the restarted maps cannot retract A's old
+    // bucket 2, leaving {2:1, 1:2} instead of {3:1, 1:1}.
+    input.addData(ride(4, "2013-01-01 00:04:00"))
+    val sink2 = new MemoryUpsertSink(Seq("dept_cnt"))
+    CascadeQ4.start(rides, sink2, ck).awaitTermination()
+    val hist2 = sink2.snapshot.values.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hist2 === Map(3L -> 1L, 1L -> 1L), s"post-restart histogram diverged: $hist2")
+  }
+
   test("streaming OVER window counts trailing 10-min departures per cell") {
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
