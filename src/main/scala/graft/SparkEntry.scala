@@ -27,11 +27,13 @@ object SparkEntry {
     "q4_cnt_freq" -> (TaxiQueries.q4CntFreq _),
     "q5_geo_hour" -> (TaxiQueries.q5GeoHour _),
     "q6_sliding" -> (TaxiQueries.q6Sliding _),
+    "q7_session" -> (TaxiQueries.q7Session _),
     // text analysis
     "txt_stats" -> (TextAnalysis.textStats _),
     "txt_lang_id" -> (TextAnalysis.langId _),
     "txt_token_count" -> (TextAnalysis.tokenCount _),
     "txt_fingerprint" -> (TextAnalysis.fingerprint _),
+    "txt_tfidf" -> (TextAnalysis.tfidf _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_near_key" -> (Dedup.nearKey _),
@@ -47,6 +49,9 @@ object SparkEntry {
     // corpus-curation pipeline compositions
     "pipe_corpus_filter" -> (Pipeline.corpusFilter _),
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
+    "pipe_contamination" -> (Training.contamination _),
+    "pipe_pack_chunks" -> (Training.packChunks _),
+    "emb_quantize" -> (Training.quantize _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
     "rel_revenue_nation" -> (Relational.revenueByNation _),
@@ -58,6 +63,9 @@ object SparkEntry {
     "rel_asof_attribution" -> (Relational.asofAttribution _),
     "rel_shipping_priority" -> (Relational.shippingPriority _),
     "rel_segment_set_ops" -> (Relational.segmentSetOps _),
+    "rel_interval_join" -> (Relational.intervalJoin _),
+    "rel_window_suite" -> (Relational.windowSuite _),
+    "skew_salted_agg" -> (Relational.saltedEventCount _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
     // error bound vs exact values is asserted in OperatorsSpec
@@ -75,6 +83,14 @@ object SparkEntry {
     "q4_cnt_freq" -> TaxiQueries.q4OracleSql,
     "q5_geo_hour" -> TaxiQueries.q5OracleSql,
     "q6_sliding" -> TaxiQueries.q6OracleSql,
+    "q7_session" -> TaxiQueries.q7OracleSql,
+    "txt_tfidf" -> TextAnalysis.tfidfOracle,
+    "pipe_contamination" -> Training.contaminationOracle,
+    "pipe_pack_chunks" -> Training.packChunksOracle,
+    "emb_quantize" -> Training.quantizeOracle,
+    "rel_interval_join" -> Relational.intervalJoinOracle,
+    "rel_window_suite" -> Relational.windowSuiteOracle,
+    "skew_salted_agg" -> Relational.saltedEventCountOracle,
     "txt_stats" -> TextAnalysis.textStatsOracle,
     "txt_lang_id" -> TextAnalysis.langIdOracle,
     "txt_token_count" -> TextAnalysis.tokenCountOracle,

@@ -69,7 +69,7 @@ object Dedup {
     * joined (stop-shingles would otherwise quadratically blow up the
     * inverted-index self-join at scale).
     */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       // tokenize ONCE into a column: referencing split(...) inside the
       // transform lambda would re-split the whole text per n-gram (O(n^2))
@@ -83,7 +83,7 @@ object Dedup {
                i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))
              ELSE CAST(array() AS ARRAY<STRING>) END)) AS shingle""")
 
-  private val shinglesCte: String =
+  private[operators] val shinglesCte: String =
     """shingles AS (
       |  SELECT doc_id, unnest(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
       |    FOR i IN range(1, greatest(len(s) - 1, 1))])) AS shingle

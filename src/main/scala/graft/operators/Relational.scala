@@ -438,4 +438,109 @@ object Relational {
        |FROM sessions
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Interval (range) join — bucketized
+  // -------------------------------------------------------------------------
+
+  val IntervalMs = 5L * 60 * 1000
+
+  /** Per error event: how many clicks the same user made in the preceding
+    * 5 minutes. The naive plan for a range predicate is a nested-loop join
+    * (quadratic); instead both sides are bucketized to the interval width
+    * and equi-joined on (user, bucket) — each click lands in its own bucket
+    * and the next (the only two buckets a 5-min lookback can reach), the
+    * exact range predicate then filters within the ~2x candidate set. One
+    * hash shuffle, broadcast-eligible, AQE-skew-splittable: the shape that
+    * survives 100 TB where a BroadcastNestedLoopJoin dies.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ets"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_millis(col("ts")).as("cts"))
+      .withColumn("bucket", explode(array(
+        expr(s"cts div $IntervalMs"), expr(s"cts div $IntervalMs + 1"))))
+    val hits = errors.join(clicks,
+        col("user_id") === col("c_user") &&
+          expr(s"ets div $IntervalMs") === col("bucket") &&
+          col("cts") >= col("ets") - IntervalMs && col("cts") < col("ets"))
+      .groupBy("event_id").agg(count(lit(1)).as("n_recent_clicks"))
+    errors.join(hits, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ets"),
+        coalesce(col("n_recent_clicks"), lit(0L)).as("n_recent_clicks"))
+      .orderBy("event_id")
+  }
+
+  val intervalJoinOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ms(ts) AS ets FROM events WHERE event_type = 'error'
+       |),
+       |c AS (
+       |  SELECT user_id, epoch_ms(ts) AS cts FROM events WHERE event_type = 'click'
+       |)
+       |SELECT e.event_id, e.user_id, e.ets,
+       |  count(c.cts) AS n_recent_clicks
+       |FROM e LEFT JOIN c ON c.user_id = e.user_id
+       |  AND c.cts >= e.ets - $IntervalMs AND c.cts < e.ets
+       |GROUP BY e.event_id, e.user_id, e.ets
+       |ORDER BY e.event_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Analytic window-function suite
+  // -------------------------------------------------------------------------
+
+  /** The ranking/offset analytic functions over orders, partitioned by
+    * customer and ordered by price: rank, dense_rank, row_number, ntile,
+    * percent_rank (exact rational -> one IEEE division), and lag/lead of
+    * the order key. Covers the OVER-function surface the reference's
+    * Flink engine exposes but its demo queries never touch (SURVEY §2.5
+    * "not present" list).
+    */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("prev_ok", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("next_ok", lead(col("o_orderkey"), 1).over(w))
+      .drop("o_totalprice") // ordering column only; keep the output int-typed
+      .orderBy("o_orderkey")
+  }
+
+  val windowSuiteOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  row_number() OVER w AS rn,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  lag(o_orderkey) OVER w AS prev_ok,
+      |  lead(o_orderkey) OVER w AS next_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Salted aggregation (skew mitigation), oracle-checked
+  // -------------------------------------------------------------------------
+
+  /** Two-stage salted count of events per type — proves [[Skew.saltedCount]]
+    * is EXACTLY a groupBy count (integer partials are associative), while
+    * spreading any hot key over 32 reducers.
+    */
+  def saltedEventCount(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedCount(t(spark, dir, "events"), col("event_type"), 32)
+      .withColumnRenamed("k", "event_type")
+      .orderBy("event_type")
+
+  val saltedEventCountOracle: String =
+    """SELECT event_type, count(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

@@ -212,6 +212,53 @@ object TaxiQueries {
        |ORDER BY dept_time, cell""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Q7: session group window — beyond the reference's Tumble/Over pair
+  // -------------------------------------------------------------------------
+
+  val SessionGapMs = 30L * 60 * 1000
+
+  /** Per-cell activity sessions via Spark's native `session_window`: a
+    * session absorbs departures until a 30-min silence; its end is
+    * last-event + gap (Spark's half-open [start, last+gap) contract, which
+    * the oracle reproduces with lag + cumulative-sum sessionization).
+    * Streaming form: same expression under a watermark (StreamingSpec).
+    */
+  def q7Session(spark: SparkSession, dir: String): DataFrame =
+    departures(spark, dir)
+      .groupBy(col("cell"), session_window(col("rowtime"), "30 minutes").as("w"))
+      .agg(count(col("ride_id")).as("n_dept"))
+      .select(col("cell"),
+        unix_millis(col("w.start")).as("sess_start"),
+        unix_millis(col("w.end")).as("sess_end"),
+        col("n_dept"))
+      .orderBy("cell", "sess_start")
+
+  val q7OracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures,
+       |marked AS (
+       |  SELECT cell, rowtime_ms,
+       |    CASE WHEN prev_ms IS NULL OR rowtime_ms - prev_ms >= $SessionGapMs
+       |      THEN 1 ELSE 0 END AS is_new
+       |  FROM (
+       |    SELECT cell, rowtime_ms,
+       |      lag(rowtime_ms) OVER (PARTITION BY cell ORDER BY rowtime_ms) AS prev_ms
+       |    FROM departures
+       |  )
+       |),
+       |sessions AS (
+       |  SELECT cell, rowtime_ms,
+       |    CAST(sum(is_new) OVER (PARTITION BY cell ORDER BY rowtime_ms
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+       |  FROM marked
+       |)
+       |SELECT cell, min(rowtime_ms) AS sess_start,
+       |  max(rowtime_ms) + $SessionGapMs AS sess_end,
+       |  count(*) AS n_dept
+       |FROM sessions
+       |GROUP BY cell, sess_seq
+       |ORDER BY cell, sess_start""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Q5: geo-point rendering + hourOfDay (the remaining UDF surface: F4/F5/F6)
   // -------------------------------------------------------------------------
 

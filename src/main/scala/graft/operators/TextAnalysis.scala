@@ -169,4 +169,50 @@ object TextAnalysis {
       |  md5(text) AS md5_hex
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // TF-IDF top terms
+  // -------------------------------------------------------------------------
+
+  /** Top-3 terms per document by tf-idf. The score is the log-free rational
+    * form tf * N / df (one IEEE double division — log() differs in the last
+    * ulp between libm implementations, so it is banished from the
+    * hash-compared surface); ties break on the token string.
+    *
+    * Scale shape: tf is one shuffle on (doc, token) with map-side partial
+    * counts, df one shuffle on token; the per-doc top-3 is a bounded
+    * row_number window partitioned by doc_id — millions of independent
+    * partitions, no global sort.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(n) // 1-row broadcast: the corpus size constant
+      .withColumn("score", expr("CAST(tf * n_docs AS DOUBLE) / df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfOracle: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rk, token, tf, df, score FROM (
+      |  SELECT doc_id, token, tf, df,
+      |    CAST(tf * n_docs AS DOUBLE) / df AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, token) AS rk
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+      |)
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** LLM-training-data operators beyond curation basics: benchmark
+  * decontamination, sequence chunk/packing layout, and embedding
+  * quantization. All deterministic (hash-routed, no RNG), all
+  * oracle-checkable, all single-shuffle shapes that survive a 100 TB
+  * corpus.
+  */
+object Training {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // -------------------------------------------------------------------------
+  // Benchmark decontamination (n-gram overlap against an eval set)
+  // -------------------------------------------------------------------------
+
+  /** Contamination check: flag training documents sharing any word-3-gram
+    * with the benchmark/eval set (here: every 50th doc by id — in
+    * production the external benchmark corpus). Output per contaminated
+    * train doc: how many of its shingles hit the benchmark (`n_hits`, the
+    * retain/drop evidence) and how many distinct benchmark docs it touches.
+    *
+    * Scale shape: one shuffle on shingle. The benchmark side is tiny
+    * relative to the corpus (eval sets are ~10^4-10^6 n-grams), so AQE
+    * broadcasts it and the corpus side never moves — the decontamination
+    * pass costs one corpus scan.
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, dir)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("shingle"), col("doc_id").as("bench_id"))
+    val train = sh.filter(col("doc_id") % 50 =!= 0)
+    train.join(bench, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  val contaminationOracle: String =
+    s"""WITH ${Dedup.shinglesCte},
+       |bench AS (SELECT shingle, doc_id AS bench_id FROM shingles WHERE doc_id % 50 = 0),
+       |train AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 50 <> 0)
+       |SELECT t.doc_id, count(*) AS n_hits,
+       |  count(DISTINCT b.bench_id) AS n_bench_docs
+       |FROM train t JOIN bench b USING (shingle)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Sequence packing layout (concat-then-chunk)
+  // -------------------------------------------------------------------------
+
+  val SeqLen = 256
+
+  /** Concat-then-chunk packing layout: documents are laid end-to-end in
+    * doc_id order WITHIN each source shard and cut into fixed 256-token
+    * training sequences; each doc gets its global token offset, owning
+    * sequence id, and offset within that sequence. Per-source windows keep
+    * the running sum parallel across shards — the global-total-order
+    * variant would funnel the corpus through one task. At 100 TB the shard
+    * key is finer (source x date x bucket); the layout algebra is the same.
+    */
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .selectExpr("doc_id", "source", "CAST(size(split(text, ' ')) AS BIGINT) AS n_toks")
+      .withColumn("tok_start", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .selectExpr("doc_id", "source", "n_toks", "tok_start",
+        s"tok_start div $SeqLen AS seq_id", s"tok_start % $SeqLen AS seq_offset")
+      .orderBy("doc_id")
+  }
+
+  val packChunksOracle: String =
+    s"""SELECT doc_id, source, n_toks, tok_start,
+       |  tok_start // $SeqLen AS seq_id, tok_start % $SeqLen AS seq_offset
+       |FROM (
+       |  SELECT doc_id, source, n_toks,
+       |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM (SELECT doc_id, source,
+       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |        FROM documents)
+       |)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Embedding int8 quantization
+  // -------------------------------------------------------------------------
+
+  /** Symmetric int8 quantization of the embedding column: per-vector scale
+    * 127/max|x|, q_i = floor(x_i * 127 / max|x| + 0.5) (explicit
+    * floor(+0.5) — engines disagree on round()'s half-even vs half-up, so
+    * the rounding is spelled out). Output is the per-vector scale plus
+    * checksum stats of the quantized vector (sum/min/max/nnz), which pin
+    * every q_i without shipping arrays through the compare.
+    *
+    * Scale shape: a pure map — no shuffle, whole-stage codegen'd, and
+    * embarrassingly parallel at any corpus size.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) AS maxabs")
+      .selectExpr("vec_id", "maxabs",
+        s"""CASE WHEN maxabs = 0.0 THEN transform(embedding, x -> CAST(0 AS BIGINT))
+            ELSE transform(embedding, x ->
+              CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) END AS q""")
+      .selectExpr("vec_id", "maxabs",
+        "aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v) AS q_sum",
+        "array_min(q) AS q_min",
+        "array_max(q) AS q_max",
+        "CAST(size(filter(q, v -> v <> 0)) AS BIGINT) AS q_nnz")
+      .orderBy("vec_id")
+
+  val quantizeOracle: String =
+    """SELECT vec_id, maxabs,
+      |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+      |  CAST(list_min(q) AS BIGINT) AS q_min,
+      |  CAST(list_max(q) AS BIGINT) AS q_max,
+      |  CAST(len(list_filter(q, v -> v <> 0)) AS BIGINT) AS q_nnz
+      |FROM (
+      |  SELECT vec_id, maxabs,
+      |    CASE WHEN maxabs = 0.0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(embedding, x ->
+      |           CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5) AS BIGINT)) END AS q
+      |  FROM (
+      |    SELECT vec_id, embedding,
+      |      -- coalesce: empty list folds to the 0.0 seed on the Spark side
+      |      coalesce(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS maxabs
+      |    FROM embeddings
+      |  )
+      |)
+      |ORDER BY vec_id""".stripMargin
+}

@@ -42,6 +42,23 @@ object StreamingQueries {
         unix_millis(col("w.end")).as("dept_time"),
         col("dept_cnt"))
 
+  /** Q7 streaming: per-cell session windows (30-min gap). Spark's native
+    * streaming session_window merges partial sessions across micro-batches
+    * and emits a session once the watermark passes its close — the
+    * streaming twin of the batch TaxiQueries.q7Session.
+    */
+  def q7Session(rides: DataFrame, watermark: String = "61 seconds"): DataFrame =
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .select(col("rideId"), Taxi.toCellId(col("startLon"), col("startLat")).as("cell"), col("rowtime"))
+      .withWatermark("rowtime", watermark)
+      .groupBy(col("cell"), session_window(col("rowtime"), "30 minutes").as("w"))
+      .agg(count(col("rideId")).as("n_dept"))
+      .select(col("cell"),
+        unix_millis(col("w.start")).as("sess_start"),
+        unix_millis(col("w.end")).as("sess_end"),
+        col("n_dept"))
+
   /** Level-1 of Q4: continuous per-cell departure count (unbounded keyed
     * agg; update-mode changelog = Flink's upsert stream on key `cell`).
     */

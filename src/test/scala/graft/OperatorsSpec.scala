@@ -138,4 +138,67 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(s.map(_._5).sum === 1000L) // every event lands in exactly one session
   }
+
+  test("session group window: sessions per cell are disjoint and gap-separated") {
+    val s = TaxiQueries.q7Session(spark, Sf0001)
+      .select("cell", "sess_start", "sess_end", "n_dept")
+      .as[(Int, Long, Long, Long)].collect()
+    s.foreach { case (_, start, end, n) =>
+      assert(end - start >= TaxiQueries.SessionGapMs, "session spans at least the gap")
+      assert(n >= 1)
+    }
+    s.groupBy(_._1).foreach { case (_, sessions) =>
+      val ordered = sessions.sortBy(_._2)
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(b._2 >= a._3, s"overlapping sessions: $a / $b") // end is last+gap, next starts at/after it
+      }
+    }
+  }
+
+  test("pack chunks: per-source offsets are contiguous and seq_offset bounded") {
+    val rows = Training.packChunks(spark, Sf0001)
+      .select("source", "n_toks", "tok_start", "seq_id", "seq_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_._3)
+      // each doc starts exactly where the previous one ended: no token of
+      // the concatenated stream is lost or double-assigned
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        assert(b._3 === a._3 + a._2, s"gap in packing: $a -> $b")
+      }
+      assert(ordered.head._3 === 0L)
+    }
+    rows.foreach { case (_, _, tokStart, seqId, seqOff) =>
+      assert(seqOff >= 0 && seqOff < Training.SeqLen)
+      assert(seqId === tokStart / Training.SeqLen)
+    }
+  }
+
+  test("quantize: int8 range respected and max-magnitude element hits ±127") {
+    val rows = Training.quantize(spark, Sf0001)
+      .select("vec_id", "maxabs", "q_min", "q_max")
+      .as[(Long, Double, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, maxabs, qMin, qMax) =>
+      assert(qMin >= -127 && qMax <= 127, "quantized values inside int8 range")
+      if (maxabs > 0)
+        assert(qMax == 127 || qMin == -127, "the max-|x| element must quantize to full scale")
+    }
+  }
+
+  test("contamination: only non-benchmark docs are flagged, against brute force") {
+    val flagged = Training.contamination(spark, Sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged.forall(_ % 50 != 0), "benchmark docs must not flag themselves")
+    // brute-force recompute on the tiny corpus
+    import scala.jdk.CollectionConverters._
+    val texts = graft.core.Tables.load(spark, Sf0001, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def sh(t: String): Set[String] =
+      t.split(' ').sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val bench = texts.filter(_._1 % 50 == 0).flatMap(t => sh(t._2)).toSet
+    val expected = texts.filter(_._1 % 50 != 0)
+      .filter { case (_, t) => sh(t).exists(bench.contains) }.map(_._1).toSet
+    assert(flagged === expected)
+  }
 }

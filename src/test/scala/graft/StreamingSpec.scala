@@ -223,6 +223,34 @@ class StreamingSpec extends SparkSpec {
     assert(hist2 === Map(3L -> 1L, 1L -> 1L), s"post-restart histogram diverged: $hist2")
   }
 
+  test("streaming session window merges within-gap events and closes on watermark") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val q = StreamingQueries.q7Session(rides).writeStream
+      .format("memory").queryName("q7_stream").outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("q7ck").toString)
+      .start()
+    // two departures 5 min apart (one session), delivered in separate
+    // batches — the partial sessions must merge
+    input.addData(ride(1, "2013-01-01 00:00:00"))
+    q.processAllAvailable()
+    input.addData(ride(2, "2013-01-01 00:05:00"))
+    q.processAllAvailable()
+    // silence; a far-future event advances the watermark past 00:35 close
+    input.addData(ride(3, "2013-01-01 02:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val mainCell = graft.functions.Taxi.toCellIdScalar(-73.99f, 40.75f)
+    val sessions = spark.table("q7_stream")
+      .select("cell", "sess_start", "sess_end", "n_dept")
+      .as[(Int, Long, Long, Long)].collect().filter(_._1 == mainCell).toList
+    val t0 = Timestamp.valueOf("2013-01-01 00:00:00").getTime
+    // one closed session: [00:00, 00:05 + 30min), 2 departures
+    assert(sessions === List((mainCell, t0, t0 + 5 * 60000 + 30 * 60000, 2L)), s"got $sessions")
+  }
+
   test("streaming OVER window counts trailing 10-min departures per cell") {
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
