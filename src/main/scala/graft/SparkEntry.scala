@@ -28,6 +28,7 @@ object SparkEntry {
     "q5_geo_hour" -> (TaxiQueries.q5GeoHour _),
     "q6_sliding" -> (TaxiQueries.q6Sliding _),
     "q7_session" -> (TaxiQueries.q7Session _),
+    "q8_pair_join" -> (TaxiQueries.q8PairJoin _),
     // text analysis
     "txt_stats" -> (TextAnalysis.textStats _),
     "txt_lang_id" -> (TextAnalysis.langId _),
@@ -65,6 +66,8 @@ object SparkEntry {
     "rel_segment_set_ops" -> (Relational.segmentSetOps _),
     "rel_interval_join" -> (Relational.intervalJoin _),
     "rel_window_suite" -> (Relational.windowSuite _),
+    "rel_percentiles" -> (Relational.percentiles _),
+    "rel_pivot" -> (Relational.pivotEventCounts _),
     "skew_salted_agg" -> (Relational.saltedEventCount _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
@@ -84,6 +87,9 @@ object SparkEntry {
     "q5_geo_hour" -> TaxiQueries.q5OracleSql,
     "q6_sliding" -> TaxiQueries.q6OracleSql,
     "q7_session" -> TaxiQueries.q7OracleSql,
+    "q8_pair_join" -> TaxiQueries.q8OracleSql,
+    "rel_percentiles" -> Relational.percentilesOracle,
+    "rel_pivot" -> Relational.pivotEventCountsOracle,
     "txt_tfidf" -> TextAnalysis.tfidfOracle,
     "pipe_contamination" -> Training.contaminationOracle,
     "pipe_pack_chunks" -> Training.packChunksOracle,

@@ -543,4 +543,69 @@ object Relational {
   val saltedEventCountOracle: String =
     """SELECT event_type, count(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Exact discrete percentiles
+  // -------------------------------------------------------------------------
+
+  /** Exact p50/p90/p99 of event value per type, discrete flavor (the
+    * ceil(p*n)-th order statistic — an element of the data, selected by an
+    * integer formula, so no interpolation arithmetic can diverge between
+    * engines). One window pass for ranks + one aggregation; at scale the
+    * per-key sort is the unavoidable cost of exact percentiles — the
+    * approximate companion is rel_approx_stats' approx sketches.
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy("event_type")
+    def pick(p: Int) = // ceil(n*p/100)-th smallest value
+      max(when(col("r") === expr(s"(n * $p + 99) div 100"), col("value"))).as(s"p$p")
+    t(spark, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n_events"), pick(50), pick(90), pick(99))
+      .orderBy("event_type")
+  }
+
+  val percentilesOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type, max(n) AS n_events,
+      |  max(CASE WHEN r = (n * 50 + 99) // 100 THEN value END) AS p50,
+      |  max(CASE WHEN r = (n * 90 + 99) // 100 THEN value END) AS p90,
+      |  max(CASE WHEN r = (n * 99 + 99) // 100 THEN value END) AS p99
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Pivot
+  // -------------------------------------------------------------------------
+
+  /** Event-type counts pivoted to columns per user decile. Spark plans the
+    * explicit-values pivot as a single conditional aggregation — one
+    * shuffle, no per-column scans (the same shape as the oracle's FILTER
+    * aggregates).
+    */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("user_bucket", col("user_id") % 10)
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L) // empty cells: count-of-nothing is 0, matching the oracle
+      .orderBy("user_bucket")
+
+  val pivotEventCountsOracle: String =
+    """SELECT user_id % 10 AS user_bucket,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin
 }

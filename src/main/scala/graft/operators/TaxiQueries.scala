@@ -259,6 +259,39 @@ object TaxiQueries {
        |ORDER BY cell, sess_start""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Q8: START/END event pairing (equi-join over the event stream)
+  // -------------------------------------------------------------------------
+
+  /** Pairs each ride's START event with its END event and emits the
+    * event-time gap — the reference's data model has START/END sharing a
+    * rideId (TaxiRide.java:24-38); in the synthetic derivation the pair key
+    * is rideId div 2 (even ids are STARTs, Rides.fromEvents). Streaming
+    * twin: StreamingQueries.pairStartEnd (watermarked stream-stream join).
+    *
+    * Scale shape: one hash shuffle on the pair key for each side; both
+    * sides prune to 2 columns at the scan.
+    */
+  def q8PairJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rides = Rides.fromEvents(spark, dir)
+    val starts = rides.filter(col("isStart"))
+      .select(expr("rideId div 2").as("pair_id"), unix_millis(col("rowtime")).as("start_ms"))
+    val ends = rides.filter(!col("isStart"))
+      .select(expr("rideId div 2").as("pair_id"), unix_millis(col("rowtime")).as("end_ms"))
+    starts.join(ends, "pair_id")
+      .select(col("pair_id"), col("start_ms"), col("end_ms"),
+        (col("end_ms") - col("start_ms")).as("gap_ms"))
+      .orderBy("pair_id")
+  }
+
+  val q8OracleSql: String =
+    s"""${Rides.oracleCte}
+       |SELECT s.ride_id // 2 AS pair_id, s.rowtime_ms AS start_ms,
+       |  e.rowtime_ms AS end_ms, e.rowtime_ms - s.rowtime_ms AS gap_ms
+       |FROM rides s JOIN rides e
+       |  ON s.ride_id // 2 = e.ride_id // 2 AND s.is_start AND NOT e.is_start
+       |ORDER BY pair_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Q5: geo-point rendering + hourOfDay (the remaining UDF surface: F4/F5/F6)
   // -------------------------------------------------------------------------
 

@@ -59,6 +59,31 @@ object StreamingQueries {
         unix_millis(col("w.end")).as("sess_end"),
         col("n_dept"))
 
+  /** Q8 streaming: watermarked stream-stream inner join pairing START and
+    * END events of the same ride (pair key rideId div 2 in the synthetic
+    * derivation; the reference shares rideId, TaxiRide.java:24-38). The
+    * time-range condition bounds both join-state buffers: an unmatched
+    * START is dropped once the watermark passes start + maxRide, an END
+    * once it passes end + maxRide — without it, state grows forever.
+    */
+  def pairStartEnd(rides: DataFrame, watermark: String = "61 seconds",
+                   maxRideMs: Long = 2L * 3600 * 1000): DataFrame = {
+    val starts = rides.filter(col("isStart"))
+      .select(expr("rideId div 2").as("pair_id"), col("rowtime").as("start_rt"))
+      .withWatermark("start_rt", watermark)
+    val ends = rides.filter(!col("isStart"))
+      .select(expr("rideId div 2").as("end_pair_id"), col("rowtime").as("end_rt"))
+      .withWatermark("end_rt", watermark)
+    starts.join(ends,
+        col("pair_id") === col("end_pair_id") &&
+          col("end_rt") >= col("start_rt") - expr(s"INTERVAL ${maxRideMs / 1000} SECONDS") &&
+          col("end_rt") <= col("start_rt") + expr(s"INTERVAL ${maxRideMs / 1000} SECONDS"))
+      .select(col("pair_id"),
+        unix_millis(col("start_rt")).as("start_ms"),
+        unix_millis(col("end_rt")).as("end_ms"),
+        (unix_millis(col("end_rt")) - unix_millis(col("start_rt"))).as("gap_ms"))
+  }
+
   /** Level-1 of Q4: continuous per-cell departure count (unbounded keyed
     * agg; update-mode changelog = Flink's upsert stream on key `cell`).
     */

@@ -251,6 +251,33 @@ class StreamingSpec extends SparkSpec {
     assert(sessions === List((mainCell, t0, t0 + 5 * 60000 + 30 * 60000, 2L)), s"got $sessions")
   }
 
+  test("stream-stream join pairs START and END events within the ride bound") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val q = StreamingQueries.pairStartEnd(rides).writeStream
+      .format("memory").queryName("q8_stream").outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("q8ck").toString)
+      .start()
+    def endRide(id: Long, t: String) = {
+      val r = ride(id, t); (r._1, false, r._3, r._4, r._5, r._6, r._7, r._8, r._9)
+    }
+    // ride pair 0: START (id 0) then its END (id 1) 12 min later,
+    // arriving in different micro-batches — the join must buffer the START
+    input.addData(ride(0, "2013-01-01 00:00:00"))
+    q.processAllAvailable()
+    input.addData(endRide(1, "2013-01-01 00:12:00"))
+    q.processAllAvailable()
+    // an END with no START in range (pair 5) must not emit
+    input.addData(endRide(11, "2013-01-01 00:20:00"))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("q8_stream")
+      .select("pair_id", "gap_ms").as[(Long, Long)].collect().toList
+    assert(pairs === List((0L, 12L * 60 * 1000)), s"got $pairs")
+  }
+
   test("streaming OVER window counts trailing 10-min departures per cell") {
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
