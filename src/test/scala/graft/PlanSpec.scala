@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan shape assertions — the scale audits from
+  * `tools.PlanAudit`, pinned as tests so a regression in pushdown, join
+  * strategy, or shuffle shape fails CI instead of silently costing 100x at
+  * 100 TB. Each check inspects the executed (AQE-final where relevant)
+  * plan string of the sf0.001 query.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scans prune columns: src query reads only projected fields") {
+    val p = plan(TextAnalysis.tokenCount(spark, Sf0001))
+    // the 2-column text query must not drag lang/source through the scan
+    assert(p.contains("ReadSchema"), p.take(400))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"token count scan reads unprojected columns: $read")
+  }
+
+  test("filter pushdown reaches the scan (events type filters)") {
+    val p = plan(Relational.intervalJoin(spark, Sf0001))
+    assert(p.contains("PushedFilters") &&
+      (p.contains("EqualTo(event_type,error)") || p.contains("event_type")),
+      s"interval join does not push the event_type filter:\n${p.take(800)}")
+  }
+
+  test("interval join is hash-based, never a nested loop") {
+    val p = plan(Relational.intervalJoin(spark, Sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate must ride a bucketized equi-join, not a nested loop")
+  }
+
+  test("tfidf's only non-equi join is the 1-row corpus-size constant") {
+    val p = plan(TextAnalysis.tfidf(spark, Sf0001))
+    // the crossJoin(n_docs) is a single-row broadcast: allowed; anything
+    // joining two real relations without keys is not
+    val bnlj = p.linesIterator.count(l => l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(bnlj <= 1, s"unexpected non-equi joins ($bnlj):\n${p.take(800)}")
+  }
+
+  test("revenue join broadcasts the dimension side") {
+    val p = plan(Relational.revenueByNation(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"), "small dims must broadcast, not shuffle the fact table")
+  }
+
+  test("dedup exact is a single hash-aggregate pipeline (no joins)") {
+    val p = plan(Dedup.exact(spark, Sf0001))
+    assert(!p.contains("Join"), "exact dedup must be one shuffle on the hash key")
+    assert(p.contains("HashAggregate"), "exact dedup should hash-aggregate")
+  }
+
+  test("quantize is map-only: no exchange before the final ordering") {
+    val p = plan(Training.quantize(spark, Sf0001))
+    // one Exchange is the output orderBy's range partitioning; the
+    // quantization itself must not shuffle
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 1, s"quantize should shuffle only for the final sort:\n${p.take(800)}")
+  }
+
+  test("whole-stage codegen covers the taxi filter-project pipeline") {
+    val df = TaxiQueries.q1Tumble(spark, Sf0001)
+    df.collect() // AQE only materializes codegen'd stages in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as `*(n) Operator` in the compact plan string
+    assert(p.contains("*(1)"), "q1 pipeline fell out of codegen")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")),
+      "the aggregation must run inside a codegen stage")
+  }
+}
