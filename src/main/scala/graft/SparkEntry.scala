@@ -41,12 +41,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_editdist" -> (Dedup.editDistance _),
     // similarity search
     "sim_topk_bf" -> (Similarity.topkBruteforce _),
     "sim_lsh_neardup" -> (Similarity.lshNearDup _),
     "sim_ivf_topk" -> (Similarity.ivfTopk _),
     // multimodal plumbing
     "mm_features" -> (Multimodal.features _),
+    "mm_frame_sample" -> (Multimodal.frameSample _),
     // corpus-curation pipeline compositions
     "pipe_corpus_filter" -> (Pipeline.corpusFilter _),
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
@@ -68,6 +70,7 @@ object SparkEntry {
     "rel_window_suite" -> (Relational.windowSuite _),
     "rel_percentiles" -> (Relational.percentiles _),
     "rel_pivot" -> (Relational.pivotEventCounts _),
+    "rel_unpivot" -> (Relational.unpivotEventCounts _),
     "skew_salted_agg" -> (Relational.saltedEventCount _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
@@ -106,6 +109,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_editdist" -> Dedup.editDistanceOracle,
+    "mm_frame_sample" -> Multimodal.frameSampleOracle,
+    "rel_unpivot" -> Relational.unpivotEventCountsOracle,
     "sim_topk_bf" -> Similarity.topkBruteforceOracle,
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
     "sim_ivf_topk" -> Similarity.ivfTopkOracle,

@@ -61,6 +61,43 @@ object Dedup {
       |FROM documents
       |GROUP BY 1 HAVING count(*) > 1 ORDER BY block_key""".stripMargin
 
+  /** Edit-distance fuzzy dedup: pairwise Levenshtein INSIDE the near-key
+    * blocks (lang + length bucket + first token). The blocking key bounds
+    * the quadratic stage — O(block^2) never O(corpus^2) — which is the only
+    * way edit distance survives a large corpus; levenshtein itself is
+    * integer dynamic programming, bit-identical across engines. Emits pairs
+    * with relative edit similarity >= 0.5.
+    */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).selectExpr("doc_id", "text",
+      "concat(lang, ':', CAST(n_chars div 100 AS STRING), ':', split(text, ' ')[0]) AS block_key")
+    keyed.as("a").join(keyed.as("b"), Seq("block_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("block_key"), col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text")).as("edit_dist"),
+        greatest(length(col("a.text")), length(col("b.text"))).as("max_len"))
+      .withColumn("edit_sim", lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+      .filter(col("edit_sim") >= 0.5)
+      .select("doc_a", "doc_b", "edit_dist", "max_len", "edit_sim")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val editDistanceOracle: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, text,
+      |    concat(lang, ':', CAST(n_chars // 100 AS VARCHAR), ':', split_part(text, ' ', 1)) AS block_key
+      |  FROM documents
+      |)
+      |SELECT doc_a, doc_b, edit_dist, max_len, 1.0 - CAST(edit_dist AS DOUBLE) / max_len AS edit_sim
+      |FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    levenshtein(a.text, b.text) AS edit_dist,
+      |    greatest(length(a.text), length(b.text)) AS max_len
+      |  FROM keyed a JOIN keyed b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+      |)
+      |WHERE 1.0 - CAST(edit_dist AS DOUBLE) / max_len >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------------------------------
   // Word-3-gram shingles (shared by Jaccard + MinHash)
   // -------------------------------------------------------------------------

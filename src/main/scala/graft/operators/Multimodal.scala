@@ -77,6 +77,35 @@ object Multimodal {
   def features(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(mediaRecords(spark, dir)).toDF().orderBy("doc_id")
 
+  /** Deterministic frame sampling over video records: every 8th frame
+    * index, each tagged with a per-frame signature derived from the decoded
+    * checksum (stand-in for a real frame-extract; a real decoder would
+    * emit frame bytes from exactly this (payload, frame_idx) seam). The
+    * explode happens AFTER metadata-only decode — the payload bytes are
+    * never duplicated per frame, which is what keeps a 100 TB video corpus
+    * from exploding 8x through the shuffle.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(mediaRecords(spark, dir)).toDF()
+      .filter(col("kind") === "video")
+      .selectExpr("doc_id", "checksum", "explode(sequence(0, n_frames - 1, 8)) AS frame_idx")
+      .selectExpr("doc_id", "frame_idx", "(checksum * 31 + frame_idx) % 1000000007 AS frame_sig")
+      .orderBy("doc_id", "frame_idx")
+
+  val frameSampleOracle: String =
+    """WITH feat AS (
+      |  SELECT doc_id,
+      |    CAST(1 + length(text) // 64 AS INT) AS n_frames,
+      |    CASE WHEN length(text) = 0 THEN 0 ELSE
+      |      list_reduce(list_transform(range(1, length(text) + 1),
+      |          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      |        (h, c) -> (h * 31 + c) % 1000000007) END AS checksum
+      |  FROM documents WHERE doc_id % 3 = 2
+      |)
+      |SELECT doc_id, frame_idx, (checksum * 31 + frame_idx) % 1000000007 AS frame_sig
+      |FROM (SELECT doc_id, checksum, unnest(range(0, n_frames, 8)) AS frame_idx FROM feat)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** The fake decode arithmetic, replayed relationally over the original
     * text (payload bytes are ASCII here, so ascii()/length() line up with
     * the byte math).

@@ -608,4 +608,20 @@ object Relational {
       |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
       |  count(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin
+
+  /** Unpivot (melt): the pivoted matrix back to (bucket, event_type, cnt)
+    * long form via Dataset.unpivot — the Expand-based inverse of
+    * [[pivotEventCounts]], round-tripping to the plain groupBy counts.
+    */
+  def unpivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    pivotEventCounts(spark, dir)
+      .unpivot(Array(col("user_bucket")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+        "event_type", "cnt")
+      .filter(col("cnt") > 0) // drop pivot-filled empty cells: melt back to observed combos
+      .orderBy("user_bucket", "event_type")
+
+  val unpivotEventCountsOracle: String =
+    """SELECT user_id % 10 AS user_bucket, event_type, count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY user_bucket, event_type""".stripMargin
 }
