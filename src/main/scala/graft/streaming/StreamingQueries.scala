@@ -281,6 +281,70 @@ object TtlContinuousCount {
   }
 }
 
+/** The same idle-state-TTL continuous count as [[TtlContinuousCount]], on
+  * Spark 4's `transformWithState` — the modern arbitrary-state API
+  * (typed ValueState handles, explicit event-time timers, RocksDB-backed
+  * state at scale). Kept alongside the flatMapGroupsWithState form to
+  * cover both stateful seams the engine exposes; semantics are identical:
+  * eviction fires when the watermark passes the key's last activity + TTL.
+  */
+object TtlContinuousCountV2 {
+  import TtlContinuousCount.{Keyed, CountState, CellCount}
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+
+  class Processor(ttlMs: Long) extends StatefulProcessor[Int, Keyed, CellCount] {
+    @transient private var state: ValueState[CountState] = _
+    @transient private var armed: ValueState[Long] = _ // exact armed-timer ts
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[CountState]("cnt", Encoders.product[CountState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[Keyed],
+                                 timers: TimerValues): Iterator[CellCount] = {
+      val prev = if (state.exists()) state.get() else CountState(0L, Long.MinValue)
+      val batch = rows.toSeq
+      val cnt = prev.cnt + batch.size
+      val maxRowtimeMs = (prev.maxRowtimeMs +: batch.map(_.rowtime.getTime)).max
+      state.update(CountState(cnt, maxRowtimeMs))
+      // re-arm: drop the stale timer (its exact — possibly clamped — ts is
+      // tracked in `armed`), set one at last-activity + TTL, clamped above
+      // the watermark as in the V1 operator
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val at = math.max(maxRowtimeMs + ttlMs, timers.getCurrentWatermarkInMs() + 1)
+      getHandle.registerTimer(at)
+      armed.update(at)
+      Iterator.single(CellCount(key, cnt))
+    }
+
+    override def handleExpiredTimer(key: Int, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[CellCount] = {
+      state.clear()
+      armed.clear()
+      Iterator.empty
+    }
+  }
+
+  /** rides stream -> per-cell running counts with idle TTL (update mode).
+    * Requires the RocksDB state-store provider (transformWithState's
+    * backing store) on the session.
+    */
+  def query(rides: DataFrame, ttlMs: Long = 60L * 60 * 1000,
+            watermark: String = "61 seconds"): Dataset[CellCount] = {
+    val spark = rides.sparkSession
+    import spark.implicits._
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .withWatermark("rowtime", watermark)
+      .select(Taxi.toCellId(col("startLon"), col("startLat")).as("cell"), col("rowtime"))
+      .as[Keyed]
+      .groupByKey(_.cell)
+      .transformWithState(new Processor(ttlMs), TimeMode.EventTime(), OutputMode.Update())
+  }
+}
+
 /** Streaming OVER-window state for Q3 (TaxiRideQueries.scala:130-146):
   * per cell, a time-ordered buffer of departure timestamps; each arriving
   * departure is annotated with the count of same-cell departures in the

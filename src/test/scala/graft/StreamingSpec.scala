@@ -200,6 +200,42 @@ class StreamingSpec extends SparkSpec {
     assert(counts === List(2L, 3L), s"key idle < TTL must keep its count: $counts")
   }
 
+  test("transformWithState TTL (V2): evicts idle keys, keeps active ones (RocksDB store)") {
+    import graft.streaming.TtlContinuousCountV2
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+      val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+          "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+        .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+      val q = TtlContinuousCountV2.query(rides, ttlMs = 60L * 60 * 1000).writeStream
+        .format("memory").queryName("ttl_v2").outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("ttlv2ck").toString)
+        .start()
+      // count 2, then idle 43 min (< TTL, must survive), then idle 6 h (> TTL, must reset)
+      input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"))
+      q.processAllAvailable()
+      input.addData(ride(3, "2013-01-01 00:40:00", lon = -73.90f))
+      q.processAllAvailable()
+      input.addData(ride(4, "2013-01-01 00:45:00")) // 43 min idle < 1 h -> count 3
+      q.processAllAvailable()
+      input.addData(ride(5, "2013-01-01 07:00:00", lon = -73.90f)) // watermark +6 h
+      q.processAllAvailable()
+      input.addData(ride(6, "2013-01-01 07:01:00")) // > TTL idle -> reset to 1
+      q.processAllAvailable()
+      q.stop()
+      val mainCell = graft.functions.Taxi.toCellIdScalar(-73.99f, 40.75f)
+      val counts = spark.table("ttl_v2").select("cell", "dept_cnt")
+        .as[(Int, Long)].collect().filter(_._1 == mainCell).map(_._2).toList
+      assert(counts === List(2L, 3L, 1L), s"V2 TTL contract violated: $counts")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Q4 cascade recovers level-2 state across a restart from the same checkpoint") {
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
