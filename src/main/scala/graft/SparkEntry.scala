@@ -71,6 +71,7 @@ object SparkEntry {
     "rel_percentiles" -> (Relational.percentiles _),
     "rel_pivot" -> (Relational.pivotEventCounts _),
     "rel_unpivot" -> (Relational.unpivotEventCounts _),
+    "rel_scalar_subquery" -> (Relational.scalarSubquery _),
     "skew_salted_agg" -> (Relational.saltedEventCount _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
@@ -112,6 +113,7 @@ object SparkEntry {
     "dedup_editdist" -> Dedup.editDistanceOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,
+    "rel_scalar_subquery" -> Relational.scalarSubqueryOracle,
     "sim_topk_bf" -> Similarity.topkBruteforceOracle,
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
     "sim_ivf_topk" -> Similarity.ivfTopkOracle,

@@ -609,6 +609,31 @@ object Relational {
       |  count(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin
 
+  /** Orders priced above their customer's average — a correlated scalar
+    * subquery, which Catalyst de-correlates into an aggregate + join (no
+    * per-row re-execution; `.explain` shows one HashAggregate feeding a
+    * hash join). Covers the subquery-rewrite surface of the optimizer.
+    */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DOUBLE) > (
+        |  SELECT avg(CAST(o_totalprice AS DOUBLE)) FROM orders i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val scalarSubqueryOracle: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+      |FROM orders o
+      |WHERE CAST(o_totalprice AS DOUBLE) > (
+      |  SELECT avg(CAST(o_totalprice AS DOUBLE)) FROM orders i
+      |  WHERE i.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Unpivot (melt): the pivoted matrix back to (bucket, event_type, cnt)
     * long form via Dataset.unpivot — the Expand-based inverse of
     * [[pivotEventCounts]], round-tripping to the plain groupBy counts.

@@ -84,6 +84,17 @@ object StreamingQueries {
         (unix_millis(col("end_rt")) - unix_millis(col("start_rt"))).as("gap_ms"))
   }
 
+  /** Streaming exact dedup: drop replayed/duplicate events by rideId,
+    * keeping state only within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — unbounded-state dedup is the
+    * classic streaming-pipeline leak; bounding it by the disorder window is
+    * what a replayed-at-least-once event source (like the reference's,
+    * TaxiRideSource.java:162-213) actually needs.
+    */
+  def dedupEvents(rides: DataFrame, watermark: String = "61 seconds"): DataFrame =
+    rides.withWatermark("rowtime", watermark)
+      .dropDuplicatesWithinWatermark("rideId")
+
   /** Level-1 of Q4: continuous per-cell departure count (unbounded keyed
     * agg; update-mode changelog = Flink's upsert stream on key `cell`).
     */

@@ -314,6 +314,27 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === List((0L, 12L * 60 * 1000)), s"got $pairs")
   }
 
+  test("streaming dedup drops within-watermark duplicate rideIds") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val q = StreamingQueries.dedupEvents(rides)
+      .select("rideId", "rowtime").writeStream
+      .format("memory").queryName("dedup_stream").outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("ddck").toString)
+      .start()
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"))
+    q.processAllAvailable()
+    // replay of ride 1 within the watermark horizon: must be dropped even
+    // though it arrives in a later micro-batch
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(3, "2013-01-01 00:03:00"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("rideId").as[Long].collect().sorted.toList
+    assert(ids === List(1L, 2L, 3L), s"duplicate survived or row lost: $ids")
+  }
+
   test("streaming OVER window counts trailing 10-min departures per cell") {
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
