@@ -72,6 +72,8 @@ object SparkEntry {
     "rel_pivot" -> (Relational.pivotEventCounts _),
     "rel_unpivot" -> (Relational.unpivotEventCounts _),
     "rel_scalar_subquery" -> (Relational.scalarSubquery _),
+    "rel_cube" -> (Relational.segmentNationCube _),
+    "rel_full_outer" -> (Relational.fullOuterActivity _),
     "skew_salted_agg" -> (Relational.saltedEventCount _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
@@ -114,6 +116,8 @@ object SparkEntry {
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,
     "rel_scalar_subquery" -> Relational.scalarSubqueryOracle,
+    "rel_cube" -> Relational.segmentNationCubeOracle,
+    "rel_full_outer" -> Relational.fullOuterActivityOracle,
     "sim_topk_bf" -> Similarity.topkBruteforceOracle,
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
     "sim_ivf_topk" -> Similarity.ivfTopkOracle,

@@ -609,6 +609,60 @@ object Relational {
       |  count(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin
 
+  /** Full CUBE over (mktsegment, nation-of-customer): all four grouping
+    * combinations in one Expand-based aggregate pass. grouping_id
+    * disambiguates real NULLs from subtotal rows (the standard CUBE trap).
+    */
+  def segmentNationCube(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        grouping_id(col("c_mktsegment"), col("n_name")).as("gid"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("gid"), col("n_customers"))
+      .orderBy("gid", "segment", "nation")
+  }
+
+  val segmentNationCubeOracle: String =
+    """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  grouping(c_mktsegment) * 2 + grouping(n_name) AS gid,
+      |  count(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE (c_mktsegment, n_name)
+      |ORDER BY gid, segment, nation""".stripMargin
+
+  /** Per-user click vs purchase counts via FULL OUTER join of two
+    * aggregates — users appearing on either side survive with zeros on the
+    * missing side (the join type the semi/anti coverage query leaves out).
+    */
+  def fullOuterActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    def cnt(kind: String, as: String) =
+      ev.filter(col("event_type") === kind)
+        .groupBy("user_id").agg(count(lit(1)).as(as))
+    cnt("click", "n_clicks")
+      .join(cnt("purchase", "n_purchases"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("user_id")
+  }
+
+  val fullOuterActivityOracle: String =
+    """WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id),
+      |p AS (SELECT user_id, count(*) AS n_purchases FROM events
+      |  WHERE event_type = 'purchase' GROUP BY user_id)
+      |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+      |  coalesce(n_clicks, 0) AS n_clicks,
+      |  coalesce(n_purchases, 0) AS n_purchases
+      |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Orders priced above their customer's average — a correlated scalar
     * subquery, which Catalyst de-correlates into an aggregate + join (no
     * per-row re-execution; `.explain` shows one HashAggregate feeding a
