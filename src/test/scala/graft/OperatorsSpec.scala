@@ -186,6 +186,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bounded levenshtein equals the classic DP within the band, -1 beyond") {
+    def naive(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    for (_ <- 1 to 500) {
+      val a = Seq.fill(rnd.nextInt(20))(alphabet(rnd.nextInt(4))).mkString
+      val b = Seq.fill(rnd.nextInt(20))(alphabet(rnd.nextInt(4))).mkString
+      val band = rnd.nextInt(12)
+      val expected = { val d = naive(a, b); if (d <= band) d else -1 }
+      assert(Dedup.boundedLevenshtein(a, b, band) === expected, s"a=$a b=$b band=$band")
+    }
+  }
+
   test("contamination: only non-benchmark docs are flagged, against brute force") {
     val flagged = Training.contamination(spark, Sf0001)
       .select("doc_id").as[Long].collect().toSet
