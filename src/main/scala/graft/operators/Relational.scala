@@ -663,10 +663,13 @@ object Relational {
       |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
       |ORDER BY user_id""".stripMargin
 
-  /** Orders priced above their customer's average — a correlated scalar
-    * subquery, which Catalyst de-correlates into an aggregate + join (no
-    * per-row re-execution; `.explain` shows one HashAggregate feeding a
-    * hash join). Covers the subquery-rewrite surface of the optimizer.
+  /** Orders priced above their customer's average — correlated scalar
+    * subqueries, which Catalyst de-correlates into aggregates + joins (no
+    * per-row re-execution). The predicate is the cross-multiplied form
+    * `price * n > sum` in DECIMAL: sums of scaled integers are exact and
+    * associative, so the row set cannot flip with partial-aggregation
+    * order the way a double `avg` could (order-dependent IEEE accumulation
+    * is banished from every hash-compared surface in this repo).
     */
   def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -674,18 +677,20 @@ object Relational {
       """SELECT o_orderkey, o_custkey,
         |  CAST(o_totalprice AS DOUBLE) AS totalprice
         |FROM orders o
-        |WHERE CAST(o_totalprice AS DOUBLE) > (
-        |  SELECT avg(CAST(o_totalprice AS DOUBLE)) FROM orders i
-        |  WHERE i.o_custkey = o.o_custkey)
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+        |    SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
+        |     WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
   }
 
   val scalarSubqueryOracle: String =
     """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS totalprice
       |FROM orders o
-      |WHERE CAST(o_totalprice AS DOUBLE) > (
-      |  SELECT avg(CAST(o_totalprice AS DOUBLE)) FROM orders i
-      |  WHERE i.o_custkey = o.o_custkey)
+      |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (
+      |    SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      |  > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
+      |     WHERE i.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
   /** Unpivot (melt): the pivoted matrix back to (bucket, event_type, cnt)

@@ -222,9 +222,17 @@ object TaxiQueries {
     * last-event + gap (Spark's half-open [start, last+gap) contract, which
     * the oracle reproduces with lag + cumulative-sum sessionization).
     * Streaming form: same expression under a watermark (StreamingSpec).
+    *
+    * The session input is truncated to MILLISECOND precision first: the
+    * oracle sessionizes on rowtime_ms, and a micro-second tail on the Spark
+    * side could split/merge sessions differently for gaps within ±1 ms of
+    * exactly 30 min (events.parquet carries sub-ms components) — parity
+    * must hold by identical arithmetic, not by the data dodging a 1 ms
+    * window.
     */
   def q7Session(spark: SparkSession, dir: String): DataFrame =
     departures(spark, dir)
+      .withColumn("rowtime", timestamp_millis(unix_millis(col("rowtime"))))
       .groupBy(col("cell"), session_window(col("rowtime"), "30 minutes").as("w"))
       .agg(count(col("ride_id")).as("n_dept"))
       .select(col("cell"),

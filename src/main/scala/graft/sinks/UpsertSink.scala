@@ -20,18 +20,39 @@ import scala.collection.concurrent.TrieMap
 object UpsertKeys {
 
   /** Does `e` preserve the key-ness of an attribute whose exprId is in
-    * `ids`? Injective per-row transforms keep a unique key unique:
-    * the attribute itself, a cast, millis extraction (`unix_millis`), and
-    * window-struct field access (`w.end` determines the tumbling window —
-    * Flink's key inference likewise admits TUMBLE_END into the derived key,
-    * ElasticUpsertTableSink.scala:51-55 receiving (location, deptTime)).
+    * `ids`? Only genuinely INJECTIVE per-row transforms keep a unique key
+    * unique:
+    *  - the attribute itself;
+    *  - a lossless up-cast (`Cast.canUpCast`) — a narrowing cast such as
+    *    timestamp->date or long->int collapses distinct grouping values and
+    *    must NOT count, or the sink would silently overwrite distinct
+    *    groups sharing the narrowed value;
+    *  - millis/micros extraction from a timestamp (order-preserving and
+    *    exact at Spark's microsecond precision);
+    *  - field access on a time-window struct ONLY: for fixed-width
+    *    group windows, `w.end` = `w.start` + width, so either bound
+    *    determines the window — Flink's key inference likewise admits
+    *    TUMBLE_END into the derived key (ElasticUpsertTableSink.scala:51-55
+    *    receiving (location, deptTime)). Field access on an arbitrary
+    *    struct is NOT injective and does not count.
     */
   private def keyDerived(e: Expression, ids: Set[Long]): Boolean = e match {
     case a: AttributeReference => ids.contains(a.exprId.id)
-    case c: Cast => keyDerived(c.child, ids)
-    case g: GetStructField => keyDerived(g.child, ids)
+    case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) => keyDerived(c.child, ids)
+    case g: GetStructField if isTimeWindowStruct(g.child.dataType) => keyDerived(g.child, ids)
     case u if u.getClass.getSimpleName == "UnixMillis" || u.getClass.getSimpleName == "UnixMicros" =>
       keyDerived(u.children.head, ids)
+    case _ => false
+  }
+
+  /** The (start, end) timestamp-pair shape Spark's window()/session_window()
+    * grouping produces.
+    */
+  private def isTimeWindowStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.length == 2 &&
+        s.fields(0).name == "start" && s.fields(1).name == "end" &&
+        s.fields.forall(_.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType])
     case _ => false
   }
 
@@ -60,40 +81,29 @@ object UpsertKeys {
         }
         // transitive closure over alias chains in the nodes above the
         // Aggregate: any alias of a key-derived expression is itself a key
-        var ids = keyCols.toSet
-        var grew = true
-        while (grew) {
-          grew = false
-          plan.foreach { node =>
-            if (node ne a) node.expressions.foreach(_.foreach {
-              case al: Alias if !ids.contains(al.exprId.id) && keyDerived(al.child, ids) =>
-                ids += al.exprId.id; grew = true
-              case _ =>
-            })
+        def closure(seed: Set[Long]): Set[Long] = {
+          var ids = seed
+          var grew = true
+          while (grew) {
+            grew = false
+            plan.foreach { node =>
+              if (node ne a) node.expressions.foreach(_.foreach {
+                case al: Alias if !ids.contains(al.exprId.id) && keyDerived(al.child, ids) =>
+                  ids += al.exprId.id; grew = true
+                case _ =>
+              })
+            }
           }
+          ids
         }
+        val ids = closure(keyCols.toSet)
         val out = plan.output.filter(o => ids.contains(o.exprId.id)).map(_.name)
         // every grouping column must survive to the output, directly or via
         // a key-preserving alias chain — otherwise refuse rather than hand
-        // the sink a non-unique key
-        val reachable = {
-          val outIds = plan.output.map(_.exprId.id).toSet
-          keyCols.forall { k =>
-            var reach = Set(k)
-            var g = true
-            while (g) {
-              g = false
-              plan.foreach { node =>
-                if (node ne a) node.expressions.foreach(_.foreach {
-                  case al: Alias if !reach.contains(al.exprId.id) && keyDerived(al.child, reach) =>
-                    reach += al.exprId.id; g = true
-                  case _ =>
-                })
-              }
-            }
-            reach.exists(outIds.contains)
-          }
-        }
+        // the sink a non-unique key (per-key closure: a chain rooted at a
+        // DIFFERENT key reaching the output must not vouch for this one)
+        val outIds = plan.output.map(_.exprId.id).toSet
+        val reachable = keyCols.forall(k => closure(Set(k)).exists(outIds.contains))
         if (!reachable)
           throw new IllegalArgumentException(
             "upsert key inference: a grouping column of the terminal aggregation " +

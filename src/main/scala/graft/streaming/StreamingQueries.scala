@@ -84,16 +84,20 @@ object StreamingQueries {
         (unix_millis(col("end_rt")) - unix_millis(col("start_rt"))).as("gap_ms"))
   }
 
-  /** Streaming exact dedup: drop replayed/duplicate events by rideId,
+  /** Streaming exact dedup: drop replayed/duplicate events by event key,
     * keeping state only within the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — unbounded-state dedup is the
     * classic streaming-pipeline leak; bounding it by the disorder window is
     * what a replayed-at-least-once event source (like the reference's,
-    * TaxiRideSource.java:162-213) actually needs.
+    * TaxiRideSource.java:162-213) actually needs. The key is
+    * (rideId, isStart), NOT rideId alone: the reference data model shares
+    * one rideId between a ride's START and END events (TaxiRide.java:24-38),
+    * so keying on rideId would silently swallow the END of any ride shorter
+    * than the watermark as a "duplicate".
     */
   def dedupEvents(rides: DataFrame, watermark: String = "61 seconds"): DataFrame =
     rides.withWatermark("rowtime", watermark)
-      .dropDuplicatesWithinWatermark("rideId")
+      .dropDuplicatesWithinWatermark("rideId", "isStart")
 
   /** Level-1 of Q4: continuous per-cell departure count (unbounded keyed
     * agg; update-mode changelog = Flink's upsert stream on key `cell`).
@@ -162,10 +166,20 @@ object CascadeQ4 {
     val fin = new org.apache.hadoop.fs.Path(dir, s"$batchId.snap")
     val out = fs.create(tmp, true)
     try cells.foreach { case (c, n) => out.writeBytes(s"$c,$n\n") } finally out.close()
-    fs.rename(tmp, fin) // atomic publish on HDFS/local
-    // keep the latest two snapshots (previous one covers a torn in-flight write)
+    // atomic publish on HDFS/local. rename can return false WITHOUT
+    // throwing (dst exists, transient FS error) — failing the batch is
+    // mandatory then, because a silently-stale snapshot is exactly the
+    // restart divergence this machinery exists to prevent.
+    if (fs.exists(fin)) fs.delete(fin, false) // batch replay republishes
+    if (!fs.rename(tmp, fin))
+      throw new java.io.IOException(s"cascade snapshot publish failed: $tmp -> $fin")
+    // keep the latest two snapshots (previous one covers a torn in-flight
+    // write); clear any orphaned tmp files from crashed attempts
     listSnapshots(fs, dir).dropRight(2)
       .foreach { case (id, p) => fs.delete(p, false); val _ = id }
+    fs.listStatus(dir).foreach { st =>
+      if (st.getPath.getName.endsWith(".tmp") && st.getPath != tmp) fs.delete(st.getPath, false)
+    }
   }
 
   private def listSnapshots(fs: org.apache.hadoop.fs.FileSystem,

@@ -24,9 +24,10 @@ class PlanSpec extends SparkSpec {
 
   test("filter pushdown reaches the scan (events type filters)") {
     val p = plan(Relational.intervalJoin(spark, Sf0001))
-    assert(p.contains("PushedFilters") &&
-      (p.contains("EqualTo(event_type,error)") || p.contains("event_type")),
-      s"interval join does not push the event_type filter:\n${p.take(800)}")
+    // assert on the PushedFilters entries specifically — matching the bare
+    // column name would be satisfied by ReadSchema even with nothing pushed
+    assert(p.contains("EqualTo(event_type,error)") && p.contains("EqualTo(event_type,click)"),
+      s"interval join does not push the event_type filters:\n${p.take(800)}")
   }
 
   test("interval join is hash-based, never a nested loop") {

@@ -324,15 +324,21 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("dedup_stream").outputMode(OutputMode.Append())
       .option("checkpointLocation", Files.createTempDirectory("ddck").toString)
       .start()
+    def endRide(id: Long, t: String) = {
+      val r = ride(id, t); (r._1, false, r._3, r._4, r._5, r._6, r._7, r._8, r._9)
+    }
     input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"))
     q.processAllAvailable()
-    // replay of ride 1 within the watermark horizon: must be dropped even
-    // though it arrives in a later micro-batch
-    input.addData(ride(1, "2013-01-01 00:01:00"), ride(3, "2013-01-01 00:03:00"))
+    // replay of ride 1's START within the watermark horizon: must be
+    // dropped even though it arrives in a later micro-batch. Ride 1's END
+    // shares the rideId (reference data model) and must SURVIVE.
+    input.addData(ride(1, "2013-01-01 00:01:00"), endRide(1, "2013-01-01 00:01:30"),
+      ride(3, "2013-01-01 00:03:00"))
     q.processAllAvailable()
     q.stop()
     val ids = spark.table("dedup_stream").select("rideId").as[Long].collect().sorted.toList
-    assert(ids === List(1L, 2L, 3L), s"duplicate survived or row lost: $ids")
+    assert(ids === List(1L, 1L, 2L, 3L),
+      s"duplicate survived, or the END event was wrongly dropped: $ids")
   }
 
   test("streaming OVER window counts trailing 10-min departures per cell") {
