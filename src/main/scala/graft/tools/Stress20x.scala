@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 20x scale probe for the round-2 operators: replicates sf0.1 documents /
+  * events / embeddings 20-fold into /tmp/graft20x (ids offset per replica,
+  * event times shifted so the stream stays dense, not 20 copies of the
+  * same hour), then the bench can run any query against it via
+  * SPARK_GRAFT_SF_DIR=/tmp/graft20x. Superlinear growth between sf0.1 and
+  * 20x is the smoke we're hunting: a query that is 20x data should be
+  * ~20x cost, never 400x.
+  */
+object Stress20x {
+  val K = 20
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val out = "/tmp/graft20x"
+    val reps = spark.range(K).withColumnRenamed("id", "rep")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    docs.crossJoin(broadcast(reps))
+      .withColumn("doc_id", col("doc_id") + col("rep") * nDocs)
+      // vary the text per replica so dedup/minhash don't see 20 exact
+      // copies of every doc (that would be a duplicate-factor probe, not a
+      // scale probe): prefix a replica token
+      .withColumn("text", concat(lit("r"), col("rep"), lit(" "), col("text")))
+      .drop("rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val ev = graft.core.Tables.events(spark, src)
+    val nEv = ev.count()
+    val spanMs = 100L * 24 * 3600 * 1000 // shift each replica by 100 days
+    ev.crossJoin(broadcast(reps))
+      .withColumn("event_id", col("event_id") + col("rep") * nEv)
+      .withColumn("user_id", col("user_id") + col("rep") * 1000)
+      // write INT64 nanos like the driver's events.parquet, so
+      // Tables.events' nanosAsLong + div-1000 read path applies unchanged
+      .withColumn("ts", (unix_micros(col("ts")) + col("rep") * spanMs * 1000) * 1000)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nEmb = emb.count()
+    emb.crossJoin(broadcast(reps))
+      .withColumn("vec_id", col("vec_id") + col("rep") * nEmb)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"20x written to $out: docs=${nDocs * K} events=${nEv * K} vecs=${nEmb * K}")
+    spark.stop()
+  }
+}
