@@ -113,6 +113,77 @@ object UpsertKeys {
   }
 }
 
+/** File-backed keyed upsert sink: the production shape of the reference's
+  * ElasticUpsertTableSink against a parquet lake. Rows live under
+  * `bucket=<pmod(hash(key), nBuckets)>` partitions; an upsert batch
+  * rewrites ONLY the buckets it touches (read-merge-overwrite per bucket —
+  * the "dynamic partition overwrite" upsert, delta-style without a table
+  * format). Work per batch is O(touched buckets x bucket size), never a
+  * full-table rewrite; at 100 TB the bucket count is sized so a bucket is
+  * a few GB.
+  *
+  * Deletes ((false, row) in the reference's changelog encoding) are rows
+  * whose key appears in `deletes` — dropped during the merge, exercising
+  * the RowUpsertElasticSinkFunction delete path
+  * (ElasticUpsertTableSink.scala:144-147).
+  */
+class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
+                        val nBuckets: Int = 16) extends Serializable {
+  import org.apache.spark.sql.functions._
+
+  private def keyCol(df: DataFrame) =
+    concat_ws(":", keyFields.map(df(_)): _*) // reference doc-id scheme (:125)
+
+  private def bucketed(df: DataFrame): DataFrame =
+    df.withColumn("bucket", pmod(hash(keyCol(df)), lit(nBuckets)))
+
+  /** Merge a batch of upserts (last-write-wins per key within the batch is
+    * the caller's contract, as with any changelog) and deletes.
+    */
+  def upsert(batch: DataFrame, deletes: DataFrame = null): Unit = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b = bucketed(batch)
+    val touched = b.select("bucket").distinct().collect().map(_.getInt(0))
+    val delKeys = Option(deletes).map(d => bucketed(d)
+      .select(keyCol(d).as("_del_key"), col("bucket")))
+    touched.foreach { bk =>
+      val newRows = b.filter(col("bucket") === bk)
+      val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$bk")
+      val existing =
+        if (fs.exists(dst)) spark.read.parquet(dst.toString).withColumn("bucket", lit(bk))
+        else spark.emptyDataFrame
+      val merged =
+        if (existing.isEmpty) newRows
+        else {
+          val old = existing.select(newRows.columns.map(col): _*)
+          // anti-join out rows whose key is replaced by the batch
+          val replaced = newRows.select(keyCol(newRows).as("_k")).distinct()
+          old.join(replaced, keyCol(old) === col("_k"), "left_anti")
+            .unionByName(newRows)
+        }
+      val afterDeletes = delKeys match {
+        case Some(dk) =>
+          merged.join(dk.filter(col("bucket") === bk).select("_del_key"),
+            keyCol(merged) === col("_del_key"), "left_anti")
+        case None => merged
+      }
+      // write to a tmp bucket dir then swap: a failed write must not
+      // destroy the previous bucket contents (same publish discipline as
+      // the cascade snapshots — rename result checked, not assumed)
+      val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-bucket=$bk")
+      afterDeletes.drop("bucket").write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"bucket swap failed: $tmp -> $dst")
+    }
+  }
+
+  def snapshot(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.read.parquet(path).drop("bucket") // bucket= is layout, not data
+}
+
 /** In-memory keyed upsert store standing in for the external KV/search
   * store (Elasticsearch in the reference). Thread-safe; used by streaming
   * tests and the foreachBatch writers.

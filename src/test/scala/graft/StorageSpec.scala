@@ -47,4 +47,29 @@ class StorageSpec extends SparkSpec {
     s2.sql("DROP TABLE IF EXISTS li_b")
     s2.sql("DROP TABLE IF EXISTS o_b")
   }
+
+  test("parquet upsert sink: keyed merge rewrites only touched buckets, honors deletes") {
+    import spark.implicits._
+    import graft.sinks.ParquetUpsertSink
+    val path = Files.createTempDirectory("pqsink").toString + "/store"
+    val sink = new ParquetUpsertSink(path, Seq("cell"), nBuckets = 4)
+
+    sink.upsert(Seq((1, 10L), (2, 20L), (3, 30L)).toDF("cell", "cnt"))
+    assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
+      === Set((1, 10L), (2, 20L), (3, 30L)))
+
+    // overwrite cell 2, insert cell 4, delete cell 3 — cells 1 stays
+    sink.upsert(Seq((2, 21L), (4, 40L)).toDF("cell", "cnt"),
+      deletes = Seq((3, 0L)).toDF("cell", "cnt"))
+    assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
+      === Set((1, 10L), (2, 21L), (4, 40L)))
+
+    // hash-bucketed layout on disk
+    val buckets = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("bucket=")).sorted
+    assert(buckets.nonEmpty && buckets.forall(_.matches("bucket=\\d")), buckets.mkString(","))
+    // a third batch touching only cell 1 leaves every other key intact
+    sink.upsert(Seq((1, 11L)).toDF("cell", "cnt"))
+    assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
+      === Set((1, 11L), (2, 21L), (4, 40L)))
+  }
 }
