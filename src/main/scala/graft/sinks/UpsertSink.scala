@@ -145,9 +145,13 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val b = bucketed(batch)
-    val touched = b.select("bucket").distinct().collect().map(_.getInt(0))
     val delKeys = Option(deletes).map(d => bucketed(d)
       .select(keyCol(d).as("_del_key"), col("bucket")))
+    // touched = upsert buckets UNION delete buckets: a delete whose bucket
+    // receives no upsert this batch must still rewrite that bucket, or the
+    // deletion is silently lost
+    val touched = (b.select("bucket").distinct().collect().map(_.getInt(0)) ++
+      delKeys.toSeq.flatMap(_.select("bucket").distinct().collect().map(_.getInt(0)))).distinct
     touched.foreach { bk =>
       val newRows = b.filter(col("bucket") === bk)
       val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$bk")
@@ -195,8 +199,12 @@ class MemoryUpsertSink(val keyFields: Seq[String]) extends Serializable {
   def keyOf(row: Row): String =
     keyFields.map(f => String.valueOf(row.getAs[Any](f))).mkString(":")
 
-  def upsert(row: Row): Unit = store.put(keyOf(row), row)
-  def delete(row: Row): Unit = store.remove(keyOf(row))
+  def upsert(row: Row): Unit = { store.put(keyOf(row), row); () }
+  def delete(row: Row): Unit = { store.remove(keyOf(row)); () }
+  /** Batch boundary hook: called once per micro-batch after all
+    * upserts/deletes; subclasses flush buffered effects to external stores.
+    */
+  def flush(): Unit = ()
   def upsertBatch(df: DataFrame): Unit = df.collect().foreach(upsert)
   def snapshot: Map[String, Row] = store.toMap
   def size: Int = store.size

@@ -205,6 +205,42 @@ object CascadeQ4 {
         finally in.close()
     }
 
+  /** Cascade end-to-end into the file-backed sink: the histogram lands in
+    * a hash-bucketed parquet lake (the production analogue of the
+    * reference's Elasticsearch index), with per-batch upserts and deletes
+    * going through [[graft.sinks.ParquetUpsertSink]]'s touched-bucket
+    * merge. Same recovery contract as the memory-sink form.
+    */
+  def startToParquet(rides: DataFrame, sink: graft.sinks.ParquetUpsertSink,
+                     checkpoint: String): StreamingQuery = {
+    val spark = rides.sparkSession
+    // reuse the memory-sink cascade and flush its per-batch effects to
+    // parquet: CascadeQ4.start invokes sink.upsert/delete inside
+    // foreachBatch and flush() at batch end, so wrapping those calls
+    // yields exact per-batch deltas for the touched-bucket merge
+    val flushing = new MemoryUpsertSink(Seq("dept_cnt")) {
+      private val ups = scala.collection.mutable.Map.empty[Long, Long]
+      private val dels = scala.collection.mutable.Set.empty[Long]
+      override def upsert(row: org.apache.spark.sql.Row): Unit = {
+        super.upsert(row); ups(row.getLong(0)) = row.getLong(1); dels -= row.getLong(0)
+      }
+      override def delete(row: org.apache.spark.sql.Row): Unit = {
+        super.delete(row); dels += row.getLong(0); ups -= row.getLong(0)
+      }
+      override def flush(): Unit = {
+        import spark.implicits._
+        if (ups.nonEmpty || dels.nonEmpty) {
+          val upDf = ups.toSeq.toDF("dept_cnt", "cnt_freq")
+          val delDf = if (dels.isEmpty) null
+            else dels.toSeq.map((_, 0L)).toDF("dept_cnt", "cnt_freq")
+          sink.upsert(upDf, delDf)
+          ups.clear(); dels.clear()
+        }
+      }
+    }
+    start(rides, flushing, checkpoint)
+  }
+
   /** Start the full streaming cascade: level-1 update-mode agg ->
     * foreachBatch changelog replay -> histogram upserted into `sink`
     * (keyed by dept_cnt, the terminal groupBy column, as the reference's
@@ -221,6 +257,7 @@ object CascadeQ4 {
     val histogram = TrieMap.empty[Long, Long]
     cellCounts.values.groupBy(identity).foreach { case (b, v) => histogram.put(b, v.size.toLong) }
     histogram.foreach { case (b, f) => sink.upsert(histRow(b, f)) }
+    sink.flush()
     StreamingQueries.q4Level1(rides)
       .writeStream
       .outputMode(OutputMode.Update())
@@ -241,6 +278,7 @@ object CascadeQ4 {
             case None => sink.delete(histRow(bucket, 0L))
           }
         }
+        sink.flush() // external effects land before the snapshot publishes
         saveSnapshot(fs, dir, batchId, cellCounts) // before the batch commits
       }
       .trigger(Trigger.AvailableNow())

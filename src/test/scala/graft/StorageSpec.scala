@@ -71,5 +71,11 @@ class StorageSpec extends SparkSpec {
     sink.upsert(Seq((1, 11L)).toDF("cell", "cnt"))
     assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
       === Set((1, 11L), (2, 21L), (4, 40L)))
+
+    // a DELETE-ONLY batch (no upsert sharing the bucket) must still land
+    sink.upsert(spark.emptyDataset[(Int, Long)].toDF("cell", "cnt"),
+      deletes = Seq((4, 0L)).toDF("cell", "cnt"))
+    assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
+      === Set((1, 11L), (2, 21L)))
   }
 }

@@ -107,6 +107,30 @@ class StreamingSpec extends SparkSpec {
     assert(hist === Map(2L -> 1L, 1L -> 1L))
   }
 
+  test("Q4 cascade lands the histogram in the parquet lake (upserts + deletes)") {
+    import graft.sinks.ParquetUpsertSink
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val sink = new ParquetUpsertSink(
+      Files.createTempDirectory("q4lake").toString + "/hist", Seq("dept_cnt"), nBuckets = 4)
+    val ck = Files.createTempDirectory("q4pqck").toString
+    // cell A twice, cell B once => {2:1, 1:1}
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"),
+      ride(3, "2013-01-01 00:03:00", lon = -73.90f))
+    CascadeQ4.startToParquet(rides, sink, ck).awaitTermination()
+    def lake(): Map[Long, Long] = {
+      import spark.implicits._
+      sink.snapshot(spark).as[(Long, Long)].collect().toMap
+    }
+    assert(lake() === Map(2L -> 1L, 1L -> 1L))
+    // cell B again: bucket 1 empties (delete), bucket 2 gains B
+    input.addData(ride(4, "2013-01-01 00:04:00", lon = -73.90f))
+    CascadeQ4.startToParquet(rides, sink, ck).awaitTermination()
+    assert(lake() === Map(2L -> 2L), s"lake after delete: ${lake()}")
+  }
+
   test("upsert key inference finds terminal groupBy columns (reference setKeyFields)") {
     val q4 = TaxiQueries.q4CntFreq(spark, Sf0001)
     assert(UpsertKeys.derive(q4) === Seq("dept_cnt"))
