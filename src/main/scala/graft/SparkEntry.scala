@@ -54,6 +54,7 @@ object SparkEntry {
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     "pipe_contamination" -> (Training.contamination _),
     "pipe_pack_chunks" -> (Training.packChunks _),
+    "pipe_manifest" -> (Pipeline.manifest _),
     "emb_quantize" -> (Training.quantize _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "txt_tfidf" -> TextAnalysis.tfidfOracle,
     "pipe_contamination" -> Training.contaminationOracle,
     "pipe_pack_chunks" -> Training.packChunksOracle,
+    "pipe_manifest" -> Pipeline.manifestOracle,
     "emb_quantize" -> Training.quantizeOracle,
     "rel_interval_join" -> Relational.intervalJoinOracle,
     "rel_window_suite" -> Relational.windowSuiteOracle,

@@ -102,4 +102,69 @@ object Pipeline {
        |)
        |WHERE CASE WHEN lang = 'en' THEN bucket < 80 ELSE bucket < 40 END
        |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Full curation manifest: quality ∧ dedup ∧ decontaminated -> packed
+  // -------------------------------------------------------------------------
+
+  /** The end-to-end curation product, one declarative plan: quality gates
+    * and exact-dedup keepers ([[corpusFilter]]), minus anything sharing a
+    * 3-gram with the benchmark set ([[Training.contamination]]), laid out
+    * as packed training sequences ([[Training.packChunks]]'s algebra over
+    * the SURVIVORS — you pack the corpus you ship, not the one you
+    * scanned). Catalyst fuses the metric projections and stages the three
+    * shuffles (dedup hash, shingle join, per-lang window); nothing here is
+    * driver-side.
+    */
+  def manifest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Pipeline.corpusFilter(spark, dir)
+      .filter(col("doc_id") % 50 =!= 0) // benchmark members never train
+      .join(Training.contamination(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .selectExpr("doc_id", "lang", "n_tokens", "tok_start",
+        s"tok_start div ${Training.SeqLen} AS seq_id",
+        s"tok_start % ${Training.SeqLen} AS seq_offset")
+      .orderBy("doc_id")
+  }
+
+  val manifestOracle: String =
+    s"""WITH metrics AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       |    len(list_filter(string_split(text, ' '),
+       |        t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop
+       |  FROM documents
+       |),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |kept AS (
+       |  SELECT m.doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+       |  FROM metrics m JOIN keepers k ON m.doc_id = k.doc_id
+       |  WHERE n_chars BETWEEN 100 AND 480
+       |    AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+       |    AND n_stop >= 1
+       |),
+       |${Dedup.shinglesCte},
+       |bench AS (SELECT shingle FROM shingles WHERE doc_id % 50 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT s.doc_id FROM shingles s JOIN bench b USING (shingle)
+       |  WHERE s.doc_id % 50 <> 0
+       |),
+       |survivors AS (
+       |  SELECT k.* FROM kept k LEFT JOIN contaminated c ON k.doc_id = c.doc_id
+       |  WHERE c.doc_id IS NULL AND k.doc_id % 50 <> 0
+       |)
+       |SELECT doc_id, lang, n_tokens, tok_start,
+       |  tok_start // ${Training.SeqLen} AS seq_id,
+       |  tok_start % ${Training.SeqLen} AS seq_offset
+       |FROM (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM survivors
+       |)
+       |ORDER BY doc_id""".stripMargin
 }
