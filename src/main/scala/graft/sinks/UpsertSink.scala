@@ -131,56 +131,79 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
                         val nBuckets: Int = 16) extends Serializable {
   import org.apache.spark.sql.functions._
 
+  // key rendering matches MemoryUpsertSink.keyOf (String.valueOf -> "null"):
+  // bare concat_ws SKIPS null fields, which would collide distinct keys
+  // like (x, NULL) and (NULL, x) into "x"
   private def keyCol(df: DataFrame) =
-    concat_ws(":", keyFields.map(df(_)): _*) // reference doc-id scheme (:125)
+    concat_ws(":", keyFields.map(f => coalesce(df(f).cast("string"), lit("null"))): _*)
 
   private def bucketed(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(hash(keyCol(df)), lit(nBuckets)))
 
   /** Merge a batch of upserts (last-write-wins per key within the batch is
     * the caller's contract, as with any changelog) and deletes.
+    *
+    * Crash/retry safety per bucket: the old contents are renamed ASIDE
+    * (`.bak-`) before the new dir renames in, and the read path consults
+    * the bak when the live dir is missing — so a crash or failed rename at
+    * ANY point leaves at least one complete copy of the previous rows, and
+    * a Spark batch retry reconverges. (Delete-then-rename would lose the
+    * bucket if the rename failed after the delete.)
     */
   def upsert(batch: DataFrame, deletes: DataFrame = null): Unit = {
     val spark = batch.sparkSession
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val b = bucketed(batch)
+    // persist: every touched bucket re-reads these plans (plus the two
+    // touched-bucket collects) — without this the caller's batch plan
+    // executes O(touched buckets) times
+    val b = bucketed(batch).persist()
     val delKeys = Option(deletes).map(d => bucketed(d)
-      .select(keyCol(d).as("_del_key"), col("bucket")))
-    // touched = upsert buckets UNION delete buckets: a delete whose bucket
-    // receives no upsert this batch must still rewrite that bucket, or the
-    // deletion is silently lost
-    val touched = (b.select("bucket").distinct().collect().map(_.getInt(0)) ++
-      delKeys.toSeq.flatMap(_.select("bucket").distinct().collect().map(_.getInt(0)))).distinct
-    touched.foreach { bk =>
-      val newRows = b.filter(col("bucket") === bk)
-      val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$bk")
-      val existing =
-        if (fs.exists(dst)) spark.read.parquet(dst.toString).withColumn("bucket", lit(bk))
-        else spark.emptyDataFrame
-      val merged =
-        if (existing.isEmpty) newRows
-        else {
-          val old = existing.select(newRows.columns.map(col): _*)
-          // anti-join out rows whose key is replaced by the batch
-          val replaced = newRows.select(keyCol(newRows).as("_k")).distinct()
-          old.join(replaced, keyCol(old) === col("_k"), "left_anti")
-            .unionByName(newRows)
+      .select(keyCol(d).as("_del_key"), col("bucket")).persist())
+    try {
+      // touched = upsert buckets UNION delete buckets: a delete whose bucket
+      // receives no upsert this batch must still rewrite that bucket, or the
+      // deletion is silently lost
+      val touched = (b.select("bucket").distinct().collect().map(_.getInt(0)) ++
+        delKeys.toSeq.flatMap(_.select("bucket").distinct().collect().map(_.getInt(0)))).distinct
+      touched.foreach { bk =>
+        val newRows = b.filter(col("bucket") === bk)
+        val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$bk")
+        val bak = new org.apache.hadoop.fs.Path(root, s".bak-bucket=$bk")
+        // read the live dir, or the bak a crashed previous attempt left
+        val src = if (fs.exists(dst)) Some(dst) else if (fs.exists(bak)) Some(bak) else None
+        val existing = src.map(p => spark.read.parquet(p.toString).withColumn("bucket", lit(bk)))
+          .getOrElse(spark.emptyDataFrame)
+        val merged =
+          if (existing.isEmpty) newRows
+          else {
+            val old = existing.select(newRows.columns.map(col): _*)
+            // anti-join out rows whose key is replaced by the batch
+            val replaced = newRows.select(keyCol(newRows).as("_k")).distinct()
+            old.join(replaced, keyCol(old) === col("_k"), "left_anti")
+              .unionByName(newRows)
+          }
+        val afterDeletes = delKeys match {
+          case Some(dk) =>
+            merged.join(dk.filter(col("bucket") === bk).select("_del_key"),
+              keyCol(merged) === col("_del_key"), "left_anti")
+          case None => merged
         }
-      val afterDeletes = delKeys match {
-        case Some(dk) =>
-          merged.join(dk.filter(col("bucket") === bk).select("_del_key"),
-            keyCol(merged) === col("_del_key"), "left_anti")
-        case None => merged
+        val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-bucket=$bk")
+        afterDeletes.drop("bucket").write.mode("overwrite").parquet(tmp.toString)
+        // publish: live -> bak (keeping the old copy), tmp -> live, drop bak
+        if (fs.exists(dst)) {
+          if (fs.exists(bak)) fs.delete(bak, true)
+          if (!fs.rename(dst, bak))
+            throw new java.io.IOException(s"bucket backup failed: $dst -> $bak")
+        }
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"bucket swap failed: $tmp -> $dst")
+        fs.delete(bak, true)
       }
-      // write to a tmp bucket dir then swap: a failed write must not
-      // destroy the previous bucket contents (same publish discipline as
-      // the cascade snapshots — rename result checked, not assumed)
-      val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-bucket=$bk")
-      afterDeletes.drop("bucket").write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"bucket swap failed: $tmp -> $dst")
+    } finally {
+      b.unpersist()
+      delKeys.foreach(_.unpersist())
     }
   }
 
@@ -205,7 +228,7 @@ class MemoryUpsertSink(val keyFields: Seq[String]) extends Serializable {
     * upserts/deletes; subclasses flush buffered effects to external stores.
     */
   def flush(): Unit = ()
-  def upsertBatch(df: DataFrame): Unit = df.collect().foreach(upsert)
+  def upsertBatch(df: DataFrame): Unit = { df.collect().foreach(upsert); flush() }
   def snapshot: Map[String, Row] = store.toMap
   def size: Int = store.size
   def clear(): Unit = store.clear()

@@ -3,13 +3,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** 20x scale probe for the round-2 operators: replicates sf0.1 documents /
-  * events / embeddings 20-fold into /tmp/graft20x (ids offset per replica,
-  * event times shifted so the stream stays dense, not 20 copies of the
-  * same hour), then the bench can run any query against it via
-  * SPARK_GRAFT_SF_DIR=/tmp/graft20x. Superlinear growth between sf0.1 and
-  * 20x is the smoke we're hunting: a query that is 20x data should be
-  * ~20x cost, never 400x.
+/** 20x scale probe for the documents/events/embeddings operators (dedup,
+  * text, similarity, training-pipeline, taxi/event queries): replicates
+  * those three sf0.1 tables 20-fold into /tmp/graft20x (ids offset per
+  * replica, event times shifted so the stream stays dense, not 20 copies
+  * of the same hour). Queries over the TPC-H star tables (lineitem etc.)
+  * are NOT covered — point SPARK_GRAFT_ONLY at the corpus/event queries.
+  * Superlinear growth between sf0.1 and 20x is the smoke we're hunting: a
+  * query that is 20x data should be ~20x cost, never 400x.
   */
 object Stress20x {
   val K = 20
@@ -39,10 +40,14 @@ object Stress20x {
 
     val ev = graft.core.Tables.events(spark, src)
     val nEv = ev.count()
+    // offset user ids by the ACTUAL id range: a fixed stride smaller than
+    // max(user_id) would alias users across replicas and distort the
+    // per-user cardinality/skew profile the probe exists to measure
+    val userStride = ev.agg(max("user_id")).head().getLong(0) + 1
     val spanMs = 100L * 24 * 3600 * 1000 // shift each replica by 100 days
     ev.crossJoin(broadcast(reps))
       .withColumn("event_id", col("event_id") + col("rep") * nEv)
-      .withColumn("user_id", col("user_id") + col("rep") * 1000)
+      .withColumn("user_id", col("user_id") + col("rep") * userStride)
       // write INT64 nanos like the driver's events.parquet, so
       // Tables.events' nanosAsLong + div-1000 read path applies unchanged
       .withColumn("ts", (unix_micros(col("ts")) + col("rep") * spanMs * 1000) * 1000)
