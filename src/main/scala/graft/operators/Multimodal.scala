@@ -48,6 +48,26 @@ object DeterministicFakeDecoder extends MediaDecoder {
   */
 object Multimodal {
 
+  /** Ingest a directory of raw media files as binary records via Spark's
+    * `binaryFile` source — the real on-ramp for an image/audio corpus
+    * (payload bytes + path/size metadata, no decoding at scan time; the
+    * `pathGlobFilter` option restricts by extension). Kind is derived from
+    * the file extension; the decode seam is the same [[MediaDecoder]].
+    */
+  def fromBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        // a stable id from the file path (no global counter to coordinate)
+        expr("CAST(conv(substr(md5(path), 1, 15), 16, 10) AS LONG)").as("doc_id"),
+        regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("kind"),
+        col("length").as("n_bytes"),
+        col("content").as("payload"))
+      .as[MediaRecord]
+  }
+
   /** documents -> typed media records (binary payload + metadata). */
   def mediaRecords(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._

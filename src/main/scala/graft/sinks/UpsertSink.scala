@@ -211,6 +211,31 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
     spark.read.parquet(path).drop("bucket") // bucket= is layout, not data
 }
 
+/** Small-file compaction for a parquet dir — the lake-maintenance chore
+  * every long-running ingestion needs (micro-batches and per-bucket
+  * upserts both fragment; thousands of KB-files kill scan throughput via
+  * per-file open cost and starve row-group parallelism). Rewrites to
+  * `targetFiles` files via the same checked rename-aside publish as the
+  * upsert sink.
+  */
+object Compaction {
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFiles: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root.getParent, s".compact-${root.getName}")
+    val bak = new org.apache.hadoop.fs.Path(root.getParent, s".bak-${root.getName}")
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(root, bak))
+      throw new java.io.IOException(s"compaction backup failed: $root -> $bak")
+    if (!fs.rename(tmp, root))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $root")
+    fs.delete(bak, true)
+  }
+}
+
 /** In-memory keyed upsert store standing in for the external KV/search
   * store (Elasticsearch in the reference). Thread-safe; used by streaming
   * tests and the foreachBatch writers.

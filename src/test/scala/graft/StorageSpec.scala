@@ -78,4 +78,46 @@ class StorageSpec extends SparkSpec {
     assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
       === Set((1, 11L), (2, 21L)))
   }
+
+  test("binaryFile source ingests raw media dirs into the decode seam") {
+    import graft.operators.{Multimodal, DeterministicFakeDecoder}
+    val dir = Files.createTempDirectory("media")
+    Files.write(dir.resolve("a.jpg"), "fake-image-bytes".getBytes)
+    Files.write(dir.resolve("b.wav"), "fake-audio-bytes-longer".getBytes)
+    Files.write(dir.resolve("skip.txt"), "not-media".getBytes)
+    val records = Multimodal.fromBinaryFiles(spark, dir.toString, glob = "*.{jpg,wav}")
+      .collect().sortBy(_.kind)
+    assert(records.map(_.kind).toSeq === Seq("jpg", "wav"))
+    assert(records.forall(r => r.n_bytes == r.payload.length.toLong))
+    // the same decoder seam applies to file-ingested records
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.fromBinaryFiles(spark, dir.toString, glob = "*.{jpg,wav}")).collect()
+    assert(feats.length == 2 && feats.forall(_.checksum > 0))
+    val direct = DeterministicFakeDecoder.decode(records.head)
+    assert(feats.map(_.checksum).contains(direct.checksum))
+  }
+
+  test("small-file compaction preserves rows and cuts file count") {
+    import graft.sinks.Compaction
+    val out = Files.createTempDirectory("frag").toString + "/t"
+    // fragment: 64 tiny files
+    spark.range(1000).repartition(64).write.parquet(out)
+    val before = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"fixture not fragmented: $before")
+    Compaction.compact(spark, out, targetFiles = 2)
+    val after = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after <= 2, s"still fragmented: $after")
+    assert(spark.read.parquet(out).count() === 1000L)
+  }
+
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    val out = Files.createTempDirectory("evolve").toString + "/t"
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(out)
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2").write.mode("append").parquet(out)
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted.toSeq === Seq("id", "v1", "v2"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getLong(2) === 9L) // old files read v2 as null
+  }
 }

@@ -338,6 +338,30 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === List((0L, 12L * 60 * 1000)), s"got $pairs")
   }
 
+  test("stream-static join enriches the ride stream with a dimension table") {
+    import spark.implicits._
+    val dim = Seq((graft.functions.Taxi.toCellIdScalar(-73.99f, 40.75f), "midtown"),
+      (graft.functions.Taxi.toCellIdScalar(-73.90f, 40.75f), "queens"))
+      .toDF("cell", "zone") // static side: re-read per micro-batch, no state
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val enriched = rides
+      .select(col("rideId"), graft.functions.Taxi.toCellId(col("startLon"), col("startLat")).as("cell"))
+      .join(dim, Seq("cell"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enriched_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("enrck").toString)
+      .start()
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00", lon = -73.90f))
+    q.processAllAvailable()
+    q.stop()
+    val zones = spark.table("enriched_stream").select("rideId", "zone")
+      .as[(Long, String)].collect().toMap
+    assert(zones === Map(1L -> "midtown", 2L -> "queens"))
+  }
+
   test("streaming dedup drops within-watermark duplicate rideIds") {
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
