@@ -186,6 +186,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("EngineSession facade: UTC, taxi UDFs, and injected SQL functions in one call") {
+    import org.apache.spark.sql.SparkSession
+    val prior = spark
+    // getOrCreate reuses the shared spec session (ignoring extensions), so
+    // clear the slots to get a fresh session on the same SparkContext —
+    // same pattern as the extensions test above; never stop() it (that
+    // would kill the shared context)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = graft.core.EngineSession.createWithTables(Sf0001, "local[2]", shufflePartitions = 2)
+      assert(s.conf.get("spark.sql.session.timeZone") === "UTC")
+      // reference-named UDFs usable from SQL (TaxiRideQueries.scala:39-43)
+      assert(s.sql("SELECT toCellId(CAST(-73.99 AS FLOAT), CAST(40.75 AS FLOAT)) AS c")
+        .head().getInt(0) === graft.functions.Taxi.toCellIdScalar(-73.99f, 40.75f))
+      // custom codegen expressions injected via GraftExtensions
+      assert(s.sql("SELECT float_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+        .head().getDouble(0) === 2.0)
+      // tables registered (the reference's registerTableSource step)
+      assert(s.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("bounded levenshtein equals the classic DP within the band, -1 beyond") {
     def naive(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
