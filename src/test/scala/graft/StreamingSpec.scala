@@ -283,6 +283,32 @@ class StreamingSpec extends SparkSpec {
     assert(hist2 === Map(3L -> 1L, 1L -> 1L), s"post-restart histogram diverged: $hist2")
   }
 
+  test("streaming sliding window lands each departure in both overlapping windows") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val agg = rides
+      .filter(col("isStart"))
+      .select(col("rideId"), graft.functions.Taxi.toCellId(col("startLon"), col("startLat")).as("cell"), col("rowtime"))
+      .withWatermark("rowtime", "61 seconds")
+      .groupBy(col("cell"), window(col("rowtime"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("cell"), unix_millis(col("w.end")).as("w_end"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("q6_stream")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("q6ck").toString)
+      .start()
+    input.addData(ride(1, "2013-01-01 00:07:00")) // windows [00:00,00:10) and [00:05,00:15)
+    q.processAllAvailable()
+    input.addData(ride(2, "2013-01-01 01:00:00")) // watermark closes both
+    q.processAllAvailable()
+    q.stop()
+    val t0 = Timestamp.valueOf("2013-01-01 00:00:00").getTime
+    val ends = spark.table("q6_stream").select("w_end", "n").as[(Long, Long)].collect().toMap
+    assert(ends === Map(t0 + 10 * 60000 -> 1L, t0 + 15 * 60000 -> 1L), s"got $ends")
+  }
+
   test("streaming session window merges within-gap events and closes on watermark") {
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
