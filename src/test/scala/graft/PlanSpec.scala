@@ -63,6 +63,39 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"quantize should shuffle only for the final sort:\n${p.take(800)}")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    val restore = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    try {
+      // shrink the skew thresholds so the hot key trips them on test-size data
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 95% of left rows share one key — the classic hot-key join
+      val left = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("pad"))
+      val right = spark.range(1000).select(col("id").as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // execute THIS df (count() would plan a separate QueryExecution and
+      // leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${p.take(1200)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the taxi filter-project pipeline") {
     val df = TaxiQueries.q1Tumble(spark, Sf0001)
     df.collect() // AQE only materializes codegen'd stages in the FINAL plan
