@@ -169,10 +169,9 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
       touched.foreach { bk =>
         val newRows = b.filter(col("bucket") === bk)
         val dst = new org.apache.hadoop.fs.Path(root, s"bucket=$bk")
-        val bak = new org.apache.hadoop.fs.Path(root, s".bak-bucket=$bk")
-        // read the live dir, or the bak a crashed previous attempt left
-        val src = if (fs.exists(dst)) Some(dst) else if (fs.exists(bak)) Some(bak) else None
-        val existing = src.map(p => spark.read.parquet(p.toString).withColumn("bucket", lit(bk)))
+        // read the live dir, or the bak a crashed previous publish left
+        val existing = DirPublish.readable(fs, dst)
+          .map(p => spark.read.parquet(p.toString).withColumn("bucket", lit(bk)))
           .getOrElse(spark.emptyDataFrame)
         val merged =
           if (existing.isEmpty) newRows
@@ -189,17 +188,9 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
               keyCol(merged) === col("_del_key"), "left_anti")
           case None => merged
         }
-        val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-bucket=$bk")
+        val tmp = DirPublish.tmpOf(dst)
         afterDeletes.drop("bucket").write.mode("overwrite").parquet(tmp.toString)
-        // publish: live -> bak (keeping the old copy), tmp -> live, drop bak
-        if (fs.exists(dst)) {
-          if (fs.exists(bak)) fs.delete(bak, true)
-          if (!fs.rename(dst, bak))
-            throw new java.io.IOException(s"bucket backup failed: $dst -> $bak")
-        }
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"bucket swap failed: $tmp -> $dst")
-        fs.delete(bak, true)
+        DirPublish.publish(fs, tmp, dst) // live -> bak, tmp -> live, drop bak
       }
     } finally {
       b.unpersist()
@@ -211,28 +202,84 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
     spark.read.parquet(path).drop("bucket") // bucket= is layout, not data
 }
 
-/** Small-file compaction for a parquet dir — the lake-maintenance chore
-  * every long-running ingestion needs (micro-batches and per-bucket
-  * upserts both fragment; thousands of KB-files kill scan throughput via
-  * per-file open cost and starve row-group parallelism). Rewrites to
-  * `targetFiles` files via the same checked rename-aside publish as the
-  * upsert sink.
+/** Shared crash-safe directory publish, used by both the upsert sink and
+  * compaction so their recovery semantics cannot drift: new contents go to
+  * `tmp`, the live dir renames ASIDE to `bak`, `tmp` renames in, `bak` is
+  * dropped — and readers always fall back to `bak` when the live dir is
+  * missing (the window between the two renames).
+  */
+private[sinks] object DirPublish {
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  def bakOf(dir: Path): Path = new Path(dir.getParent, s".bak-${dir.getName}")
+  def tmpOf(dir: Path): Path = new Path(dir.getParent, s".tmp-${dir.getName}")
+
+  /** The live dir, or the bak a crashed publish left behind. */
+  def readable(fs: FileSystem, dir: Path): Option[Path] = {
+    val bak = bakOf(dir)
+    if (fs.exists(dir)) Some(dir) else if (fs.exists(bak)) Some(bak) else None
+  }
+
+  /** Publish `tmp` as `dir` (checked renames; never leaves zero copies). */
+  def publish(fs: FileSystem, tmp: Path, dir: Path): Unit = {
+    val bak = bakOf(dir)
+    if (fs.exists(dir)) {
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (!fs.rename(dir, bak))
+        throw new java.io.IOException(s"publish backup failed: $dir -> $bak")
+    }
+    if (!fs.rename(tmp, dir))
+      throw new java.io.IOException(s"publish swap failed: $tmp -> $dir")
+    fs.delete(bak, true)
+    ()
+  }
+}
+
+/** Small-file compaction — the lake-maintenance chore every long-running
+  * ingestion needs (micro-batches and per-bucket upserts both fragment;
+  * thousands of KB-files kill scan throughput via per-file open cost and
+  * starve row-group parallelism).
+  *
+  * Layout-aware: a [[ParquetUpsertSink]] lake (bucket= subdirectories) is
+  * compacted PER BUCKET, preserving the partition layout the sink's merge
+  * depends on; a plain dir is rewritten to `targetFiles` files. Reads use
+  * mergeSchema so schema-evolved file generations keep their newer
+  * columns, and go through [[DirPublish.readable]] so a compaction torn by
+  * a crash (live dir renamed aside, replacement not yet in) recovers from
+  * the bak copy instead of failing forever.
   */
 object Compaction {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(root.getParent, s".compact-${root.getName}")
-    val bak = new org.apache.hadoop.fs.Path(root.getParent, s".bak-${root.getName}")
-    spark.read.parquet(path).repartition(targetFiles)
+    // recover a torn previous compaction of the root itself
+    if (!fs.exists(root) && fs.exists(DirPublish.bakOf(root))) {
+      if (!fs.rename(DirPublish.bakOf(root), root))
+        throw new java.io.IOException(s"compaction recovery failed for $root")
+    }
+    val bucketDirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+    if (bucketDirs.nonEmpty) {
+      val perBucket = math.max(1, targetFiles / bucketDirs.length)
+      bucketDirs.foreach(st => compactDir(spark, fs, st.getPath, perBucket))
+    } else compactDir(spark, fs, root, targetFiles)
+  }
+
+  private def compactDir(spark: org.apache.spark.sql.SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path, nFiles: Int): Unit = {
+    val src = DirPublish.readable(fs, dir).getOrElse(
+      throw new java.io.FileNotFoundException(s"nothing to compact at $dir"))
+    val tmp = DirPublish.tmpOf(dir)
+    spark.read.option("mergeSchema", "true").parquet(src.toString)
+      .repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (!fs.rename(root, bak))
-      throw new java.io.IOException(s"compaction backup failed: $root -> $bak")
-    if (!fs.rename(tmp, root))
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $root")
-    fs.delete(bak, true)
+    // if we read from the bak (torn state), restore it as live first so
+    // publish's backup step has a live dir to move aside
+    if (src != dir && !fs.rename(src, dir))
+      throw new java.io.IOException(s"compaction recovery failed: $src -> $dir")
+    DirPublish.publish(fs, tmp, dir)
   }
 }
 

@@ -110,6 +110,26 @@ class StorageSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 1000L)
   }
 
+  test("compacting an upsert lake preserves the bucket layout and later merges") {
+    import spark.implicits._
+    import graft.sinks.{Compaction, ParquetUpsertSink}
+    val path = Files.createTempDirectory("pqlake").toString + "/store"
+    val sink = new ParquetUpsertSink(path, Seq("cell"), nBuckets = 4)
+    // fragment: many single-key batches -> one file-set per batch per bucket
+    (1 to 8).foreach(i => sink.upsert(Seq((i, i.toLong)).toDF("cell", "cnt")))
+    Compaction.compact(spark, path, targetFiles = 4)
+    // layout must STILL be bucket= dirs (a flat rewrite would corrupt the
+    // sink's existing-row lookups and break partition discovery)
+    val entries = new java.io.File(path).listFiles().map(_.getName)
+    assert(entries.forall(_.startsWith("bucket=")), entries.mkString(","))
+    assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
+      === (1 to 8).map(i => (i, i.toLong)).toSet)
+    // post-compaction merges still see the compacted rows
+    sink.upsert(Seq((3, 33L)).toDF("cell", "cnt"))
+    assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
+      === ((1 to 8).toSet - 3).map(i => (i, i.toLong)) + ((3, 33L)))
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     val out = Files.createTempDirectory("evolve").toString + "/t"
     import spark.implicits._
