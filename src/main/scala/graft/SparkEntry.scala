@@ -55,6 +55,7 @@ object SparkEntry {
     "pipe_contamination" -> (Training.contamination _),
     "pipe_pack_chunks" -> (Training.packChunks _),
     "pipe_manifest" -> (Pipeline.manifest _),
+    "pipe_dq_report" -> (Pipeline.dqReport _),
     "emb_quantize" -> (Training.quantize _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "pipe_contamination" -> Training.contaminationOracle,
     "pipe_pack_chunks" -> Training.packChunksOracle,
     "pipe_manifest" -> Pipeline.manifestOracle,
+    "pipe_dq_report" -> Pipeline.dqReportOracle,
     "emb_quantize" -> Training.quantizeOracle,
     "rel_interval_join" -> Relational.intervalJoinOracle,
     "rel_window_suite" -> Relational.windowSuiteOracle,

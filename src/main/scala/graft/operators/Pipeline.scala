@@ -104,6 +104,51 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Data-quality report (constraint checking)
+  // -------------------------------------------------------------------------
+
+  /** Corpus-level constraint report — the validation gate a pipeline runs
+    * before shipping a snapshot (Deequ-style, distilled): each rule is a
+    * Column predicate counted in ONE conditional-aggregation pass over the
+    * corpus (no per-rule scans), plus the row total for rates. Violation
+    * counts, not samples: at 100 TB the report must stay O(rules), and a
+    * violation drill-down is a follow-up filter query.
+    */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val rules: Seq[(String, String)] = Seq(
+      "n_chars_matches_text" -> "length(text) = n_chars",
+      "lang_known" -> "lang IN ('en', 'de', 'fr', 'es', 'zz')",
+      "text_nonempty" -> "length(text) > 0",
+      "doc_id_nonneg" -> "doc_id >= 0",
+      "source_present" -> "source IS NOT NULL AND length(source) > 0")
+    val aggs = rules.map { case (name, pred) =>
+      s"CAST(sum(CASE WHEN NOT ($pred) THEN 1 ELSE 0 END) AS BIGINT) AS $name" }
+    docs(spark, dir)
+      .selectExpr(("CAST(count(*) AS BIGINT) AS n_rows" +: aggs): _*)
+      .selectExpr("stack(" + rules.length + ", " +
+        rules.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
+        ") AS (rule, n_violations)", "n_rows")
+      .selectExpr("rule", "n_violations", "n_rows",
+        "CAST(n_violations AS DOUBLE) / n_rows AS violation_rate")
+      .orderBy("rule")
+  }
+
+  val dqReportOracle: String = {
+    val rules = Seq(
+      "n_chars_matches_text" -> "length(text) = n_chars",
+      "lang_known" -> "lang IN ('en', 'de', 'fr', 'es', 'zz')",
+      "text_nonempty" -> "length(text) > 0",
+      "doc_id_nonneg" -> "doc_id >= 0",
+      "source_present" -> "source IS NOT NULL AND length(source) > 0")
+    val branches = rules.map { case (n, p) =>
+      s"SELECT '$n' AS rule, CAST(sum(CASE WHEN NOT ($p) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, count(*) AS n_rows FROM documents" }
+    s"""SELECT rule, n_violations, n_rows,
+       |  CAST(n_violations AS DOUBLE) / n_rows AS violation_rate
+       |FROM (${branches.mkString(" UNION ALL ")})
+       |ORDER BY rule""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
   // Full curation manifest: quality ∧ dedup ∧ decontaminated -> packed
   // -------------------------------------------------------------------------
 

@@ -364,6 +364,28 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === List((0L, 12L * 60 * 1000)), s"got $pairs")
   }
 
+  test("observe() surfaces per-batch pipeline metrics in query progress") {
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+      // production monitoring seam: counts computed inline with the batch,
+      // no second pass over the data
+      .observe("ingest", count(lit(1)).as("n_rows"), sum(col("passengerCnt")).as("n_pax"))
+    val q = rides.select("rideId").writeStream
+      .format("memory").queryName("obs_stream").outputMode(OutputMode.Append())
+      .option("checkpointLocation", Files.createTempDirectory("obsck").toString)
+      .start()
+    input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"))
+    q.processAllAvailable()
+    q.stop()
+    val observed = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("ingest"))).toList
+    assert(observed.nonEmpty, "no observed metrics in progress events")
+    assert(observed.map(_.getAs[Long]("n_rows")).sum === 2L)
+    assert(observed.map(_.getAs[Long]("n_pax")).sum === 2L) // ride() uses 1 pax
+  }
+
   test("stream-static join enriches the ride stream with a dimension table") {
     import spark.implicits._
     val dim = Seq((graft.functions.Taxi.toCellIdScalar(-73.99f, 40.75f), "midtown"),
