@@ -212,6 +212,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("minhash affine permutations are bijections mod the Mersenne prime") {
+    // slot p = (a_p * h + b_p) mod P is a permutation of Z_P iff a_p != 0
+    // mod P; a zero multiplier would silently collapse a slot to a constant
+    // and est_sim would stop tracking Jaccard. Guards the constants.
+    val P = 2147483647L
+    (0 until Dedup.NumPerms).foreach { p =>
+      val a = ((p + 1) * 2654435761L) % P
+      assert(a != 0L, s"affine multiplier for slot $p collapses the permutation")
+    }
+    // distinct slots must use distinct permutations (else 16 slots carry
+    // fewer than 16 independent estimates)
+    val pairs = (0 until Dedup.NumPerms)
+      .map(p => (((p + 1) * 2654435761L) % P, ((p + 1) * 1013904223L) % P))
+    assert(pairs.distinct.length === Dedup.NumPerms)
+  }
+
   test("bounded levenshtein equals the classic DP within the band, -1 beyond") {
     def naive(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)

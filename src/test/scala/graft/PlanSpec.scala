@@ -63,6 +63,19 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"quantize should shuffle only for the final sort:\n${p.take(800)}")
   }
 
+  test("manifest composes without any nested-loop join") {
+    val p = plan(Pipeline.manifest(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the curation chain must stay equi-join only")
+  }
+
+  test("pair join shuffles both sides on the pair key (no broadcast of the fact stream)") {
+    val p = plan(TaxiQueries.q8PairJoin(spark, Sf0001))
+    assert(p.contains("Join"), "pair query must join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "START/END pairing must be a keyed join")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     val restore = Seq(
