@@ -40,6 +40,20 @@ class RidesCsvSpec extends SparkSpec {
     assert(rows.head.getShort(8) === 1.toShort)
   }
 
+  test("gzipped CSV reads transparently (the reference's wire format, TaxiRideSource.java:109-110)") {
+    val dir = Files.createTempDirectory("rides-gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("rides.csv.gz")))
+    try out.write(
+      ("1,START,2013-01-01 00:00:00,2013-01-01 00:09:12,-73.99,40.75,-73.98,40.73,2\n" +
+       "1,END,2013-01-01 00:09:12,2013-01-01 00:00:00,-73.99,40.75,-73.98,40.73,2\n").getBytes)
+    finally out.close()
+    val rows = Rides.fromCsv(spark, dir.toString).collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getBoolean(1)).toSet === Set(true, false))
+    assert(rows.head.getLong(0) === 1L)
+  }
+
   test("typed Dataset[TaxiRide] surface round-trips the derived rides") {
     val ds = graft.sources.Rides.typed(spark, Sf0001)
     val first = ds.filter(_.isStart).head()
