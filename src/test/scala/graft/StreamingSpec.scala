@@ -140,6 +140,22 @@ class StreamingSpec extends SparkSpec {
     assert(UpsertKeys.derive(Rides.fromEvents(spark, Sf0001)) === Nil)
   }
 
+  test("upsert key inference refuses non-injective key transforms (narrowing cast)") {
+    import spark.implicits._
+    val df = Seq((Timestamp.valueOf("2013-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2013-01-01 11:00:00"), 2L)).toDF("ts", "v")
+      .groupBy(col("ts")).agg(count(lit(1)).as("c"))
+      // timestamp->date collapses distinct grouping values: NOT a key
+      .select(col("ts").cast("date").as("d"), col("c"))
+    val e = intercept[IllegalArgumentException](UpsertKeys.derive(df))
+    assert(e.getMessage.contains("not uniquely keyed"))
+    // whereas unix_millis (injective) keeps the key and must NOT throw
+    val ok = Seq((Timestamp.valueOf("2013-01-01 10:00:00"), 1L)).toDF("ts", "v")
+      .groupBy(col("ts")).agg(count(lit(1)).as("c"))
+      .select(unix_millis(col("ts")).as("ts_ms"), col("c"))
+    assert(UpsertKeys.derive(ok) === Seq("ts_ms"))
+  }
+
   test("streaming SQL: windowed agg via spark.sql over a stream temp view (reference Q2 shape)") {
     graft.functions.Taxi.registerAll(spark)
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
