@@ -110,6 +110,40 @@ object StreamingQueries {
       .agg(count(col("rideId")).as("dept_cnt"))
 }
 
+/** Spark analogue of Flink's `toRetractStream[Row]`
+  * (TaxiRideQueries.scala:89,158): converts an update-mode keyed changelog
+  * into explicit (isAdd, row) retract records — every update of a key
+  * first retracts the previously-emitted row (false, old), then adds the
+  * new one (true, new); first sight of a key emits only the add. This is
+  * the changelog encoding the reference sink consumes
+  * (Tuple2[JBool, Row], ElasticUpsertTableSink.scala:65,144-146).
+  *
+  * State is the last-emitted row per key. Per-batch volume is bounded by
+  * the number of CHANGED keys (update mode only emits those); the state
+  * map is bounded by live keys, the same footprint the in-memory sink
+  * already carries — for cluster-scale state, compose with
+  * [[graft.sinks.ParquetUpsertSink]] instead of a driver map.
+  */
+class RetractStream(keyFields: Seq[String]) extends Serializable {
+  import org.apache.spark.sql.Row
+  private val last = TrieMap.empty[String, Row]
+
+  private def keyOf(row: Row): String =
+    keyFields.map(f => String.valueOf(row.getAs[Any](f))).mkString(":")
+
+  /** Replay one update-mode micro-batch into retract records, in key order
+    * for determinism. Returns the (isAdd, row) sequence it emitted.
+    */
+  def onBatch(batch: org.apache.spark.sql.DataFrame): Seq[(Boolean, Row)] = {
+    val rows = batch.collect().sortBy(keyOf)
+    rows.flatMap { row =>
+      val k = keyOf(row)
+      val retract = last.put(k, row).map((false, _))
+      retract.toSeq :+ ((true, row))
+    }.toSeq
+  }
+}
+
 /** Stateful two-level cascade for Q4 (TaxiRideQueries.scala:148-167).
   *
   * Maintains the level-1 materialization (cell -> dept_cnt) and the level-2

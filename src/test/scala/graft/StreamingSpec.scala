@@ -79,6 +79,33 @@ class StreamingSpec extends SparkSpec {
     assert(counts(Timestamp.valueOf("2013-01-01 00:10:00").getTime) === 1L) // ride 3 not counted
   }
 
+  test("retract stream wraps an update changelog into (retract, add) pairs") {
+    import graft.streaming.RetractStream
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val retracts = new RetractStream(Seq("cell"))
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Long)]
+    val q = StreamingQueries.q4Level1(rides).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("rsck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        log ++= retracts.onBatch(batch.toDF()).map { case (add, r) =>
+          (add, r.getAs[Long]("dept_cnt"))
+        }
+        () // foreachBatch wants Unit, not the appended buffer
+      }
+      .start()
+    input.addData(ride(1, "2013-01-01 00:01:00"))
+    q.processAllAvailable()
+    input.addData(ride(2, "2013-01-01 00:02:00")) // same cell: count 1 -> 2
+    q.processAllAvailable()
+    q.stop()
+    // Flink's changelog for this sequence: add(1), then retract(1), add(2)
+    assert(log.toList === List((true, 1L), (false, 1L), (true, 2L)), s"got $log")
+  }
+
   test("Q4 cascade: changelog replay equals batch two-level aggregate") {
     val cells = TrieMap.empty[Int, Long]
     val hist = TrieMap.empty[Long, Long]
