@@ -35,6 +35,7 @@ object SparkEntry {
     "txt_token_count" -> (TextAnalysis.tokenCount _),
     "txt_fingerprint" -> (TextAnalysis.fingerprint _),
     "txt_tfidf" -> (TextAnalysis.tfidf _),
+    "txt_pii_scrub" -> (TextAnalysis.piiScrub _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_near_key" -> (Dedup.nearKey _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "rel_percentiles" -> Relational.percentilesOracle,
     "rel_pivot" -> Relational.pivotEventCountsOracle,
     "txt_tfidf" -> TextAnalysis.tfidfOracle,
+    "txt_pii_scrub" -> TextAnalysis.piiScrubOracle,
     "pipe_contamination" -> Training.contaminationOracle,
     "pipe_pack_chunks" -> Training.packChunksOracle,
     "pipe_manifest" -> Pipeline.manifestOracle,

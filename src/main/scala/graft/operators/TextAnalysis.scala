@@ -171,6 +171,43 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // PII detection + redaction
+  // -------------------------------------------------------------------------
+
+  // Patterns restricted to the Java-regex/RE2 common subset (no
+  // backreferences, no lookaround), like tokenCount's BPE regex, so Spark
+  // and DuckDB match and replace identically.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrub pass: per doc, counts of email/URL/phone-shaped spans and
+    * the md5 of the redacted text (spans replaced by type tags) — the
+    * privacy gate of a training-data pipeline. Pure codegen'd regex
+    * columns, one corpus scan, no UDF; the hash pins the exact redaction
+    * output without shipping full text through the compare.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("doc_id",
+        s"CAST(size(regexp_extract_all(text, '$EmailRe', 0)) AS BIGINT) AS n_emails",
+        s"CAST(size(regexp_extract_all(text, '$UrlRe', 0)) AS BIGINT) AS n_urls",
+        s"CAST(size(regexp_extract_all(text, '$PhoneRe', 0)) AS BIGINT) AS n_phones",
+        s"""md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '$EmailRe', '<EMAIL>'), '$UrlRe', '<URL>'), '$PhoneRe', '<PHONE>')) AS redacted_md5""")
+      .orderBy("doc_id")
+
+  val piiScrubOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // TF-IDF top terms
   // -------------------------------------------------------------------------
 
