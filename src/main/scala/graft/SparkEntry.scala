@@ -36,6 +36,7 @@ object SparkEntry {
     "txt_fingerprint" -> (TextAnalysis.fingerprint _),
     "txt_tfidf" -> (TextAnalysis.tfidf _),
     "txt_pii_scrub" -> (TextAnalysis.piiScrub _),
+    "txt_repetition" -> (TextAnalysis.repetition _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_near_key" -> (Dedup.nearKey _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "rel_pivot" -> Relational.pivotEventCountsOracle,
     "txt_tfidf" -> TextAnalysis.tfidfOracle,
     "txt_pii_scrub" -> TextAnalysis.piiScrubOracle,
+    "txt_repetition" -> TextAnalysis.repetitionOracle,
     "pipe_contamination" -> Training.contaminationOracle,
     "pipe_pack_chunks" -> Training.packChunksOracle,
     "pipe_manifest" -> Pipeline.manifestOracle,

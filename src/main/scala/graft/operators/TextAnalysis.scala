@@ -208,6 +208,35 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Within-document repetition
+  // -------------------------------------------------------------------------
+
+  /** Intra-document repetition: duplicated sentences inside one doc (the
+    * boilerplate/templating signal exact inter-doc dedup cannot see).
+    * Array functions on the split — no explode, no shuffle, pure map.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("doc_id", "split(text, '\\\\. ') AS sents")
+      .selectExpr("doc_id",
+        "CAST(size(sents) AS BIGINT) AS n_sents",
+        "CAST(size(array_distinct(sents)) AS BIGINT) AS n_distinct_sents")
+      .selectExpr("doc_id", "n_sents", "n_distinct_sents",
+        "CAST(n_sents - n_distinct_sents AS DOUBLE) / n_sents AS dup_ratio")
+      .orderBy("doc_id")
+
+  val repetitionOracle: String =
+    """SELECT doc_id, n_sents, n_distinct_sents,
+      |  CAST(n_sents - n_distinct_sents AS DOUBLE) / n_sents AS dup_ratio
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, '. ')) AS BIGINT) AS n_sents,
+      |    CAST(len(list_distinct(string_split(text, '. '))) AS BIGINT) AS n_distinct_sents
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // TF-IDF top terms
   // -------------------------------------------------------------------------
 
