@@ -177,9 +177,24 @@ object TextAnalysis {
   // Patterns restricted to the Java-regex/RE2 common subset (no
   // backreferences, no lookaround), like tokenCount's BPE regex, so Spark
   // and DuckDB match and replace identically.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val UrlRe = "https?://[^ ]+"
-  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val UrlRe = "https?://[^ ]+"
+  private[graft] val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Sentinel PII probe docs unioned into the scrub input on BOTH the
+    * Spark and oracle sides. The synthetic corpus contains no `@`/URL/phone
+    * strings, so without these the email branch of the regexes is never
+    * exercised by the hash-compare (a divergence like the round-3
+    * `\\.`-unescaping bug stays invisible). Probe 9000004 is the exact
+    * adversarial case that bug got wrong: with `\.` collapsed to a bare-dot
+    * wildcard, `bob@example,com` counts as an email. No single quotes in
+    * the text (it is interpolated into the oracle SQL literal).
+    */
+  private[graft] val piiProbes: Seq[(Long, String)] = Seq(
+    9000001L -> "Contact alice.smith@example.com or bob_jones+spam@mail.example.org today",
+    9000002L -> "See https://example.org/data?id=42 and http://test.net/path for details",
+    9000003L -> "Call 555-123-4567 or 800-555-0199 now",
+    9000004L -> "Not an email: bob@example,com plus 12-345-6789 plus ftp://x.y end")
 
   /** PII scrub pass: per doc, counts of email/URL/phone-shaped spans and
     * the md5 of the redacted text (spans replaced by type tags) — the
@@ -187,25 +202,48 @@ object TextAnalysis {
     * columns, one corpus scan, no UDF; the hash pins the exact redaction
     * output without shipping full text through the compare.
     */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .selectExpr("doc_id",
-        s"CAST(size(regexp_extract_all(text, '$EmailRe', 0)) AS BIGINT) AS n_emails",
-        s"CAST(size(regexp_extract_all(text, '$UrlRe', 0)) AS BIGINT) AS n_urls",
-        s"CAST(size(regexp_extract_all(text, '$PhoneRe', 0)) AS BIGINT) AS n_phones",
-        s"""md5(regexp_replace(regexp_replace(regexp_replace(text,
-             '$EmailRe', '<EMAIL>'), '$UrlRe', '<URL>'), '$PhoneRe', '<PHONE>')) AS redacted_md5""")
-      .orderBy("doc_id")
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probes = piiProbes.toDF("doc_id", "text")
+    piiScrubDf(docs(spark, dir).select("doc_id", "text").union(probes))
+  }
 
-  val piiScrubOracle: String =
-    s"""SELECT doc_id,
+  /** Core scrub over any `(doc_id, text)` frame. Patterns are passed as
+    * Column literals (`lit(pattern)`), NOT interpolated into a
+    * `selectExpr` string: a SQL string literal undergoes one round of
+    * backslash unescaping in Spark's parser, which silently turns the
+    * email pattern's `\.` into a bare-dot wildcard (round-3 wrong-answer
+    * bug). `lit` hands the Scala string to the regex engine verbatim.
+    */
+  def piiScrubDf(d: DataFrame): DataFrame = {
+    val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      lit(EmailRe), lit("<EMAIL>")), lit(UrlRe), lit("<URL>")), lit(PhoneRe), lit("<PHONE>"))
+    d.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiScrubOracle: String = {
+    val probeSql = piiProbes.map { case (id, t) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$t' AS text"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL $probeSql
+       |)
+       |SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
        |  CAST(len(regexp_extract_all(text, '$UrlRe')) AS BIGINT) AS n_urls,
        |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
        |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS redacted_md5
-       |FROM documents
+       |FROM corpus
        |ORDER BY doc_id""".stripMargin
+  }
 
   // -------------------------------------------------------------------------
   // Within-document repetition
