@@ -51,8 +51,13 @@ object Multimodal {
   /** Ingest a directory of raw media files as binary records via Spark's
     * `binaryFile` source — the real on-ramp for an image/audio corpus
     * (payload bytes + path/size metadata, no decoding at scan time; the
-    * `pathGlobFilter` option restricts by extension). Kind is derived from
-    * the file extension; the decode seam is the same [[MediaDecoder]].
+    * `pathGlobFilter` option restricts by extension). Kind is the
+    * lowercased file extension, so `photo.JPG` and `photo.jpg` both land
+    * in kind `jpg` and downstream `kind === ...` filters see one spelling.
+    * NOTE: `pathGlobFilter` itself stays case-sensitive (Hadoop glob
+    * semantics) — pass a class glob like `*.{jpg,JPG}` when the corpus
+    * mixes cases, or leave the default `*` and filter on `kind`. The
+    * decode seam is the same [[MediaDecoder]].
     */
   def fromBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -62,7 +67,7 @@ object Multimodal {
       .select(
         // a stable id from the file path (no global counter to coordinate)
         expr("CAST(conv(substr(md5(path), 1, 15), 16, 10) AS LONG)").as("doc_id"),
-        regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1).as("kind"),
+        lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1)).as("kind"),
         col("length").as("n_bytes"),
         col("content").as("payload"))
       .as[MediaRecord]

@@ -113,6 +113,37 @@ object UpsertKeys {
   }
 }
 
+/** Collision-free rendering of a composite key as one string, shared by
+  * every keyed sink so their encodings cannot drift. Each field is
+  * length-prefixed (`v<len>:<value>`, NULL as `n:`): a bare ":" join — the
+  * reference's doc-id scheme (ElasticUpsertTableSink.scala:125) — collides
+  * `('a:b','c')` with `('a','b:c')` and silently merges/deletes the wrong
+  * row; the length prefix makes the concatenation injective, and the n/v
+  * tag keeps a NULL field distinct from the literal string "null".
+  *
+  * The Column form measures length in code points (Spark `length`), the
+  * Row form in UTF-16 units (String.length); each is self-consistent and
+  * the two renderings are never compared with each other.
+  */
+object KeyCodec {
+  import org.apache.spark.sql.functions._
+
+  def render(row: Row, keyFields: Seq[String]): String =
+    keyFields.map { f =>
+      row.getAs[Any](f) match {
+        case null => "n:"
+        case v => val s = String.valueOf(v); s"v${s.length}:$s"
+      }
+    }.mkString
+
+  def column(df: DataFrame, keyFields: Seq[String]): org.apache.spark.sql.Column =
+    concat(keyFields.map { f =>
+      val s = df(f).cast("string")
+      when(df(f).isNull, lit("n:"))
+        .otherwise(concat(lit("v"), length(s), lit(":"), s))
+    }: _*)
+}
+
 /** File-backed keyed upsert sink: the production shape of the reference's
   * ElasticUpsertTableSink against a parquet lake. Rows live under
   * `bucket=<pmod(hash(key), nBuckets)>` partitions; an upsert batch
@@ -131,11 +162,7 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
                         val nBuckets: Int = 16) extends Serializable {
   import org.apache.spark.sql.functions._
 
-  // key rendering matches MemoryUpsertSink.keyOf (String.valueOf -> "null"):
-  // bare concat_ws SKIPS null fields, which would collide distinct keys
-  // like (x, NULL) and (NULL, x) into "x"
-  private def keyCol(df: DataFrame) =
-    concat_ws(":", keyFields.map(f => coalesce(df(f).cast("string"), lit("null"))): _*)
+  private def keyCol(df: DataFrame) = KeyCodec.column(df, keyFields)
 
   private def bucketed(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(hash(keyCol(df)), lit(nBuckets)))
@@ -290,9 +317,10 @@ object Compaction {
 class MemoryUpsertSink(val keyFields: Seq[String]) extends Serializable {
   private val store = TrieMap.empty[String, Row]
 
-  /** Reference doc-id scheme: key-field values joined with ":" (:125). */
-  def keyOf(row: Row): String =
-    keyFields.map(f => String.valueOf(row.getAs[Any](f))).mkString(":")
+  /** Keyed like the reference's doc-id scheme (:125) but via [[KeyCodec]],
+    * so composite keys containing the delimiter cannot collide.
+    */
+  def keyOf(row: Row): String = KeyCodec.render(row, keyFields)
 
   def upsert(row: Row): Unit = { store.put(keyOf(row), row); () }
   def delete(row: Row): Unit = { store.remove(keyOf(row)); () }

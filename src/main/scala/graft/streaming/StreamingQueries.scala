@@ -129,7 +129,7 @@ class RetractStream(keyFields: Seq[String]) extends Serializable {
   private val last = TrieMap.empty[String, Row]
 
   private def keyOf(row: Row): String =
-    keyFields.map(f => String.valueOf(row.getAs[Any](f))).mkString(":")
+    graft.sinks.KeyCodec.render(row, keyFields)
 
   /** Replay one update-mode micro-batch into retract records, in key order
     * for determinism. Returns the (isAdd, row) sequence it emitted.

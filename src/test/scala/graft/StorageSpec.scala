@@ -84,10 +84,12 @@ class StorageSpec extends SparkSpec {
     val dir = Files.createTempDirectory("media")
     Files.write(dir.resolve("a.jpg"), "fake-image-bytes".getBytes)
     Files.write(dir.resolve("b.wav"), "fake-audio-bytes-longer".getBytes)
+    // uppercase extension must normalize to the same kind as a.jpg
+    Files.write(dir.resolve("c.JPG"), "fake-image-bytes-upper".getBytes)
     Files.write(dir.resolve("skip.txt"), "not-media".getBytes)
-    val records = Multimodal.fromBinaryFiles(spark, dir.toString, glob = "*.{jpg,wav}")
-      .collect().sortBy(_.kind)
-    assert(records.map(_.kind).toSeq === Seq("jpg", "wav"))
+    val records = Multimodal.fromBinaryFiles(spark, dir.toString, glob = "*.{jpg,JPG,wav}")
+      .collect().sortBy(r => (r.kind, r.n_bytes))
+    assert(records.map(_.kind).toSeq === Seq("jpg", "jpg", "wav"))
     assert(records.forall(r => r.n_bytes == r.payload.length.toLong))
     // the same decoder seam applies to file-ingested records
     val feats = Multimodal.decodeFeatures(
@@ -128,6 +130,31 @@ class StorageSpec extends SparkSpec {
     sink.upsert(Seq((3, 33L)).toDF("cell", "cnt"))
     assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
       === ((1 to 8).toSet - 3).map(i => (i, i.toLong)) + ((3, 33L)))
+  }
+
+  test("composite upsert keys: delimiter inside a field and NULLs stay distinct") {
+    import spark.implicits._
+    import graft.sinks.{MemoryUpsertSink, ParquetUpsertSink}
+    // a ':'-joined key renders both of these as "a:b:c" and merges them
+    val path = Files.createTempDirectory("keylake").toString + "/store"
+    val sink = new ParquetUpsertSink(path, Seq("k1", "k2"), nBuckets = 2)
+    sink.upsert(Seq(("a:b", "c", 1L), ("a", "b:c", 2L), (null, "b:c", 3L))
+      .toDF("k1", "k2", "v"))
+    assert(sink.snapshot(spark).as[(String, String, Long)].collect().toSet
+      === Set(("a:b", "c", 1L), ("a", "b:c", 2L), ((null: String), "b:c", 3L)))
+    // deleting one of the would-be-colliding keys must not take the other
+    sink.upsert(spark.emptyDataset[(String, String, Long)].toDF("k1", "k2", "v"),
+      deletes = Seq(("a:b", "c", 0L)).toDF("k1", "k2", "v"))
+    assert(sink.snapshot(spark).as[(String, String, Long)].collect().toSet
+      === Set(("a", "b:c", 2L), ((null: String), "b:c", 3L)))
+
+    val mem = new MemoryUpsertSink(Seq("k1", "k2"))
+    mem.upsertBatch(Seq(("a:b", "c", 1L), ("a", "b:c", 2L)).toDF("k1", "k2", "v"))
+    assert(mem.size === 2)
+    // a NULL key field is distinct from the literal string "null"
+    val memNull = new MemoryUpsertSink(Seq("k1"))
+    memNull.upsertBatch(Seq(("null", 1L), (null, 2L)).toDF("k1", "v"))
+    assert(memNull.size === 2)
   }
 
   test("schema evolution: mergeSchema unions columns across file generations") {
