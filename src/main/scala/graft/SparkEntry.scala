@@ -23,7 +23,7 @@ object SparkEntry {
     "q1_tumble" -> (TaxiQueries.q1Tumble _),
     "q2_tumble_sql" -> (TaxiQueries.q2TumbleSql _),
     "q3_over_window" -> (TaxiQueries.q3OverWindow _),
-    "q3_over_daily" -> (TaxiQueries.q3OverDaily _),
+    "q3_over_recent" -> (TaxiQueries.q3OverRecent _),
     "q4_cnt_freq" -> (TaxiQueries.q4CntFreq _),
     "q5_geo_hour" -> (TaxiQueries.q5GeoHour _),
     "q6_sliding" -> (TaxiQueries.q6Sliding _),
@@ -92,7 +92,7 @@ object SparkEntry {
     "q1_tumble" -> TaxiQueries.q1OracleSql,
     "q2_tumble_sql" -> TaxiQueries.q2OracleSql,
     "q3_over_window" -> TaxiQueries.q3OracleSql,
-    "q3_over_daily" -> TaxiQueries.q3DailyOracleSql,
+    "q3_over_recent" -> TaxiQueries.q3RecentOracleSql,
     "q4_cnt_freq" -> TaxiQueries.q4OracleSql,
     "q5_geo_hour" -> TaxiQueries.q5OracleSql,
     "q6_sliding" -> TaxiQueries.q6OracleSql,

@@ -121,10 +121,19 @@ object Taxi {
 
   // ---- SQL registration (reference TaxiRideQueries.scala:39-43 parity) ----
 
+  // one registration per live session: registerAll is reached from both
+  // EngineSession and the SQL query paths, and a blind re-register makes
+  // SimpleFunctionRegistry warn "function X replaced" on every bench run.
+  // Weak keys so a dropped session doesn't pin the guard entry.
+  private val registeredSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Registers inNyc/toCellId/toCoords/toGeoPoint/toLong/hourOfDay by name for
-    * `spark.sql` use. Idempotent.
+    * `spark.sql` use. Idempotent per session.
     */
-  def registerAll(spark: SparkSession): Unit = {
+  def registerAll(spark: SparkSession): Unit = if (registeredSessions.add(spark)) {
     spark.udf.register("inNyc", (lon: Float, lat: Float) => inNycScalar(lon, lat))
     spark.udf.register("toCellId", (lon: Float, lat: Float) => toCellIdScalar(lon, lat))
     spark.udf.register("toCoords", (cellId: Int) => toCoordsScalar(cellId))

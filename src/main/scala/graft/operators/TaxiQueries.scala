@@ -133,37 +133,39 @@ object TaxiQueries {
        |WHERE dept_cnt > 10
        |ORDER BY ride_id""".stripMargin
 
-  /** Same OVER-RANGE shape with a coarser partition (cell % 5), a 24 h
-    * trailing frame, and the reference's >10 threshold — the synthetic data
-    * is too sparse for per-cell 10-min counts to ever exceed 10, and a
-    * 0-row result would leave the frame semantics untested.
-    *
-    * Note the 5-way partition caps parallelism at 5 tasks — fine for a
-    * yield-oriented test variant, NOT a scale pattern; the faithful [[q3OverWindow]]
-    * partitions by full cell id (tens of thousands of keys).
+  /** Same OVER-RANGE shape as [[q3OverWindow]] — full-cell partition, so it
+    * scales exactly like the faithful query (thousands of keys, no
+    * parallelism ceiling) — but with a 7-day trailing frame and a >1
+    * threshold sized to the synthetic data's density: at sf0.01 this yields
+    * hundreds of qualifying rows AND hundreds of rows whose frame is
+    * truncated (count < running count), so both the frame arithmetic and
+    * the post-agg filter are exercised non-vacuously while q3_over_window
+    * keeps the reference's exact 10-min/>10 constants (which that data can
+    * never trip: every per-cell 10-min window holds exactly one departure).
     */
-  def q3OverDaily(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("bucket"))
+  val RecentFrameMs = 7L * 86400000L
+
+  def q3OverRecent(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cell"))
       .orderBy(col("dept_time"))
-      .rangeBetween(-86400000L, Window.currentRow)
+      .rangeBetween(-RecentFrameMs, Window.currentRow)
     departures(spark, dir)
-      .withColumn("bucket", col("cell") % 5)
       .withColumn("dept_time", unix_millis(col("rowtime")))
       .withColumn("dept_cnt", count(col("ride_id")).over(w))
-      .filter(col("dept_cnt") > 10)
-      .select("ride_id", "bucket", "dept_time", "dept_cnt")
+      .filter(col("dept_cnt") > 1)
+      .select("ride_id", "cell", "dept_time", "dept_cnt")
       .orderBy("ride_id")
   }
 
-  val q3DailyOracleSql: String =
+  val q3RecentOracleSql: String =
     s"""${Rides.oracleCte}, $oracleDepartures
-       |SELECT ride_id, bucket, dept_time, dept_cnt FROM (
-       |  SELECT ride_id, cell % 5 AS bucket, rowtime_ms AS dept_time,
-       |    count(ride_id) OVER (PARTITION BY cell % 5 ORDER BY rowtime_ms
-       |      RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW) AS dept_cnt
+       |SELECT ride_id, cell, dept_time, dept_cnt FROM (
+       |  SELECT ride_id, cell, rowtime_ms AS dept_time,
+       |    count(ride_id) OVER (PARTITION BY cell ORDER BY rowtime_ms
+       |      RANGE BETWEEN $RecentFrameMs PRECEDING AND CURRENT ROW) AS dept_cnt
        |  FROM departures
        |)
-       |WHERE dept_cnt > 10
+       |WHERE dept_cnt > 1
        |ORDER BY ride_id""".stripMargin
 
   // -------------------------------------------------------------------------
