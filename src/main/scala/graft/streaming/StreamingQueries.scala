@@ -144,27 +144,58 @@ class RetractStream(keyFields: Seq[String]) extends Serializable {
   }
 }
 
-/** Stateful two-level cascade for Q4 (TaxiRideQueries.scala:148-167).
+/** Stateful two-level cascade for Q4 (TaxiRideQueries.scala:148-167),
+  * merged DISTRIBUTIVELY — no row data ever transits the driver.
   *
-  * Maintains the level-1 materialization (cell -> dept_cnt) and the level-2
-  * histogram (dept_cnt -> cnt_freq). Each update-mode micro-batch delivers
-  * the changed (cell, dept_cnt) pairs; for each, the old count's bucket is
-  * decremented (retraction) and the new count's bucket incremented (add) —
-  * exactly the changelog the Flink planner feeds the second aggregation.
-  * Deleted buckets (freq 0) are removed from the sink, exercising the
-  * (false, row) delete path of the reference sink contract.
+  * Level 1 (cell -> dept_cnt) is materialized in a [[graft.sinks.ParquetUpsertSink]]
+  * lake under the checkpoint; level 2 (dept_cnt -> cnt_freq) lands in the
+  * caller's sink. Each update-mode micro-batch delivers the changed
+  * (cell, dept_cnt) pairs as a DataFrame; the batch path is three
+  * declarative steps, every one a distributed plan:
+  *
+  *  1. join the batch against the level-1 lake to find each changed cell's
+  *     OLD count — the union of old and new counts is the set of histogram
+  *     buckets this batch can touch (the Flink retraction targets,
+  *     ElasticUpsertTableSink.scala:144-146);
+  *  2. upsert the batch into the level-1 lake (touched-bucket parquet merge);
+  *  3. recompute cnt_freq for the touched buckets from the NEW level-1
+  *     lake (groupBy(dept_cnt).count restricted to touched) and upsert the
+  *     results; a touched bucket with no remaining cells becomes a delete —
+  *     the (false, row) path of the reference sink contract.
+  *
+  * Recomputing touched buckets from level-1 truth (instead of applying
+  * +/-1 deltas to the stored histogram) is what makes replay after ANY
+  * crash converge: a torn attempt leaves the lakes in some intermediate
+  * state, and the retry re-derives every possibly-affected bucket from the
+  * current level-1 lake, which the idempotent level-1 upsert first brings
+  * up to date. Delta-apply would double-count on exactly those replays
+  * without a transactional table format underneath. The price is one extra
+  * distributed scan of the level-1 lake per batch — bounded by live-cell
+  * cardinality (the 250x400 NYC grid), not by data volume, and embarrassingly
+  * parallel; at 1000 executors it is noise next to the level-1 agg itself.
+  *
+  * The only driver-side values are the touched bucket IDS — distinct COUNT
+  * VALUES (the histogram's domain, concentrated small integers), not
+  * changed cells — and above [[TouchedCap]] even those stay distributed:
+  * the batch falls back to recomputing the full histogram with deletes
+  * derived by anti-join (still no driver materialization).
+  *
+  * Crash protocol: the touched-bucket set is published to a marker file
+  * BEFORE any lake mutation; a replayed batch unions all surviving markers
+  * into its own touched set (a marker is only deleted after the level-2
+  * recompute for its buckets completed, at which point lakes agree with
+  * level-1 truth). The window this closes: level-1 already upserted, crash
+  * before level-2 recompute — on replay old == new, so the batch alone
+  * would never revisit the OLD bucket, and its frequency would stay stale
+  * forever.
   */
 object CascadeQ4 {
+  import graft.sinks.ParquetUpsertSink
 
-  private val histSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("dept_cnt", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("cnt_freq", org.apache.spark.sql.types.LongType)))
-
-  private def histRow(bucket: Long, freq: Long): Row =
-    new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-      Array(bucket, freq), histSchema)
-
-  /** Correct single-update merge, exposed for testing. */
+  /** Reference single-update merge semantics (retract old bucket, add new),
+    * exposed for the changelog-replay spec; the distributed path achieves
+    * the same result by recomputation.
+    */
   def applyUpdate(cellCounts: TrieMap[Int, Long], histogram: TrieMap[Long, Long],
                   cell: Int, newCnt: Long): Unit = {
     val old = cellCounts.put(cell, newCnt)
@@ -176,144 +207,141 @@ object CascadeQ4 {
     histogram.put(newCnt, histogram.getOrElse(newCnt, 0L) + 1L)
   }
 
-  // --- level-2 state snapshots (restart recovery) -------------------------
-  // The level-1 streaming agg recovers from the Spark checkpoint, but the
-  // level-2 materialization (cellCounts) lives in driver memory. Without a
-  // snapshot, a restarted query resumes level 1 mid-stream against EMPTY
-  // maps, so the first post-restart update of a cell cannot retract its old
-  // histogram bucket and the sink silently diverges from the batch truth.
-  // We persist cellCounts after every batch BEFORE foreachBatch returns —
-  // i.e. before Spark commits the batch — so on restart the snapshot is
-  // always >= the committed offset; replaying the in-flight batch on top is
-  // safe because applyUpdate is idempotent for repeated (cell, cnt) pairs.
-  // The histogram is derivable (values grouped by count), so only cellCounts
-  // is written. Hadoop FS API so checkpoint may be hdfs:// / s3a:// at scale;
-  // state size is bounded by distinct cells (the 250x400 NYC grid), not data.
+  /** Driver-side cap on the touched-bucket ID list; beyond it the batch
+    * recomputes the whole histogram distributively instead.
+    */
+  private[streaming] val TouchedCap = 10000
 
-  private def snapDir(checkpoint: String) =
-    new org.apache.hadoop.fs.Path(checkpoint, "graft-cascade-state")
+  private val Level1Schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("dept_cnt", org.apache.spark.sql.types.LongType)))
 
-  private def saveSnapshot(fs: org.apache.hadoop.fs.FileSystem,
-                           dir: org.apache.hadoop.fs.Path,
-                           batchId: Long, cells: TrieMap[Int, Long]): Unit = {
+  private def markerDir(checkpoint: String) =
+    new org.apache.hadoop.fs.Path(checkpoint, "graft-cascade-markers")
+
+  // Level-1 lake read tolerating the not-yet-created state (first batch).
+  private def level1Snapshot(spark: SparkSession, lake: ParquetUpsertSink,
+                             fs: org.apache.hadoop.fs.FileSystem): DataFrame =
+    if (fs.exists(new org.apache.hadoop.fs.Path(lake.path))) lake.snapshot(spark)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Level1Schema)
+
+  // ---- replay markers ------------------------------------------------------
+  // One file per in-flight batch attempt: "ALL" or newline-separated bucket
+  // ids. tmp+rename so a torn marker write is invisible.
+
+  private[graft] def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path,
+                          batchId: Long, buckets: Option[Seq[Long]]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(dir, s"$batchId.tmp")
-    val fin = new org.apache.hadoop.fs.Path(dir, s"$batchId.snap")
+    val fin = new org.apache.hadoop.fs.Path(dir, s"$batchId.marker")
     val out = fs.create(tmp, true)
-    try cells.foreach { case (c, n) => out.writeBytes(s"$c,$n\n") } finally out.close()
-    // atomic publish on HDFS/local. rename can return false WITHOUT
-    // throwing (dst exists, transient FS error) — failing the batch is
-    // mandatory then, because a silently-stale snapshot is exactly the
-    // restart divergence this machinery exists to prevent.
-    if (fs.exists(fin)) fs.delete(fin, false) // batch replay republishes
+    try buckets match {
+      case None => out.writeBytes("ALL\n")
+      case Some(bs) => bs.foreach(b => out.writeBytes(s"$b\n"))
+    } finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false) // replay republishes
     if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"cascade snapshot publish failed: $tmp -> $fin")
-    // keep the latest two snapshots (previous one covers a torn in-flight
-    // write); clear any orphaned tmp files from crashed attempts
-    listSnapshots(fs, dir).dropRight(2)
-      .foreach { case (id, p) => fs.delete(p, false); val _ = id }
-    fs.listStatus(dir).foreach { st =>
-      if (st.getPath.getName.endsWith(".tmp") && st.getPath != tmp) fs.delete(st.getPath, false)
-    }
+      throw new java.io.IOException(s"cascade marker publish failed: $tmp -> $fin")
   }
 
-  private def listSnapshots(fs: org.apache.hadoop.fs.FileSystem,
-                            dir: org.apache.hadoop.fs.Path): Seq[(Long, org.apache.hadoop.fs.Path)] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq
-      .flatMap { st =>
-        val n = st.getPath.getName
-        if (n.endsWith(".snap")) Some((n.stripSuffix(".snap").toLong, st.getPath)) else None
-      }
-      .sortBy(_._1)
-
-  private def loadLatest(fs: org.apache.hadoop.fs.FileSystem,
-                         dir: org.apache.hadoop.fs.Path): Map[Int, Long] =
-    listSnapshots(fs, dir).lastOption match {
-      case None => Map.empty
-      case Some((_, p)) =>
-        val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p)))
-        try Iterator.continually(in.readLine()).takeWhile(_ != null)
-          .filter(_.nonEmpty)
-          .map { l => val Array(c, n) = l.split(','); c.toInt -> n.toLong }
-          .toMap
-        finally in.close()
-    }
-
-  /** Cascade end-to-end into the file-backed sink: the histogram lands in
-    * a hash-bucketed parquet lake (the production analogue of the
-    * reference's Elasticsearch index), with per-batch upserts and deletes
-    * going through [[graft.sinks.ParquetUpsertSink]]'s touched-bucket
-    * merge. Same recovery contract as the memory-sink form.
-    */
-  def startToParquet(rides: DataFrame, sink: graft.sinks.ParquetUpsertSink,
-                     checkpoint: String): StreamingQuery = {
-    val spark = rides.sparkSession
-    // reuse the memory-sink cascade and flush its per-batch effects to
-    // parquet: CascadeQ4.start invokes sink.upsert/delete inside
-    // foreachBatch and flush() at batch end, so wrapping those calls
-    // yields exact per-batch deltas for the touched-bucket merge
-    val flushing = new MemoryUpsertSink(Seq("dept_cnt")) {
-      private val ups = scala.collection.mutable.Map.empty[Long, Long]
-      private val dels = scala.collection.mutable.Set.empty[Long]
-      override def upsert(row: org.apache.spark.sql.Row): Unit = {
-        super.upsert(row); ups(row.getLong(0)) = row.getLong(1); dels -= row.getLong(0)
-      }
-      override def delete(row: org.apache.spark.sql.Row): Unit = {
-        super.delete(row); dels += row.getLong(0); ups -= row.getLong(0)
-      }
-      override def flush(): Unit = {
-        import spark.implicits._
-        if (ups.nonEmpty || dels.nonEmpty) {
-          val upDf = ups.toSeq.toDF("dept_cnt", "cnt_freq")
-          val delDf = if (dels.isEmpty) null
-            else dels.toSeq.map((_, 0L)).toDF("dept_cnt", "cnt_freq")
-          sink.upsert(upDf, delDf)
-          ups.clear(); dels.clear()
+  /** All surviving markers' buckets; None = some marker says ALL. */
+  private def readMarkers(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Option[Seq[Long]] =
+    if (!fs.exists(dir)) Some(Nil)
+    else {
+      val lines = fs.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".marker"))
+        .flatMap { st =>
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(st.getPath)))
+          try Iterator.continually(in.readLine()).takeWhile(_ != null).filter(_.nonEmpty).toList
+          finally in.close()
         }
-      }
+      if (lines.contains("ALL")) None else Some(lines.map(_.toLong))
     }
-    start(rides, flushing, checkpoint)
+
+  private def clearMarkers(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".marker") || n.endsWith(".tmp")) fs.delete(st.getPath, false)
+    }
+
+  /** One micro-batch of the distributed cascade (factored out for direct
+    * spec coverage of the crash/replay protocol).
+    */
+  private[graft] def applyBatch(level1: ParquetUpsertSink, level2: ParquetUpsertSink,
+                                    markers: org.apache.hadoop.fs.Path,
+                                    batch: Dataset[Row], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val changed = batch
+      .select(col("cell").cast("int").as("cell"), col("dept_cnt").cast("long").as("dept_cnt"))
+      .persist()
+    try {
+      // 1. touched buckets = old counts of changed cells (pre-mutation lake)
+      //    UNION new counts UNION any surviving marker's buckets (torn attempt)
+      val l1Before = level1Snapshot(spark, level1, fs)
+      val fromBatch = l1Before.join(changed.select("cell"), "cell").select(col("dept_cnt"))
+        .union(changed.select(col("dept_cnt")))
+        .distinct()
+        .limit(TouchedCap + 1)
+        .as[Long].collect().toSeq
+      val touched: Option[Seq[Long]] =
+        if (fromBatch.length > TouchedCap) None
+        else readMarkers(fs, markers).map(m => (fromBatch ++ m).distinct)
+      writeMarker(fs, markers, batchId, touched) // BEFORE any lake mutation
+      // 2. level-1 lake absorbs the batch (idempotent on replay)
+      level1.upsert(changed)
+      // 3. recompute touched buckets from the new level-1 truth
+      val freshAll = level1Snapshot(spark, level1, fs)
+        .groupBy("dept_cnt").agg(count(lit(1)).as("cnt_freq"))
+      touched match {
+        case Some(buckets) =>
+          val touchedDf = buckets.toDF("dept_cnt")
+          val fresh = freshAll.join(broadcast(touchedDf), "dept_cnt").persist()
+          val dels = touchedDf.join(fresh.select("dept_cnt"), Seq("dept_cnt"), "left_anti")
+            .withColumn("cnt_freq", lit(0L))
+          try level2.upsert(fresh, dels) finally { fresh.unpersist(); () }
+        case None =>
+          // histogram domain too wide for a driver-side id list: recompute
+          // everything; deletes = lake keys with no surviving bucket
+          val existing =
+            if (fs.exists(new org.apache.hadoop.fs.Path(level2.path))) level2.snapshot(spark)
+            else null
+          val dels = Option(existing).map(_.select("dept_cnt")
+            .join(freshAll.select("dept_cnt"), Seq("dept_cnt"), "left_anti")
+            .withColumn("cnt_freq", lit(0L))).orNull
+          level2.upsert(freshAll, dels)
+      }
+      // lakes now agree with level-1 truth for every marked bucket
+      clearMarkers(fs, markers)
+    } finally {
+      changed.unpersist()
+      ()
+    }
   }
 
   /** Start the full streaming cascade: level-1 update-mode agg ->
-    * foreachBatch changelog replay -> histogram upserted into `sink`
+    * foreachBatch distributed merge -> histogram upserted into `sink`
     * (keyed by dept_cnt, the terminal groupBy column, as the reference's
-    * key inference would derive). Restart-safe: the level-2 state is
-    * recovered from the checkpoint-dir snapshot and the recovered histogram
-    * re-upserted so the sink converges even after a driver restart.
+    * key inference would derive). Restart-safe: both levels live in
+    * crash-published parquet lakes, so a restarted driver resumes from the
+    * checkpointed level-1 agg state plus the persisted lakes — replaying
+    * the in-flight batch reconverges via the marker protocol above.
     */
-  def start(rides: DataFrame, sink: MemoryUpsertSink,
-            checkpoint: String): StreamingQuery = {
-    val spark = rides.sparkSession
-    val dir = snapDir(checkpoint)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cellCounts = TrieMap.empty[Int, Long] ++ loadLatest(fs, dir)
-    val histogram = TrieMap.empty[Long, Long]
-    cellCounts.values.groupBy(identity).foreach { case (b, v) => histogram.put(b, v.size.toLong) }
-    histogram.foreach { case (b, f) => sink.upsert(histRow(b, f)) }
-    sink.flush()
+  def startToParquet(rides: DataFrame, sink: ParquetUpsertSink,
+                     checkpoint: String): StreamingQuery = {
+    val level1 = new ParquetUpsertSink(
+      new org.apache.hadoop.fs.Path(checkpoint, "graft-cascade-level1").toString,
+      Seq("cell"), sink.nBuckets)
+    val markers = markerDir(checkpoint)
     StreamingQueries.q4Level1(rides)
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val updates = batch.select(col("cell").cast("int"), col("dept_cnt").cast("long")).collect()
-        val touched = scala.collection.mutable.Set.empty[Long]
-        updates.foreach { r =>
-          val oldBucket = cellCounts.get(r.getInt(0))
-          applyUpdate(cellCounts, histogram, r.getInt(0), r.getLong(1))
-          oldBucket.foreach(touched += _)
-          touched += r.getLong(1)
-        }
-        // upsert touched buckets; delete emptied ones (the (false,row) path)
-        touched.foreach { bucket =>
-          histogram.get(bucket) match {
-            case Some(freq) => sink.upsert(histRow(bucket, freq))
-            case None => sink.delete(histRow(bucket, 0L))
-          }
-        }
-        sink.flush() // external effects land before the snapshot publishes
-        saveSnapshot(fs, dir, batchId, cellCounts) // before the batch commits
+        applyBatch(level1, sink, markers, batch, batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -120,17 +120,20 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("Q4 end-to-end streaming cascade upserts the histogram into the sink") {
+    import graft.sinks.ParquetUpsertSink
     val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
         "startLon", "startLat", "endLon", "endLat", "passengerCnt")
       .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
-    val sink = new MemoryUpsertSink(Seq("dept_cnt"))
+    val sink = new ParquetUpsertSink(
+      Files.createTempDirectory("q4sink").toString + "/hist", Seq("dept_cnt"), nBuckets = 4)
     // same cell twice + another cell once => histogram {2:1, 1:1}
     input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"),
       ride(3, "2013-01-01 00:03:00", lon = -73.90f))
-    val q = CascadeQ4.start(rides, sink, Files.createTempDirectory("q4ck").toString)
+    val q = CascadeQ4.startToParquet(rides, sink, Files.createTempDirectory("q4ck").toString)
     q.awaitTermination()
-    val hist = sink.snapshot.values.map(r => (r.getLong(0), r.getLong(1))).toMap
+    import spark.implicits._
+    val hist = sink.snapshot(spark).as[(Long, Long)].collect().toMap
     assert(hist === Map(2L -> 1L, 1L -> 1L))
   }
 
@@ -308,22 +311,55 @@ class StreamingSpec extends SparkSpec {
     val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
         "startLon", "startLat", "endLon", "endLat", "passengerCnt")
       .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    import graft.sinks.ParquetUpsertSink
+    import spark.implicits._
     val ck = Files.createTempDirectory("q4restart").toString
+    val lake = Files.createTempDirectory("q4restartlake").toString + "/hist"
     // run 1: cell A twice, cell B once  => histogram {2:1, 1:1}
     input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"),
       ride(3, "2013-01-01 00:03:00", lon = -73.90f))
-    val sink1 = new MemoryUpsertSink(Seq("dept_cnt"))
-    CascadeQ4.start(rides, sink1, ck).awaitTermination()
-    assert(sink1.snapshot.values.map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sink1 = new ParquetUpsertSink(lake, Seq("dept_cnt"), nBuckets = 4)
+    CascadeQ4.startToParquet(rides, sink1, ck).awaitTermination()
+    assert(sink1.snapshot(spark).as[(Long, Long)].collect().toMap
       === Map(2L -> 1L, 1L -> 1L))
-    // run 2 (fresh maps + fresh sink = driver restart): cell A again -> 3.
-    // Without snapshot recovery the restarted maps cannot retract A's old
-    // bucket 2, leaving {2:1, 1:2} instead of {3:1, 1:1}.
+    // run 2 (fresh sink objects over the same paths = driver restart):
+    // cell A again -> 3. A restart that lost the level-1 materialization
+    // could not retract A's old bucket 2, leaving {2:1, 1:2} instead of
+    // {3:1, 1:1}; here level 1 is a persisted lake, so the retraction is
+    // derived from it after the level-1 streaming agg recovers from the
+    // Spark checkpoint.
     input.addData(ride(4, "2013-01-01 00:04:00"))
-    val sink2 = new MemoryUpsertSink(Seq("dept_cnt"))
-    CascadeQ4.start(rides, sink2, ck).awaitTermination()
-    val hist2 = sink2.snapshot.values.map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sink2 = new ParquetUpsertSink(lake, Seq("dept_cnt"), nBuckets = 4)
+    CascadeQ4.startToParquet(rides, sink2, ck).awaitTermination()
+    val hist2 = sink2.snapshot(spark).as[(Long, Long)].collect().toMap
     assert(hist2 === Map(3L -> 1L, 1L -> 1L), s"post-restart histogram diverged: $hist2")
+  }
+
+  test("Q4 cascade replay converges after a crash between level-1 upsert and level-2 recompute") {
+    import graft.sinks.ParquetUpsertSink
+    import spark.implicits._
+    val root = Files.createTempDirectory("q4crash")
+    val level1 = new ParquetUpsertSink(root.toString + "/l1", Seq("cell"), nBuckets = 4)
+    val level2 = new ParquetUpsertSink(root.toString + "/l2", Seq("dept_cnt"), nBuckets = 4)
+    val markers = new org.apache.hadoop.fs.Path(root.toString, "markers")
+    val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hist(): Map[Long, Long] = level2.snapshot(spark).as[(Long, Long)].collect().toMap
+    // batch 0: cells A and B both reach count 1 -> histogram {1:2}
+    CascadeQ4.applyBatch(level1, level2,
+      markers, Seq((1, 1L), (2, 1L)).toDF("cell", "dept_cnt"), 0L)
+    assert(hist() === Map(1L -> 2L))
+    // batch 1 attempt 1 "crashes" AFTER the marker write and level-1 upsert
+    // but BEFORE the level-2 recompute — exactly the torn window the marker
+    // protocol exists for: on replay, A's old count equals its new count, so
+    // the replayed batch alone would never revisit bucket 1
+    CascadeQ4.writeMarker(fs, markers, 1L, Some(Seq(1L, 2L)))
+    level1.upsert(Seq((1, 2L)).toDF("cell", "dept_cnt"))
+    assert(hist() === Map(1L -> 2L), "level 2 must still be pre-crash here")
+    // replay of batch 1: marker union re-derives bucket 1 from level-1 truth
+    CascadeQ4.applyBatch(level1, level2, markers, Seq((1, 2L)).toDF("cell", "dept_cnt"), 1L)
+    assert(hist() === Map(1L -> 1L, 2L -> 1L), s"replay did not converge: ${hist()}")
+    // markers cleared once lakes agree with level-1 truth
+    assert(!fs.exists(markers) || fs.listStatus(markers).isEmpty)
   }
 
   test("streaming sliding window lands each departure in both overlapping windows") {
