@@ -326,8 +326,11 @@ object Relational {
   /** HyperLogLog++ distinct counts and approximate quantiles per segment —
     * the sketch family a 100 TB profiler runs instead of exact
     * distinct/sort. No DuckDB oracle (sketch algorithms differ across
-    * engines); the spec asserts the approximation error bound against the
-    * exact values instead.
+    * engines); instead every sketch column rides next to its EXACT
+    * counterpart (countDistinct / exact percentile) so the result itself
+    * carries the quantitative gate, and OperatorsSpec asserts the error
+    * bounds per family at sf0.001 AND sf0.1 — the exact columns are the
+    * in-repo hard signal the missing oracle would otherwise provide.
     */
   def approxStats(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
@@ -335,9 +338,14 @@ object Relational {
     o.join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
-        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        // rsd 1%, not the 5% default: the spec gates at 5% relative error,
+        // and a sketch whose own standard deviation IS the gate fails it
+        // one run in three (observed 6.5% at sf0.1). 1% rsd puts the gate
+        // at 5 sigma for ~10k int registers per group — a few KB.
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_median_price"),
         count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment")
   }

@@ -78,12 +78,20 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("approx sketches stay within error bounds of exact values") {
-    val rows = Relational.approxStats(spark, Sf0001)
-      .select("approx_customers", "exact_customers").as[(Long, Long)].collect()
-    assert(rows.nonEmpty)
-    rows.foreach { case (approx, exact) =>
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"HLL estimate $approx vs exact $exact exceeds 5%")
+    // both the smoke SF and the driver's bench SF: sketch error bounds are
+    // distribution-dependent, so the larger scale is the one that counts
+    for (sf <- Seq(Sf0001, "/root/testdata/sf0.1")) {
+      val rows = Relational.approxStats(spark, sf)
+        .select("approx_customers", "exact_customers",
+          "approx_median_price", "exact_median_price")
+        .as[(Long, Long, Double, Double)].collect()
+      assert(rows.nonEmpty)
+      rows.foreach { case (approxN, exactN, approxMed, exactMed) =>
+        assert(math.abs(approxN - exactN).toDouble / exactN < 0.05,
+          s"HLL estimate $approxN vs exact $exactN exceeds 5% at $sf")
+        assert(math.abs(approxMed - exactMed) / exactMed < 0.05,
+          s"approx median $approxMed vs exact $exactMed exceeds 5% at $sf")
+      }
     }
   }
 
