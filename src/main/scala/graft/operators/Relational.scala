@@ -326,29 +326,55 @@ object Relational {
   /** HyperLogLog++ distinct counts and approximate quantiles per segment —
     * the sketch family a 100 TB profiler runs instead of exact
     * distinct/sort. No DuckDB oracle (sketch algorithms differ across
-    * engines); instead every sketch column rides next to its EXACT
-    * counterpart (countDistinct / exact percentile) so the result itself
-    * carries the quantitative gate, and OperatorsSpec asserts the error
-    * bounds per family at sf0.001 AND sf0.1 — the exact columns are the
-    * in-repo hard signal the missing oracle would otherwise provide.
+    * engines); the hard in-repo signal is [[approxStatsAudit]], which rides
+    * each sketch next to its exact counterpart and is gated by
+    * OperatorsSpec at sf0.001 AND sf0.1 (5% relative error per family).
     */
   def approxStats(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
-    o.join(c, col("o_custkey") === col("c_custkey"))
-      .groupBy("c_mktsegment")
+    val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+    // The sketches and the exact distinct count run in SEPARATE aggregations
+    // joined on the (5-row) group key. In one Aggregate, Spark's distinct
+    // rewrite re-keys the partial phase by (group, distinct-key), so every
+    // non-distinct aggregate's buffer is instantiated per (segment, custkey)
+    // — with the 1%-rsd HLL's ~12 KB register array that is ~15k sketch
+    // buffers through the shuffle: measured 26 s vs 3 s for this shape at
+    // sf0.1. Two narrow aggregations + a tiny join keep each buffer
+    // per-SEGMENT only.
+    val sketches = joined.groupBy("c_mktsegment")
       .agg(
         // rsd 1%, not the 5% default: the spec gates at 5% relative error,
         // and a sketch whose own standard deviation IS the gate fails it
         // one run in three (observed 6.5% at sf0.1). 1% rsd puts the gate
         // at 5 sigma for ~10k int registers per group — a few KB.
         approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
-        countDistinct(col("o_custkey")).as("exact_customers"),
         percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-        expr("percentile(o_totalprice, 0.5)").as("exact_median_price"),
         count(lit(1)).as("n_orders"))
+    val exact = joined.groupBy("c_mktsegment")
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    sketches.join(exact, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("approx_customers"), col("exact_customers"),
+        col("approx_median_price"), col("n_orders"))
       .orderBy("c_mktsegment")
   }
+
+  /** [[approxStats]] plus the EXACT percentile — spec-only: exact
+    * percentile materializes every group's values, the very cost the
+    * sketch exists to avoid, so it stays off the benched surface (adding
+    * it there tripled the query's wall time at sf0.1) and exists purely
+    * as the error-bound gate the missing DuckDB oracle would otherwise
+    * provide.
+    */
+  def approxStatsAudit(spark: SparkSession, dir: String): DataFrame =
+    approxStats(spark, dir)
+      .join(
+        t(spark, dir, "orders").join(t(spark, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(expr("percentile(o_totalprice, 0.5)").as("exact_median_price")),
+        Seq("c_mktsegment"))
+      .orderBy("c_mktsegment")
 
   // -------------------------------------------------------------------------
   // Semi/anti join coverage

@@ -81,7 +81,7 @@ class OperatorsSpec extends SparkSpec {
     // both the smoke SF and the driver's bench SF: sketch error bounds are
     // distribution-dependent, so the larger scale is the one that counts
     for (sf <- Seq(Sf0001, "/root/testdata/sf0.1")) {
-      val rows = Relational.approxStats(spark, sf)
+      val rows = Relational.approxStatsAudit(spark, sf)
         .select("approx_customers", "exact_customers",
           "approx_median_price", "exact_median_price")
         .as[(Long, Long, Double, Double)].collect()
