@@ -43,6 +43,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_cluster" -> (Dedup.cluster _),
     "dedup_editdist" -> (Dedup.editDistance _),
     // similarity search
     "sim_topk_bf" -> (Similarity.topkBruteforce _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_cluster" -> Dedup.clusterOracle,
     "dedup_editdist" -> Dedup.editDistanceOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,

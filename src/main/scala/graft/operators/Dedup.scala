@@ -353,6 +353,158 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Near-dup clusters (connected components) + canonical doc per cluster
+  // -------------------------------------------------------------------------
+
+  /** Pairs with est_sim below this are LSH candidate noise, not dup edges. */
+  val ClusterMinSim = 0.5
+
+  /** Safety bound on propagation rounds; components converge in
+    * O(diameter) rounds and near-dup clusters are shallow, so hitting this
+    * means a bug, not a big graph.
+    */
+  private val MaxClusterRounds = 64
+
+  /** Near-duplicate CLUSTERS: connected components over the MinHash/LSH
+    * pair graph (est_sim >= [[ClusterMinSim]]), labeled by the minimum
+    * doc_id reachable — the step a real dedup pipeline runs after pair
+    * generation, because near-duplication is transitive in the data even
+    * though the pair relation isn't (a~b, b~c usually means a,b,c are one
+    * duplicated document). Each member row also carries the cluster's
+    * CANONICAL doc (longest member, ties to the lowest doc_id) and member
+    * count — i.e. the output IS the keep/drop list: keep where
+    * doc_id = canonical_doc.
+    *
+    * Distributed min-label propagation: each round every vertex takes the
+    * min of its own and its neighbors' labels (one join on vertex id + one
+    * min-aggregate — both shuffle-on-key, no driver data). Rounds needed =
+    * component diameter, which for near-dup chains is small; each round
+    * `localCheckpoint`s the label table so round N's plan doesn't replay
+    * rounds 1..N-1 (at cluster scale, swap for `checkpoint` against a
+    * reliable dir — same contract, executor-loss-safe). The driver sees
+    * only the changed-label COUNT per round (convergence probe).
+    */
+  def cluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+      .filter(col("est_sim") >= ClusterMinSim)
+      .select("doc_a", "doc_b")
+    // undirected: propagate both ways
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    val members = try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      var round = 0
+      var changed = 1L
+      while (changed > 0) {
+        round += 1
+        if (round > MaxClusterRounds)
+          throw new IllegalStateException(s"label propagation did not converge in $MaxClusterRounds rounds")
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy("src").agg(min("label").as("nmin"))
+        val updated = labels
+          .join(nbrMin.withColumnRenamed("src", "id"), "id") // every vertex has a neighbor
+          .select(col("id"), col("label").as("old_label"),
+            least(col("label"), col("nmin")).as("label"))
+          .localCheckpoint()
+        changed = updated.filter(col("label") =!= col("old_label")).count()
+        labels = updated.select("id", "label")
+      }
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    } finally {
+      edges.unpersist()
+    }
+    // canonical member per cluster: lexicographic min of (negated length,
+    // id) IS the (max length, then min id) argmin — no window sort
+    val stats = members
+      .join(docs(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        min(struct((-col("n_chars")).as("neg_chars"), col("doc_id").as("d"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.d").as("canonical_doc"), col("n_members"))
+    members.join(stats, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("canonical_doc"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** The minhash pipeline's pair set + transitive closure, as one
+    * recursive-CTE oracle: `walk` enumerates every label reachable from a
+    * vertex, min per vertex = the component label.
+    */
+  private val clusterCte: String =
+    s"""sim_pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+       |    FROM cands
+       |    JOIN sig sa ON sa.doc_id = doc_a
+       |    JOIN sig sb ON sb.doc_id = doc_b AND sb.p = sa.p
+       |    GROUP BY doc_a, doc_b
+       |  ) WHERE est_sim >= $ClusterMinSim
+       |),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM sim_pairs
+       |  UNION SELECT doc_b, doc_a FROM sim_pairs
+       |),
+       |walk(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, w.lab FROM edges e JOIN walk w ON w.id = e.dst
+       |),
+       |clusters AS (
+       |  SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id
+       |)""".stripMargin
+
+  // the shared minhash CTE chain (shingles -> sig -> bands -> cands),
+  // lifted verbatim from minhashLshOracle so the pair semantics can't drift
+  private val minhashCandsCte: String =
+    s"""$shinglesCte,
+       |sig AS (
+       |  SELECT doc_id, p,
+       |    min(((((p + 1) * 2654435761) % $P31)
+       |         * (CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P31)
+       |         + ((p + 1) * 1013904223) % $P31) % $P31) AS minh
+       |  FROM shingles, range(0, $NumPerms) r(p)
+       |  GROUP BY doc_id, p
+       |),
+       |bands AS (
+       |  SELECT doc_id, p % ${NumPerms / BandRows} AS band,
+       |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY p) AS band_sig
+       |  FROM sig GROUP BY doc_id, band
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+       |    AND a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  val clusterOracle: String =
+    s"""WITH RECURSIVE $minhashCandsCte,
+       |$clusterCte,
+       |joined AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars
+       |  FROM clusters c JOIN documents d USING (doc_id)
+       |),
+       |canon AS (
+       |  SELECT cluster_id, doc_id AS canonical_doc FROM (
+       |    SELECT cluster_id, doc_id,
+       |      row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM joined
+       |  ) WHERE rn = 1
+       |),
+       |counts AS (SELECT cluster_id, count(*) AS n_members FROM joined GROUP BY cluster_id)
+       |SELECT j.doc_id, j.cluster_id, c.canonical_doc, m.n_members
+       |FROM joined j
+       |JOIN canon c USING (cluster_id)
+       |JOIN counts m USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
 

@@ -95,6 +95,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("near-dup clusters: edges stay intra-cluster, labels are component minima") {
+    val pairs = Dedup.minhashLsh(spark, Sf0001)
+      .filter(col("est_sim") >= Dedup.ClusterMinSim)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val rows = Dedup.cluster(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect() // doc, cluster, canonical, n
+    val labels = rows.map(r => r._1 -> r._2).toMap
+    assert(labels.nonEmpty)
+    // every pair's endpoints landed in the same cluster (transitive closure)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"edge ($a,$b) split across clusters")
+    }
+    val bySize = labels.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (doc, cid, canonical, n) =>
+      // each label is the minimum doc_id of its member set
+      assert(cid === labels.collect { case (d, c) if c == cid => d }.min,
+        s"cluster $cid labeled above its min member")
+      // canonical is a member of the same cluster; counts cover all members
+      assert(labels(canonical) === cid, s"canonical $canonical not a member of $cid")
+      assert(n === bySize(cid), s"member count wrong for $cid")
+      val _ = doc
+    }
+  }
+
   test("custom expressions register as SQL functions via SparkSessionExtensions") {
     import org.apache.spark.sql.SparkSession
     val prior = spark // keep the shared session handle
