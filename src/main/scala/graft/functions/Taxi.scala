@@ -131,14 +131,22 @@ object Taxi {
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Registers inNyc/toCellId/toCoords/toGeoPoint/toLong/hourOfDay by name for
-    * `spark.sql` use. Idempotent per session.
+    * `spark.sql` use. Idempotent per session. The whole check-register-mark
+    * runs under one lock and the session is marked only AFTER registration
+    * succeeds: marking first would let a concurrent caller proceed against
+    * still-missing functions, and a registration failure would poison the
+    * guard for the session's lifetime.
     */
-  def registerAll(spark: SparkSession): Unit = if (registeredSessions.add(spark)) {
-    spark.udf.register("inNyc", (lon: Float, lat: Float) => inNycScalar(lon, lat))
-    spark.udf.register("toCellId", (lon: Float, lat: Float) => toCellIdScalar(lon, lat))
-    spark.udf.register("toCoords", (cellId: Int) => toCoordsScalar(cellId))
-    spark.udf.register("toGeoPoint", (r: Row) => GeoPoint(r.getFloat(0), r.getFloat(1)))
-    spark.udf.register("toLong", (ts: java.sql.Timestamp) => ts.getTime)
-    spark.udf.register("hourOfDay", (ts: Long) => ts % (24L * 60 * 60 * 1000))
+  def registerAll(spark: SparkSession): Unit = registeredSessions.synchronized {
+    if (!registeredSessions.contains(spark)) {
+      spark.udf.register("inNyc", (lon: Float, lat: Float) => inNycScalar(lon, lat))
+      spark.udf.register("toCellId", (lon: Float, lat: Float) => toCellIdScalar(lon, lat))
+      spark.udf.register("toCoords", (cellId: Int) => toCoordsScalar(cellId))
+      spark.udf.register("toGeoPoint", (r: Row) => GeoPoint(r.getFloat(0), r.getFloat(1)))
+      spark.udf.register("toLong", (ts: java.sql.Timestamp) => ts.getTime)
+      spark.udf.register("hourOfDay", (ts: Long) => ts % (24L * 60 * 60 * 1000))
+      registeredSessions.add(spark)
+      ()
+    }
   }
 }

@@ -324,8 +324,12 @@ object Dedup {
     est.orderBy("doc_a", "doc_b")
   }
 
-  val minhashLshOracle: String =
-    s"""WITH $shinglesCte,
+  // The minhash CTE chain (shingles -> sig -> bands -> cands) and the
+  // est_sim projection, defined ONCE and composed into both the
+  // dedup_minhash_lsh oracle and the dedup_cluster oracle — a second copy
+  // of the pair semantics would let the two oracles drift apart silently.
+  private val minhashCandsCte: String =
+    s"""$shinglesCte,
        |sig AS (
        |  SELECT doc_id, p,
        |    min(((((p + 1) * 2654435761) % $P31)
@@ -343,13 +347,19 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
        |    AND a.doc_id < b.doc_id
-       |)
-       |SELECT doc_a, doc_b,
+       |)""".stripMargin
+
+  private val estSimSelect: String =
+    s"""SELECT doc_a, doc_b,
        |  CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
        |FROM cands
        |JOIN sig sa ON sa.doc_id = doc_a
        |JOIN sig sb ON sb.doc_id = doc_b AND sb.p = sa.p
-       |GROUP BY doc_a, doc_b
+       |GROUP BY doc_a, doc_b""".stripMargin
+
+  val minhashLshOracle: String =
+    s"""WITH $minhashCandsCte
+       |$estSimSelect
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------------
@@ -359,9 +369,10 @@ object Dedup {
   /** Pairs with est_sim below this are LSH candidate noise, not dup edges. */
   val ClusterMinSim = 0.5
 
-  /** Safety bound on propagation rounds; components converge in
-    * O(diameter) rounds and near-dup clusters are shallow, so hitting this
-    * means a bug, not a big graph.
+  /** Safety bound on propagation rounds. With the pointer-jump step each
+    * round roughly halves the remaining label-chain length, so convergence
+    * is O(log diameter) and 64 rounds covers any representable graph —
+    * hitting this bound means a bug, not a big graph.
     */
   private val MaxClusterRounds = 64
 
@@ -375,14 +386,18 @@ object Dedup {
     * count — i.e. the output IS the keep/drop list: keep where
     * doc_id = canonical_doc.
     *
-    * Distributed min-label propagation: each round every vertex takes the
-    * min of its own and its neighbors' labels (one join on vertex id + one
-    * min-aggregate — both shuffle-on-key, no driver data). Rounds needed =
-    * component diameter, which for near-dup chains is small; each round
-    * `localCheckpoint`s the label table so round N's plan doesn't replay
-    * rounds 1..N-1 (at cluster scale, swap for `checkpoint` against a
-    * reliable dir — same contract, executor-loss-safe). The driver sees
-    * only the changed-label COUNT per round (convergence probe).
+    * Distributed min-label propagation with pointer jumping: each round
+    * every vertex takes the min of its own and its neighbors' labels (one
+    * join on vertex id + one min-aggregate), then adopts the label OF its
+    * new label (one more join) — the classic shortcut step, so a length-L
+    * label chain collapses in O(log L) rounds instead of O(L) and even a
+    * pathological near-dup chain of thousands of documents converges in a
+    * few dozen rounds. All steps are shuffle-on-key DataFrame ops, no
+    * driver data; each round `localCheckpoint`s the label table so round
+    * N's plan doesn't replay rounds 1..N-1 (at cluster scale, swap for
+    * `checkpoint` against a reliable dir — same contract,
+    * executor-loss-safe). The driver sees only the changed-label COUNT per
+    * round (convergence probe).
     */
   def cluster(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashLsh(spark, dir)
@@ -406,10 +421,17 @@ object Dedup {
         val nbrMin = edges
           .join(labels.withColumnRenamed("id", "dst"), "dst")
           .groupBy("src").agg(min("label").as("nmin"))
-        val updated = labels
+        val hooked = labels
           .join(nbrMin.withColumnRenamed("src", "id"), "id") // every vertex has a neighbor
           .select(col("id"), col("label").as("old_label"),
-            least(col("label"), col("nmin")).as("label"))
+            least(col("label"), col("nmin")).as("mid"))
+        // pointer jump: labels are themselves vertex ids, so look up the
+        // current label of my tentative label and adopt it if smaller
+        val updated = hooked
+          .join(labels.select(col("id").as("mid_id"), col("label").as("jump")),
+            col("mid") === col("mid_id"), "left")
+          .select(col("id"), col("old_label"),
+            least(col("mid"), coalesce(col("jump"), col("mid"))).as("label"))
           .localCheckpoint()
         changed = updated.filter(col("label") =!= col("old_label")).count()
         labels = updated.select("id", "label")
@@ -439,12 +461,7 @@ object Dedup {
   private val clusterCte: String =
     s"""sim_pairs AS (
        |  SELECT doc_a, doc_b FROM (
-       |    SELECT doc_a, doc_b,
-       |      CAST(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
-       |    FROM cands
-       |    JOIN sig sa ON sa.doc_id = doc_a
-       |    JOIN sig sb ON sb.doc_id = doc_b AND sb.p = sa.p
-       |    GROUP BY doc_a, doc_b
+       |    ${estSimSelect.replace("\n", "\n    ")}
        |  ) WHERE est_sim >= $ClusterMinSim
        |),
        |edges AS (
@@ -458,29 +475,6 @@ object Dedup {
        |),
        |clusters AS (
        |  SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id
-       |)""".stripMargin
-
-  // the shared minhash CTE chain (shingles -> sig -> bands -> cands),
-  // lifted verbatim from minhashLshOracle so the pair semantics can't drift
-  private val minhashCandsCte: String =
-    s"""$shinglesCte,
-       |sig AS (
-       |  SELECT doc_id, p,
-       |    min(((((p + 1) * 2654435761) % $P31)
-       |         * (CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % $P31)
-       |         + ((p + 1) * 1013904223) % $P31) % $P31) AS minh
-       |  FROM shingles, range(0, $NumPerms) r(p)
-       |  GROUP BY doc_id, p
-       |),
-       |bands AS (
-       |  SELECT doc_id, p % ${NumPerms / BandRows} AS band,
-       |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY p) AS band_sig
-       |  FROM sig GROUP BY doc_id, band
-       |),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-       |    AND a.doc_id < b.doc_id
        |)""".stripMargin
 
   val clusterOracle: String =

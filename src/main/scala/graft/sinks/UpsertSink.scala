@@ -225,8 +225,25 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
     }
   }
 
-  def snapshot(spark: org.apache.spark.sql.SparkSession): DataFrame =
-    spark.read.parquet(path).drop("bucket") // bucket= is layout, not data
+  /** Full lake contents. Goes through [[DirPublish.readable]] PER BUCKET:
+    * a crash inside a bucket publish leaves only the `.bak-bucket=N` copy,
+    * which a plain recursive read skips (dot-prefixed), silently dropping
+    * every key hashed into that bucket — the same fallback upsert and
+    * Compaction already honor.
+    */
+  def snapshot(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("bucket=") => n.stripPrefix("bucket=")
+      case n if n.startsWith(".bak-bucket=") => n.stripPrefix(".bak-bucket=")
+    }.distinct
+    val dirs = ids.flatMap { id =>
+      DirPublish.readable(fs, new org.apache.hadoop.fs.Path(root, s"bucket=$id")).map(_.toString)
+    }
+    if (dirs.isEmpty) spark.read.parquet(path).drop("bucket") // preserve the empty-lake error
+    else spark.read.parquet(dirs: _*).drop("bucket") // bucket= is layout, not data
+  }
 }
 
 /** Shared crash-safe directory publish, used by both the upsert sink and

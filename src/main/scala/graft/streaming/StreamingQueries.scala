@@ -226,20 +226,26 @@ object CascadeQ4 {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Level1Schema)
 
   // ---- replay markers ------------------------------------------------------
-  // One file per in-flight batch attempt: "ALL" or newline-separated bucket
-  // ids. tmp+rename so a torn marker write is invisible.
+  // One file per in-flight batch ATTEMPT: "ALL" or newline-separated bucket
+  // ids. tmp+rename so a torn marker write is invisible, and every attempt
+  // publishes under a fresh unique name — replacing the previous attempt's
+  // marker in place (delete + rename) would open a window with NO marker on
+  // disk, and a crash there permanently reopens the stale-bucket divergence
+  // this protocol exists to close. Attempts accumulate only until the
+  // batch's level-2 recompute completes (clearMarkers); readMarkers unions
+  // whatever survives.
 
   private[graft] def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
                           dir: org.apache.hadoop.fs.Path,
                           batchId: Long, buckets: Option[Seq[Long]]): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(dir, s"$batchId.tmp")
-    val fin = new org.apache.hadoop.fs.Path(dir, s"$batchId.marker")
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$batchId-$attempt.tmp")
+    val fin = new org.apache.hadoop.fs.Path(dir, s"$batchId-$attempt.marker")
     val out = fs.create(tmp, true)
     try buckets match {
       case None => out.writeBytes("ALL\n")
       case Some(bs) => bs.foreach(b => out.writeBytes(s"$b\n"))
     } finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false) // replay republishes
     if (!fs.rename(tmp, fin))
       throw new java.io.IOException(s"cascade marker publish failed: $tmp -> $fin")
   }

@@ -132,6 +132,26 @@ class StorageSpec extends SparkSpec {
       === ((1 to 8).toSet - 3).map(i => (i, i.toLong)) + ((3, 33L)))
   }
 
+  test("snapshot reads a bucket's bak copy when a crash tore its publish") {
+    import spark.implicits._
+    import graft.sinks.ParquetUpsertSink
+    val path = Files.createTempDirectory("tornlake").toString + "/store"
+    val sink = new ParquetUpsertSink(path, Seq("k"), nBuckets = 2)
+    sink.upsert(Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v"))
+    val full = sink.snapshot(spark).as[(String, Long)].collect().toSet
+    assert(full === Set(("a", 1L), ("b", 2L), ("c", 3L)))
+    // simulate a crash inside DirPublish.publish: live dir renamed aside,
+    // replacement never arrived — only .bak-bucket=N remains on disk
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val torn = fs.listStatus(root).map(_.getPath)
+      .find(_.getName.startsWith("bucket=")).get
+    assert(fs.rename(torn, new org.apache.hadoop.fs.Path(root, s".bak-${torn.getName}")))
+    // a plain recursive parquet read would skip the dot-dir and drop rows
+    assert(sink.snapshot(spark).as[(String, Long)].collect().toSet === full,
+      "snapshot dropped the torn bucket instead of reading its bak copy")
+  }
+
   test("composite upsert keys: delimiter inside a field and NULLs stay distinct") {
     import spark.implicits._
     import graft.sinks.{MemoryUpsertSink, ParquetUpsertSink}
