@@ -76,6 +76,22 @@ class PlanSpec extends SparkSpec {
       "START/END pairing must be a keyed join")
   }
 
+  test("q3_over_recent windows over the FULL cell id (no coarse-bucket parallelism cap)") {
+    val p = plan(TaxiQueries.q3OverRecent(spark, Sf0001))
+    assert(p.contains("RangeFrame"), s"OVER frame missing:\n${p.take(800)}")
+    // the window's partitioning must be the raw cell column — a derived
+    // coarse bucket (the old cell % 5) caps the sort at bucket-count tasks
+    val part = p.linesIterator.find(_.contains("hashpartitioning")).getOrElse("")
+    assert(part.contains("hashpartitioning(cell#") && !part.contains("%"),
+      s"window must partition by the full cell id: $part")
+  }
+
+  test("cluster assembly stays keyed: no nested-loop joins in the final plan") {
+    val p = plan(Dedup.cluster(spark, Sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster members/stats joins must be equi-joins:\n${p.take(800)}")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     val restore = Seq(
