@@ -177,6 +177,28 @@ class StorageSpec extends SparkSpec {
     assert(memNull.size === 2)
   }
 
+  test("KeyCodec row rendering is injective over arbitrary key tuples (property)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import graft.sinks.KeyCodec
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    val schema = StructType(Seq(StructField("k1", StringType), StructField("k2", StringType)))
+    val fields = Seq("k1", "k2")
+    def row(a: String, b: String) =
+      new GenericRowWithSchema(Array[Any](a, b), schema): org.apache.spark.sql.Row
+    // adversarial alphabet: delimiter chars, digits (could blur into the
+    // length prefix), the v/n tags themselves, nulls
+    val part = Gen.oneOf(
+      Gen.const(null: String),
+      Gen.listOf(Gen.oneOf(':', 'v', 'n', '1', '2', 'a', 'b')).map(_.mkString))
+    val prop = Prop.forAll(part, part, part, part) { (a1, a2, b1, b2) =>
+      val same = (a1 == b1) && (a2 == b2)
+      (KeyCodec.render(row(a1, a2), fields) == KeyCodec.render(row(b1, b2), fields)) == same
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(res.passed, s"KeyCodec injectivity falsified: ${res.status}")
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     val out = Files.createTempDirectory("evolve").toString + "/t"
     import spark.implicits._
