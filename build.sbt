@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through instead of routing it
+// via sbt's logger: the logger stamps every line with "[info] ", which
+// breaks machine consumers that expect Bench/Verify to emit a bare JSON
+// line (the bench driver json-parses the run output).
+run / outputStrategy := Some(StdoutOutput)
+// ... and drop the trailing "[success] Total time ..." line for the same
+// reason: the JSON line should be the last thing a runMain prints.
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -409,8 +409,14 @@ object Dedup {
       .toDF("src", "dst")
       .persist()
     val members = try {
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
+      // fused round 0: seed each vertex with min(own id, min neighbor id)
+      // instead of just its own id — one aggregate replaces what would
+      // otherwise be the first (and codegen-cold, so most expensive) loop
+      // round; the fixpoint is unchanged because min-label propagation is
+      // monotone and this seeding sits between the identity labeling and
+      // the fixpoint
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), min(col("src"))).as("label"))
         .localCheckpoint()
       var round = 0
       var changed = 1L
