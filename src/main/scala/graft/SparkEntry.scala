@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_cluster" -> (Dedup.cluster _),
+    "dedup_incremental" -> (Dedup.incremental _),
     "dedup_editdist" -> (Dedup.editDistance _),
     // similarity search
     "sim_topk_bf" -> (Similarity.topkBruteforce _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minhashLshOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_cluster" -> Dedup.clusterOracle,
+    "dedup_incremental" -> Dedup.incrementalOracle,
     "dedup_editdist" -> Dedup.editDistanceOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,

@@ -268,13 +268,11 @@ object Dedup {
   private def affineA(p: Int): Long = ((p + 1) * 2654435761L) % P31 // Knuth multiplier
   private def affineB(p: Int): Long = ((p + 1) * 1013904223L) % P31 // Numerical-Recipes inc
 
-  /** 16-slot MinHash signatures (affine permutations of one base hash per
-    * shingle), banded 4x4; candidate pairs share at least one band bucket;
-    * est_sim = matching slots / 16. The full LSH pipeline: signature build
-    * is one shuffle on (doc, perm); banding one shuffle on band key; no
-    * cross join.
+  /** Banded MinHash signatures — (doc_id, sig, band, band_sig), the shared
+    * candidate-generation core of [[minhashLsh]], [[cluster]] and
+    * [[incremental]].
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val numBands = NumPerms / BandRows
     val hashes = (0 until NumPerms)
@@ -305,9 +303,24 @@ object Dedup {
     // 30-query benchmark session) and no join-back. Cost: 4 extra longs x 16
     // per band row through one shuffle (~512 B/doc); the two identical band
     // subplans collapse into one computed exchange via ReuseExchange.
-    val bands = sig.select(col("doc_id"), col("sig"), explode(array((0 until numBands).map(b =>
+    sig.select(col("doc_id"), col("sig"), explode(array((0 until numBands).map(b =>
       struct(lit(b).as("band"), bandSig(b).as("band_sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("sig"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+  }
+
+  /** Slot-agreement similarity estimate from two signature arrays. */
+  private def estSimCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / NumPerms
+
+  /** 16-slot MinHash signatures (affine permutations of one base hash per
+    * shingle), banded 4x4; candidate pairs share at least one band bucket;
+    * est_sim = matching slots / 16. The full LSH pipeline: signature build
+    * is one shuffle on (doc, perm); banding one shuffle on band key; no
+    * cross join.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
     // est_sim from the two signature arrays directly (no slot explosion);
     // distinct dedupes multi-band collisions (sig_a/sig_b are functionally
     // dependent on the doc ids, so they don't change the distinct key)
@@ -316,10 +329,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-      .withColumn("est_sim",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / NumPerms)
+      .withColumn("est_sim", estSimCol(col("sig_a"), col("sig_b")))
       .select("doc_a", "doc_b", "est_sim")
     est.orderBy("doc_a", "doc_b")
   }
@@ -328,7 +338,7 @@ object Dedup {
   // est_sim projection, defined ONCE and composed into both the
   // dedup_minhash_lsh oracle and the dedup_cluster oracle — a second copy
   // of the pair semantics would let the two oracles drift apart silently.
-  private val minhashCandsCte: String =
+  private val minhashSigBandsCte: String =
     s"""$shinglesCte,
        |sig AS (
        |  SELECT doc_id, p,
@@ -342,7 +352,10 @@ object Dedup {
        |  SELECT doc_id, p % ${NumPerms / BandRows} AS band,
        |    string_agg(CAST(minh AS VARCHAR), ',' ORDER BY p) AS band_sig
        |  FROM sig GROUP BY doc_id, band
-       |),
+       |)""".stripMargin
+
+  private val minhashCandsCte: String =
+    s"""$minhashSigBandsCte,
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
@@ -361,6 +374,86 @@ object Dedup {
     s"""WITH $minhashCandsCte
        |$estSimSelect
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Incremental dedup: new batch vs existing corpus
+  // -------------------------------------------------------------------------
+
+  /** An incoming doc whose best corpus match estimates at or above this is
+    * a near-duplicate of the corpus and is dropped.
+    */
+  val IncrDupSim = 0.5
+
+  /** The daily-ingest shape of near-dup dedup: a NEW batch of documents is
+    * checked against the EXISTING corpus, and only cross-side pairs are
+    * generated — never incoming x incoming or corpus x corpus, so the
+    * candidate volume scales with the batch, not the corpus. The split here
+    * is deterministic (doc_id % 10 >= 8 is the incoming 20%) so the whole
+    * operator has a DuckDB oracle; a production pipeline would instead
+    * PERSIST the corpus band table (it is keyed, fixed-width per doc) and
+    * join each day's batch bands against it — the plan below is exactly
+    * that join, with the corpus bands derived on the fly.
+    *
+    * Output, one row per incoming doc: `keep` (no corpus match at
+    * est_sim >= [[IncrDupSim]]), best corpus match id (-1 if no candidate)
+    * and its est_sim (0.0 if none). Ties on est_sim break to the lowest
+    * corpus doc id, so the result is deterministic; est_sim values are
+    * k/16 (exact binary fractions), so the double equality the tie-break
+    * relies on is bit-safe in both engines.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val incoming = bands.filter(col("doc_id") % 10 >= 8)
+    val corpus = bands.filter(col("doc_id") % 10 < 8)
+    // band-bucket equi-join, incoming side small: AQE broadcasts it when a
+    // day's batch fits, and falls back to a keyed shuffle when it doesn't
+    val cand = incoming.as("i").join(corpus.as("c"), Seq("band", "band_sig"))
+      .select(col("i.doc_id").as("doc_id"), col("c.doc_id").as("corp_doc"),
+        col("i.sig").as("sig_i"), col("c.sig").as("sig_c"))
+      .distinct()
+      .withColumn("est_sim", estSimCol(col("sig_i"), col("sig_c")))
+    // argmax by (est_sim, -corp_doc): best match, ties to lowest corpus id
+    val best = cand.groupBy("doc_id")
+      .agg(max(struct(col("est_sim"), (-col("corp_doc")).as("neg_doc"))).as("b"))
+      .select(col("doc_id"), col("b.est_sim").as("match_sim"),
+        (-col("b.neg_doc")).as("match_doc"))
+    docs(spark, dir).select("doc_id").filter(col("doc_id") % 10 >= 8)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("match_sim"), lit(0.0)) < IncrDupSim).as("keep"),
+        coalesce(col("match_doc"), lit(-1L)).as("match_doc"),
+        coalesce(col("match_sim"), lit(0.0)).as("match_sim"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalOracle: String =
+    s"""WITH $minhashSigBandsCte,
+       |xcands AS (
+       |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corp_doc
+       |  FROM bands i JOIN bands c ON i.band = c.band AND i.band_sig = c.band_sig
+       |  WHERE i.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+       |),
+       |xsim AS (
+       |  SELECT x.doc_id, x.corp_doc,
+       |    CAST(sum(CASE WHEN si.minh = sc.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+       |  FROM xcands x
+       |  JOIN sig si ON si.doc_id = x.doc_id
+       |  JOIN sig sc ON sc.doc_id = x.corp_doc AND sc.p = si.p
+       |  GROUP BY x.doc_id, x.corp_doc
+       |),
+       |best AS (SELECT doc_id, max(est_sim) AS match_sim FROM xsim GROUP BY doc_id),
+       |bm AS (
+       |  SELECT b.doc_id, b.match_sim, min(x.corp_doc) AS match_doc
+       |  FROM best b JOIN xsim x ON x.doc_id = b.doc_id AND x.est_sim = b.match_sim
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(bm.match_sim, CAST(0.0 AS DOUBLE)) < CAST($IncrDupSim AS DOUBLE) AS keep,
+       |  CAST(coalesce(bm.match_doc, -1) AS BIGINT) AS match_doc,
+       |  coalesce(bm.match_sim, CAST(0.0 AS DOUBLE)) AS match_sim
+       |FROM documents d LEFT JOIN bm ON bm.doc_id = d.doc_id
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------------
   // Near-dup clusters (connected components) + canonical doc per cluster

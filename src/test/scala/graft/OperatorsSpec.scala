@@ -119,6 +119,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup agrees with the full minhash pair set on cross-side pairs") {
+    // the full pair enumeration, restricted to (incoming, corpus) pairs,
+    // must reproduce incremental()'s keep/match decisions exactly
+    def incomingSide(id: Long) = id % 10 >= 8
+    val cross = Dedup.minhashLsh(spark, Sf0001)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, s) =>
+        if (incomingSide(a) && !incomingSide(b)) Some((a, b, s))
+        else if (incomingSide(b) && !incomingSide(a)) Some((b, a, s))
+        else None
+      }
+    val byIncoming = cross.groupBy(_._1)
+    val rows = Dedup.incremental(spark, Sf0001)
+      .as[(Long, Boolean, Long, Double)].collect() // doc, keep, match_doc, match_sim
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (d, _, _, _) => incomingSide(d) })
+    rows.foreach { case (doc, keep, matchDoc, matchSim) =>
+      byIncoming.get(doc) match {
+        case None =>
+          assert(keep && matchDoc == -1L && matchSim == 0.0,
+            s"doc $doc has no corpus candidate but reported ($keep, $matchDoc, $matchSim)")
+        case Some(cands) =>
+          val bestSim = cands.map(_._3).max
+          val bestDoc = cands.filter(_._3 == bestSim).map(_._2).min
+          assert(matchSim === bestSim, s"doc $doc best sim $bestSim != $matchSim")
+          assert(matchDoc === bestDoc, s"doc $doc best match $bestDoc != $matchDoc")
+          assert(keep === (bestSim < Dedup.IncrDupSim), s"doc $doc keep flag wrong")
+      }
+    }
+  }
+
   test("custom expressions register as SQL functions via SparkSessionExtensions") {
     import org.apache.spark.sql.SparkSession
     val prior = spark // keep the shared session handle
