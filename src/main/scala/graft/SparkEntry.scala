@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference parity (SURVEY §2.1-2.7)
     "src_rides" -> (TaxiQueries.srcRides _),
+    "src_docs_jsonl" -> (graft.sources.DocsJsonl.srcDocsJsonl _),
     "q1_tumble" -> (TaxiQueries.q1Tumble _),
     "q2_tumble_sql" -> (TaxiQueries.q2TumbleSql _),
     "q3_over_window" -> (TaxiQueries.q3OverWindow _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_cluster" -> Dedup.clusterOracle,
     "dedup_incremental" -> Dedup.incrementalOracle,
+    "src_docs_jsonl" -> graft.sources.DocsJsonl.srcDocsJsonlOracle,
     "dedup_editdist" -> Dedup.editDistanceOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,
