@@ -61,6 +61,7 @@ object SparkEntry {
     "pipe_pack_chunks" -> (Training.packChunks _),
     "pipe_manifest" -> (Pipeline.manifest _),
     "pipe_dq_report" -> (Pipeline.dqReport _),
+    "pipe_zorder_layout" -> (Pipeline.zorderLayout _),
     "emb_quantize" -> (Training.quantize _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "dedup_cluster" -> Dedup.clusterOracle,
     "dedup_incremental" -> Dedup.incrementalOracle,
     "src_docs_jsonl" -> graft.sources.DocsJsonl.srcDocsJsonlOracle,
+    "pipe_zorder_layout" -> Pipeline.zorderLayoutOracle,
     "dedup_editdist" -> Dedup.editDistanceOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,

@@ -212,4 +212,79 @@ object Pipeline {
        |  FROM survivors
        |)
        |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Z-order layout key (multi-dimensional data placement)
+  // -------------------------------------------------------------------------
+
+  /** Bits interleaved per dimension (dims capped to 2^ZBits - 1). */
+  val ZBits = 10
+
+  /** Z-curve tiling depth: shard = top [[ZShardBits]] bits of zval. */
+  val ZShardBits = 4
+
+  /** Bit-interleave expression over pre-bucketed columns `x`,`y` (both in
+    * [0, 2^ZBits)): bit i of x lands at position 2i, bit i of y at 2i+1.
+    * Generated once for each SQL dialect from the same loop, so the Spark
+    * plan and the DuckDB oracle cannot drift.
+    */
+  private def zInterleave(x: String, y: String, duck: Boolean): String =
+    (0 until ZBits).map { i =>
+      if (duck)
+        s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+      else
+        s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  /** Z-ORDER LAYOUT KEY: assigns every document a position on a Z-curve
+    * over (length bucket, lang hash bucket) — the two dimensions corpus
+    * scans actually filter on — plus a shard id from the curve's top
+    * [[ZShardBits]] bits.
+    *
+    * Why this is the 100 TB data-placement story: writing the corpus
+    * range-partitioned and sorted by `zval` (see [[zorderWrite]]) makes
+    * every parquet file's (n_chars, lang) min/max footer stats TIGHT in
+    * BOTH dimensions simultaneously, so a filter on either dimension — or
+    * both — prunes most files before any task runs. A single-dimension
+    * sort gives tight stats in one dimension and useless stats in the
+    * other. The shard assignment here is static bit-tiling (top curve
+    * bits), NOT ntile: no global sort, no single-task window, fully
+    * parallel at any scale.
+    */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr(
+        "doc_id",
+        s"least(n_chars, ${(1 << ZBits) - 1}) AS x_len",
+        s"(CAST(conv(substr(md5(lang), 1, 15), 16, 10) AS LONG) % ${1 << ZBits}) AS y_lang")
+      .selectExpr("doc_id", "x_len", "y_lang",
+        s"${zInterleave("x_len", "y_lang", duck = false)} AS zval")
+      .selectExpr("doc_id", "x_len", "y_lang", "zval",
+        s"shiftright(zval, ${2 * ZBits - ZShardBits}) AS shard")
+      .orderBy("doc_id")
+
+  val zorderLayoutOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    least(n_chars, ${(1 << ZBits) - 1}) AS x_len,
+       |    (CAST(concat('0x', substr(md5(lang), 1, 15)) AS BIGINT) % ${1 << ZBits}) AS y_lang
+       |  FROM documents
+       |)
+       |SELECT doc_id, x_len, y_lang,
+       |  ${zInterleave("x_len", "y_lang", duck = true)} AS zval,
+       |  ${zInterleave("x_len", "y_lang", duck = true)} >> ${2 * ZBits - ZShardBits} AS shard
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** The write path the layout key exists for: range-partition by zval
+    * (sampled bounds — a parallel exchange, not a global sort) and sort
+    * within each partition, yielding one tight-stats parquet file per
+    * range. Returns the written file count for verification.
+    */
+  def zorderWrite(spark: SparkSession, dir: String, out: String, numFiles: Int): Long = {
+    zorderLayout(spark, dir)
+      .repartitionByRange(numFiles, col("zval"), col("doc_id"))
+      .sortWithinPartitions("zval", "doc_id")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out).select(input_file_name()).distinct().count()
+  }
 }

@@ -150,6 +150,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("z-order key interleaves losslessly and shards are the curve's top bits") {
+    val rows = Pipeline.zorderLayout(spark, Sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect() // doc, x, y, zval, shard
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, x, y, zval, shard) =>
+      // decode the curve position back to its coordinates
+      var (dx, dy) = (0L, 0L)
+      for (i <- 0 until Pipeline.ZBits) {
+        dx |= ((zval >> (2 * i)) & 1L) << i
+        dy |= ((zval >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx === x && dy === y, s"doc $doc: zval $zval decodes to ($dx,$dy) not ($x,$y)")
+      assert(shard === (zval >> (2 * Pipeline.ZBits - Pipeline.ZShardBits)),
+        s"doc $doc: shard $shard is not the top bits of $zval")
+    }
+  }
+
   test("custom expressions register as SQL functions via SparkSessionExtensions") {
     import org.apache.spark.sql.SparkSession
     val prior = spark // keep the shared session handle

@@ -9,6 +9,25 @@ import graft.operators.Pipeline
   */
 class StorageSpec extends SparkSpec {
 
+  test("z-ordered write yields disjoint per-file zval ranges (prunable footer stats)") {
+    val out = Files.createTempDirectory("zorder").toString + "/corpus"
+    val nFiles = Pipeline.zorderWrite(spark, Sf0001, out, 4)
+    assert(nFiles === 4L)
+    // range partitioning on zval must give non-overlapping file ranges —
+    // that disjointness is exactly what makes parquet min/max stats prune
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("zval").as("lo"), max("zval").as("hi"))
+      .select("lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: hi $hi1 > next lo $lo2")
+      case _ => ()
+    }
+  }
+
   test("curated corpus written partitioned by lang prunes partitions on read") {
     val out = Files.createTempDirectory("corpus").toString
     Pipeline.corpusFilter(spark, Sf0001)
