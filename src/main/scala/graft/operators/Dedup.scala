@@ -401,15 +401,33 @@ object Dedup {
     * k/16 (exact binary fractions), so the double equality the tie-break
     * relies on is bit-safe in both engines.
     */
-  def incremental(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
-    val incoming = bands.filter(col("doc_id") % 10 >= 8)
-    val corpus = bands.filter(col("doc_id") % 10 < 8)
-    // band-bucket equi-join, incoming side small: AQE broadcasts it when a
-    // day's batch fits, and falls back to a keyed shuffle when it doesn't
-    val cand = incoming.as("i").join(corpus.as("c"), Seq("band", "band_sig"))
+  /** Single-column join key `band:band_sig` — injective because the band
+    * number contains no ':' and band_sig is comma-joined digits. One string
+    * key (instead of the (band, band_sig) pair) is what lets the persisted
+    * corpus table bucket on it directly.
+    */
+  private def bandKey = concat_ws(":", col("band"), col("band_sig")).as("band_key")
+
+  private[graft] def incomingBandKeys(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(spark, dir).filter(col("doc_id") % 10 >= 8)
+      .select(bandKey, col("doc_id"), col("sig"))
+
+  private[graft] def corpusBandKeys(spark: SparkSession, dir: String): DataFrame =
+    minhashBands(spark, dir).filter(col("doc_id") % 10 < 8)
+      .select(bandKey, col("doc_id"), col("sig"))
+
+  /** Candidate (incoming, corpus) pairs from a band-bucket equi-join.
+    * Incoming side small: AQE broadcasts it when a day's batch fits, and
+    * falls back to a keyed shuffle when it doesn't.
+    */
+  private[graft] def candidatePairs(incoming: DataFrame, corpus: DataFrame): DataFrame =
+    incoming.as("i").join(corpus.as("c"), "band_key")
       .select(col("i.doc_id").as("doc_id"), col("c.doc_id").as("corp_doc"),
         col("i.sig").as("sig_i"), col("c.sig").as("sig_c"))
+
+  /** Per-incoming-doc verdict from the candidate pair set. */
+  private def incrementalVerdict(spark: SparkSession, dir: String, candRaw: DataFrame): DataFrame = {
+    val cand = candRaw
       .distinct()
       .withColumn("est_sim", estSimCol(col("sig_i"), col("sig_c")))
     // argmax by (est_sim, -corp_doc): best match, ties to lowest corpus id
@@ -425,6 +443,30 @@ object Dedup {
         coalesce(col("match_sim"), lit(0.0)).as("match_sim"))
       .orderBy("doc_id")
   }
+
+  def incremental(spark: SparkSession, dir: String): DataFrame =
+    incrementalVerdict(spark, dir,
+      candidatePairs(incomingBandKeys(spark, dir), corpusBandKeys(spark, dir)))
+
+  /** Persist the corpus band table BUCKETED by the band key — the artifact
+    * a production incremental pipeline maintains between ingests. Each
+    * day's batch then joins against it with no shuffle on the corpus side
+    * (see [[incrementalAgainst]]): the corpus' band rows are already
+    * hash-placed by band_key on disk, so only the (small) batch moves.
+    */
+  def persistCorpusBands(spark: SparkSession, dir: String, table: String,
+      buckets: Int = 16): Unit =
+    corpusBandKeys(spark, dir)
+      .write.mode("overwrite").bucketBy(buckets, "band_key").saveAsTable(table)
+
+  /** [[incremental]] against a pre-persisted corpus band table: identical
+    * verdicts, but the corpus is never re-shingled, re-hashed, or
+    * re-shuffled — the only per-ingest work is the batch's own signatures
+    * plus one co-located join.
+    */
+  def incrementalAgainst(spark: SparkSession, dir: String, table: String): DataFrame =
+    incrementalVerdict(spark, dir,
+      candidatePairs(incomingBandKeys(spark, dir), spark.table(table)))
 
   val incrementalOracle: String =
     s"""WITH $minhashSigBandsCte,

@@ -67,6 +67,32 @@ class StorageSpec extends SparkSpec {
     s2.sql("DROP TABLE IF EXISTS o_b")
   }
 
+  test("incremental dedup against a persisted band table: same verdicts, corpus never shuffles") {
+    import graft.operators.Dedup
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle question
+    Dedup.persistCorpusBands(s2, Sf0001, "corpus_bands_t", buckets = 4)
+    try {
+      // the persisted path must reproduce the derive-everything path exactly
+      val fromTable = Dedup.incrementalAgainst(s2, Sf0001, "corpus_bands_t").collect()
+      val derived = Dedup.incremental(s2, Sf0001).collect()
+      assert(fromTable.toSeq === derived.toSeq)
+      // and the candidate join must move only the batch: exactly one
+      // band_key exchange (the incoming side) — the bucketed corpus scan
+      // joins in place
+      val cand = Dedup.candidatePairs(
+        Dedup.incomingBandKeys(s2, Sf0001), s2.table("corpus_bands_t"))
+      cand.write.format("noop").mode("overwrite").save() // finalize AQE plan
+      val plan = cand.queryExecution.executedPlan.toString
+      val nBandKeyExchanges = "Exchange hashpartitioning\\(band_key".r
+        .findAllIn(plan).length
+      assert(nBandKeyExchanges === 1,
+        s"expected only the incoming side to shuffle on band_key, got $nBandKeyExchanges:\n${plan.take(1500)}")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_bands_t"); ()
+    }
+  }
+
   test("parquet upsert sink: keyed merge rewrites only touched buckets, honors deletes") {
     import spark.implicits._
     import graft.sinks.ParquetUpsertSink
