@@ -85,6 +85,24 @@ object DocsJsonl {
       .json(staged)
   }
 
+  /** Streaming ingest of a directory JSONL files land in — the continuous
+    * form of [[srcDocsJsonl]] (same declared schema, same PERMISSIVE
+    * policy, same clean-row predicate). `maxFilesPerTrigger` is the
+    * backpressure knob a real landing zone needs; file-source streaming
+    * tracks processed files in the checkpoint, so a crashed ingest resumes
+    * without re-reading or skipping a file.
+    */
+  def streamFromJsonl(spark: SparkSession, stagedDir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(stagedDir)
+      .filter(col("doc_id").isNotNull)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
   val srcDocsJsonlOracle: String =
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin

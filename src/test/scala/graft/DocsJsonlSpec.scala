@@ -31,4 +31,20 @@ class DocsJsonlSpec extends SparkSpec {
         .count() === DocsJsonl.CorruptLines.toLong)
     } finally { all.unpersist(); () }
   }
+
+  test("streaming JSONL ingest equals the batch read (availableNow drain)") {
+    val staged = DocsJsonl.stage(spark, Sf0001)
+    val q = DocsJsonl.streamFromJsonl(spark, staged, maxFilesPerTrigger = 2)
+      .writeStream
+      .format("memory")
+      .queryName("jsonl_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(60000) finally q.stop()
+    val streamed = spark.table("jsonl_stream")
+    val batch = DocsJsonl.srcDocsJsonl(spark, Sf0001)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
 }
