@@ -178,7 +178,10 @@ object Dedup {
     * inverted-index self-join at scale).
     */
   private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    shinglesOf(docs(spark, dir))
+
+  private[operators] def shinglesOf(docsDf: DataFrame): DataFrame =
+    docsDf
       // tokenize ONCE into a column: referencing split(...) inside the
       // transform lambda would re-split the whole text per n-gram (O(n^2))
       .selectExpr("doc_id", "split(text, ' ') AS toks")
@@ -272,8 +275,10 @@ object Dedup {
     * candidate-generation core of [[minhashLsh]], [[cluster]] and
     * [[incremental]].
     */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(shingles(spark, dir))
+
+  private def minhashBandsOf(sh: DataFrame): DataFrame = {
     val numBands = NumPerms / BandRows
     val hashes = (0 until NumPerms)
       .map(p => s"(${affineA(p)}L * h31 + ${affineB(p)}L) % ${P31}L").mkString("array(", ", ", ")")
@@ -408,13 +413,18 @@ object Dedup {
     */
   private def bandKey = concat_ws(":", col("band"), col("band_sig")).as("band_key")
 
-  private[graft] def incomingBandKeys(spark: SparkSession, dir: String): DataFrame =
-    minhashBands(spark, dir).filter(col("doc_id") % 10 >= 8)
+  /** Band-keyed signature rows for an arbitrary (doc_id, text) relation —
+    * the unit of work an ingest computes for each new batch.
+    */
+  private[graft] def bandKeysOf(docsDf: DataFrame): DataFrame =
+    minhashBandsOf(shinglesOf(docsDf))
       .select(bandKey, col("doc_id"), col("sig"))
 
+  private[graft] def incomingBandKeys(spark: SparkSession, dir: String): DataFrame =
+    bandKeysOf(docs(spark, dir).filter(col("doc_id") % 10 >= 8))
+
   private[graft] def corpusBandKeys(spark: SparkSession, dir: String): DataFrame =
-    minhashBands(spark, dir).filter(col("doc_id") % 10 < 8)
-      .select(bandKey, col("doc_id"), col("sig"))
+    bandKeysOf(docs(spark, dir).filter(col("doc_id") % 10 < 8))
 
   /** Candidate (incoming, corpus) pairs from a band-bucket equi-join.
     * Incoming side small: AQE broadcasts it when a day's batch fits, and
@@ -425,9 +435,12 @@ object Dedup {
       .select(col("i.doc_id").as("doc_id"), col("c.doc_id").as("corp_doc"),
         col("i.sig").as("sig_i"), col("c.sig").as("sig_c"))
 
-  /** Per-incoming-doc verdict from the candidate pair set. */
-  private def incrementalVerdict(spark: SparkSession, dir: String, candRaw: DataFrame): DataFrame = {
-    val cand = candRaw
+  /** Per-new-doc verdict for an arbitrary batch of (doc_id, text) rows
+    * against a corpus band relation — the reusable core of the batch
+    * operator, the persisted-table path and the streaming ingest.
+    */
+  private[graft] def verdictFor(newDocs: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val cand = candidatePairs(bandKeysOf(newDocs), corpusBands)
       .distinct()
       .withColumn("est_sim", estSimCol(col("sig_i"), col("sig_c")))
     // argmax by (est_sim, -corp_doc): best match, ties to lowest corpus id
@@ -435,7 +448,7 @@ object Dedup {
       .agg(max(struct(col("est_sim"), (-col("corp_doc")).as("neg_doc"))).as("b"))
       .select(col("doc_id"), col("b.est_sim").as("match_sim"),
         (-col("b.neg_doc")).as("match_doc"))
-    docs(spark, dir).select("doc_id").filter(col("doc_id") % 10 >= 8)
+    newDocs.select("doc_id")
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (coalesce(col("match_sim"), lit(0.0)) < IncrDupSim).as("keep"),
@@ -445,8 +458,8 @@ object Dedup {
   }
 
   def incremental(spark: SparkSession, dir: String): DataFrame =
-    incrementalVerdict(spark, dir,
-      candidatePairs(incomingBandKeys(spark, dir), corpusBandKeys(spark, dir)))
+    verdictFor(docs(spark, dir).filter(col("doc_id") % 10 >= 8),
+      corpusBandKeys(spark, dir))
 
   /** Persist the corpus band table BUCKETED by the band key — the artifact
     * a production incremental pipeline maintains between ingests. Each
@@ -465,8 +478,27 @@ object Dedup {
     * plus one co-located join.
     */
   def incrementalAgainst(spark: SparkSession, dir: String, table: String): DataFrame =
-    incrementalVerdict(spark, dir,
-      candidatePairs(incomingBandKeys(spark, dir), spark.table(table)))
+    verdictFor(docs(spark, dir).filter(col("doc_id") % 10 >= 8),
+      spark.table(table))
+
+  /** STREAMING incremental dedup: each micro-batch of new (doc_id, text)
+    * documents is signature-hashed and joined against the persisted corpus
+    * band table, and its verdicts are handed to `sink` (append semantics —
+    * a verdict never changes once emitted, because it depends only on the
+    * doc itself and the corpus snapshot). This is the full daily-ingest
+    * loop running continuously: the corpus is never recomputed, per-batch
+    * work is proportional to the batch. Admitted keepers would then be
+    * appended to the corpus band table out-of-band (a compaction-style
+    * maintenance job, not the hot path).
+    */
+  def incrementalStream(newDocs: DataFrame, corpusTable: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) sink(verdictFor(batch, batch.sparkSession.table(corpusTable)))
+      }
+      .start()
 
   val incrementalOracle: String =
     s"""WITH $minhashSigBandsCte,

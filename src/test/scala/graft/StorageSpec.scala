@@ -93,6 +93,38 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental dedup: per-batch verdicts against the persisted corpus equal the batch run") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    Dedup.persistCorpusBands(spark, Sf0001, "corpus_bands_s", buckets = 4)
+    try {
+      val incoming = spark.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 >= 8)
+        .select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(incoming.length > 1)
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      val input = MemoryStream[(Long, String)](spark)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long, Double)]
+      val q = Dedup.incrementalStream(
+        input.toDF().toDF("doc_id", "text"), "corpus_bands_s") { verdicts =>
+        got ++= verdicts.as[(Long, Boolean, Long, Double)].collect(); ()
+      }
+      try {
+        input.addData(first.toSeq); q.processAllAvailable()
+        input.addData(second.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // batch boundaries must not change verdicts: each verdict depends
+      // only on the doc and the corpus snapshot
+      val batch = Dedup.incremental(spark, Sf0001)
+        .as[(Long, Boolean, Long, Double)].collect().sortBy(_._1)
+      assert(got.sortBy(_._1).toSeq === batch.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS corpus_bands_s"); ()
+    }
+  }
+
   test("parquet upsert sink: keyed merge rewrites only touched buckets, honors deletes") {
     import spark.implicits._
     import graft.sinks.ParquetUpsertSink
