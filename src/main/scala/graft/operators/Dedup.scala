@@ -420,11 +420,22 @@ object Dedup {
     minhashBandsOf(shinglesOf(docsDf))
       .select(bandKey, col("doc_id"), col("sig"))
 
+  /** The deterministic 80/20 corpus/incoming split — the SINGLE definition
+    * every incremental path (derive-on-the-fly, persisted-table, oracle
+    * fixtures) shares; editing the split fraction here keeps them all in
+    * sync. The oracle SQL mirrors the same predicate.
+    */
+  private[graft] def corpusDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).filter(col("doc_id") % 10 < 8)
+
+  private[graft] def incomingDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).filter(col("doc_id") % 10 >= 8)
+
   private[graft] def incomingBandKeys(spark: SparkSession, dir: String): DataFrame =
-    bandKeysOf(docs(spark, dir).filter(col("doc_id") % 10 >= 8))
+    bandKeysOf(incomingDocs(spark, dir))
 
   private[graft] def corpusBandKeys(spark: SparkSession, dir: String): DataFrame =
-    bandKeysOf(docs(spark, dir).filter(col("doc_id") % 10 < 8))
+    bandKeysOf(corpusDocs(spark, dir))
 
   /** Candidate (incoming, corpus) pairs from a band-bucket equi-join.
     * Incoming side small: AQE broadcasts it when a day's batch fits, and
@@ -458,8 +469,7 @@ object Dedup {
   }
 
   def incremental(spark: SparkSession, dir: String): DataFrame =
-    verdictFor(docs(spark, dir).filter(col("doc_id") % 10 >= 8),
-      corpusBandKeys(spark, dir))
+    verdictFor(incomingDocs(spark, dir), corpusBandKeys(spark, dir))
 
   /** Persist the corpus band table BUCKETED by the band key — the artifact
     * a production incremental pipeline maintains between ingests. Each
@@ -478,8 +488,7 @@ object Dedup {
     * plus one co-located join.
     */
   def incrementalAgainst(spark: SparkSession, dir: String, table: String): DataFrame =
-    verdictFor(docs(spark, dir).filter(col("doc_id") % 10 >= 8),
-      spark.table(table))
+    verdictFor(incomingDocs(spark, dir), spark.table(table))
 
   /** STREAMING incremental dedup: each micro-batch of new (doc_id, text)
     * documents is signature-hashed and joined against the persisted corpus
@@ -490,15 +499,24 @@ object Dedup {
     * work is proportional to the batch. Admitted keepers would then be
     * appended to the corpus band table out-of-band (a compaction-style
     * maintenance job, not the hot path).
+    *
+    * `checkpointLocation` pins the query's offset log: the append
+    * contract ("a verdict never changes once emitted") only survives a
+    * crash if the restarted query resumes from the recorded offsets —
+    * with only a temporary checkpoint, a restart replays the source from
+    * scratch and re-emits every verdict as a duplicate. Production
+    * callers must pass it; tests that never restart may omit it.
     */
-  def incrementalStream(newDocs: DataFrame, corpusTable: String)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    newDocs.writeStream
+  def incrementalStream(newDocs: DataFrame, corpusTable: String,
+      checkpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = newDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) sink(verdictFor(batch, batch.sparkSession.table(corpusTable)))
       }
-      .start()
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
 
   val incrementalOracle: String =
     s"""WITH $minhashSigBandsCte,

@@ -285,6 +285,10 @@ object Pipeline {
       .repartitionByRange(numFiles, col("zval"), col("doc_id"))
       .sortWithinPartitions("zval", "doc_id")
       .write.mode("overwrite").parquet(out)
-    spark.read.parquet(out).select(input_file_name()).distinct().count()
+    // count files by LISTING the output dir — O(#files) metadata, zero data
+    // read; re-scanning what was just written would double the job's I/O
+    val path = new org.apache.hadoop.fs.Path(out)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(path).count(_.getPath.getName.startsWith("part-")).toLong
   }
 }

@@ -26,9 +26,16 @@ class DocsJsonlSpec extends SparkSpec {
     val all = DocsJsonl.parsedWithCorrupt(spark, Sf0001).persist()
     try {
       val corrupt = all.filter(col("_corrupt_record").isNotNull)
-      assert(corrupt.count() === DocsJsonl.CorruptLines.toLong)
+      assert(corrupt.count() ===
+        (DocsJsonl.CorruptLines + DocsJsonl.PartialLines).toLong)
       assert(corrupt.filter(col("_corrupt_record").contains("truncated-mid-record"))
         .count() === DocsJsonl.CorruptLines.toLong)
+      // the partial-parse class: Spark 4 fills fields parsed before the
+      // error, so these rows have a NON-NULL doc_id and must still be
+      // quarantined — an id-presence-only clean predicate leaks them
+      val partial = corrupt.filter(col("doc_id").isNotNull)
+      assert(partial.count() === DocsJsonl.PartialLines.toLong)
+      assert(parsed.filter(col("doc_id") >= 90000000L).count() === 0L)
     } finally { all.unpersist(); () }
   }
 
@@ -40,7 +47,8 @@ class DocsJsonlSpec extends SparkSpec {
       .queryName("jsonl_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination(60000) finally q.stop()
+    try assert(q.awaitTermination(60000), "stream did not drain within 60s")
+    finally q.stop()
     val streamed = spark.table("jsonl_stream")
     val batch = DocsJsonl.srcDocsJsonl(spark, Sf0001)
     assert(streamed.count() === batch.count())

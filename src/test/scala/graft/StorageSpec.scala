@@ -82,8 +82,14 @@ class StorageSpec extends SparkSpec {
       // joins in place
       val cand = Dedup.candidatePairs(
         Dedup.incomingBandKeys(s2, Sf0001), s2.table("corpus_bands_t"))
-      cand.write.format("noop").mode("overwrite").save() // finalize AQE plan
+      // collect() executes cand's OWN QueryExecution, so the adaptive plan
+      // inspected below is the finalized one (a noop write would execute a
+      // separate QueryExecution and leave this one un-finalized). A
+      // finalized AdaptiveSparkPlan's toString prints the final AND the
+      // initial plan — scope the count to the final section only.
+      cand.collect()
       val plan = cand.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       val nBandKeyExchanges = "Exchange hashpartitioning\\(band_key".r
         .findAllIn(plan).length
       assert(nBandKeyExchanges === 1,
