@@ -518,6 +518,41 @@ object Dedup {
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
+  /** ADMISSION — the maintenance step that closes the ingest loop: the
+    * band rows of a batch's kept documents are appended to the persisted
+    * corpus band table, so the NEXT ingest's verdicts see them as corpus.
+    * Returns the number of documents admitted.
+    *
+    * The append preserves the table's bucket layout (bucket count is read
+    * from the catalog and re-declared, which Spark validates against the
+    * existing spec), so the per-ingest join stays shuffle-free on the
+    * corpus side forever — the corpus grows, its placement invariant
+    * doesn't. Each append adds at most one file per bucket; a compaction
+    * pass (see sinks) folds them when small files accumulate. Run this
+    * AFTER the batch's verdicts are emitted, never concurrently with
+    * them: verdicts are defined against the pre-batch snapshot, and
+    * admitting mid-batch would make them order-dependent.
+    */
+  def admitToCorpus(newDocs: DataFrame, verdicts: DataFrame, table: String): Long = {
+    val spark = newDocs.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(s"$table is not a bucketed band table"))
+    // materialize the kept set BEFORE touching the table: `verdicts` is
+    // typically a lazy plan over the very table this appends to, so any
+    // post-append evaluation would see the grown corpus (every keeper
+    // then matches itself) — pin the pre-append answer in the cache
+    val kept = verdicts.filter(col("keep")).select("doc_id").persist()
+    try {
+      val nKept = kept.count()
+      val keepers = newDocs.select("doc_id", "text").join(kept, "doc_id")
+      bandKeysOf(keepers).write.mode("append")
+        .bucketBy(buckets, "band_key").saveAsTable(table)
+      nKept
+    } finally { kept.unpersist(); () }
+  }
+
   val incrementalOracle: String =
     s"""WITH $minhashSigBandsCte,
        |xcands AS (

@@ -99,6 +99,55 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("admission closes the ingest loop: admitted keepers are corpus for the next batch, layout preserved") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // broadcast disabled so the final layout assertion asks the real 100TB
+    // question — a broadcastable corpus never exercises its buckets
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Dedup.persistCorpusBands(s2, Sf0001, "corpus_admit_t", buckets = 4)
+    try {
+      val corpusTable = "corpus_admit_t"
+      val batch1 = s2.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 === 8).select("doc_id", "text")
+      // collect verdicts BEFORE admitting: v1 is lazy over the table the
+      // admission mutates, so later evaluations would see the grown corpus
+      val v1 = Dedup.verdictFor(batch1, s2.table(corpusTable))
+      val v1Rows = v1.as[(Long, Boolean, Long, Double)].collect()
+      val nKept = v1Rows.count(_._2).toLong
+      assert(nKept > 0)
+      assert(Dedup.admitToCorpus(batch1, v1, corpusTable) === nKept)
+
+      // batch 2 carries an exact clone of an admitted batch-1 keeper under
+      // a fresh id: only the ADMITTED rows can flag it, so a hit proves
+      // the append is visible (not vacuous corpus overlap)
+      val keeperId = v1Rows.filter(_._2).map(_._1).min
+      val clone = batch1.filter(col("doc_id") === keeperId)
+        .select(lit(77000001L).as("doc_id"), col("text"))
+      val batch2 = s2.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 === 9).select("doc_id", "text")
+        .unionByName(clone)
+      val v2 = Dedup.verdictFor(batch2, s2.table(corpusTable))
+        .as[(Long, Boolean, Long, Double)].collect()
+      val cloneVerdict = v2.find(_._1 === 77000001L).get
+      assert(!cloneVerdict._2, "clone of an admitted keeper must be flagged dup")
+      assert(cloneVerdict._3 === keeperId)
+      assert(cloneVerdict._4 === 1.0)
+
+      // and the grown table still joins without a corpus-side shuffle
+      val cand = Dedup.candidatePairs(
+        Dedup.bandKeysOf(batch2), s2.table(corpusTable))
+      cand.collect()
+      val plan = cand.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"),
+        s"corpus scan lost bucketing after append:\n${plan.take(1200)}")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_admit_t"); ()
+    }
+  }
+
   test("streaming incremental dedup: per-batch verdicts against the persisted corpus equal the batch run") {
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
