@@ -148,6 +148,83 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("self-growing stream admits per batch: a later clone of an admitted keeper is flagged") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val s2 = spark.newSession()
+    Dedup.persistCorpusBands(s2, Sf0001, "corpus_grow_s", buckets = 4)
+    try {
+      val batch1 = s2.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 === 8).select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val input = MemoryStream[(Long, String)](s2)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long, Double)]
+      val q = Dedup.incrementalStreamAdmitting(
+        input.toDF().toDF("doc_id", "text"), "corpus_grow_s") { verdicts =>
+        got ++= verdicts.as[(Long, Boolean, Long, Double)].collect(); ()
+      }
+      try {
+        input.addData(batch1.toSeq); q.processAllAvailable()
+        val keeper = got.filter(_._2).map(_._1).min
+        val keeperText = batch1.find(_._1 === keeper).get._2
+        got.clear()
+        // second micro-batch: an exact clone of a batch-1 keeper — only
+        // batch 1's ADMISSION can flag it
+        input.addData(Seq((88000001L, keeperText))); q.processAllAvailable()
+        val clone = got.find(_._1 === 88000001L).get
+        assert(!clone._2, "clone of a batch-1 keeper must be flagged dup")
+        assert(clone._3 === keeper)
+        assert(clone._4 === 1.0)
+      } finally q.stop()
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_grow_s"); ()
+    }
+  }
+
+  test("band-table compaction folds per-append files to one per bucket, verdicts unchanged") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Dedup.persistCorpusBands(s2, Sf0001, "corpus_compact_t", buckets = 4)
+    try {
+      // two admissions accumulate extra per-bucket files
+      for (m <- Seq(8, 9)) {
+        val b = s2.read.parquet(s"$Sf0001/documents.parquet")
+          .filter(col("doc_id") % 10 === m).select("doc_id", "text")
+        Dedup.admitToCorpus(b, Dedup.verdictFor(b, s2.table("corpus_compact_t")),
+          "corpus_compact_t")
+      }
+      val rowsBefore = s2.table("corpus_compact_t").count()
+      val probe = s2.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 === 7).select("doc_id", "text")
+      val vBefore = Dedup.verdictFor(probe, s2.table("corpus_compact_t"))
+        .as[(Long, Boolean, Long, Double)].collect().toSeq
+
+      val (before, after) = Dedup.compactCorpusBands(s2, "corpus_compact_t")
+      assert(before > 4, s"expected accumulated files, got $before")
+      assert(after <= 4, s"expected one file per bucket, got $after")
+      // distinct() may only REMOVE replayed duplicates, never real rows
+      assert(s2.table("corpus_compact_t").count() === rowsBefore)
+
+      val vAfter = Dedup.verdictFor(probe, s2.table("corpus_compact_t"))
+        .as[(Long, Boolean, Long, Double)].collect().toSeq
+      assert(vAfter === vBefore)
+      // the rebuilt table still joins bucketed (rename kept the spec)
+      val cand = Dedup.candidatePairs(
+        Dedup.bandKeysOf(probe), s2.table("corpus_compact_t"))
+      cand.collect()
+      val plan = cand.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"),
+        s"compacted table lost bucketing:\n${plan.take(1200)}")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_compact_t")
+      s2.sql("DROP TABLE IF EXISTS corpus_compact_t_compact_tmp"); ()
+    }
+  }
+
   test("streaming incremental dedup: per-batch verdicts against the persisted corpus equal the batch run") {
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
