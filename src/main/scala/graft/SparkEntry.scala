@@ -62,6 +62,7 @@ object SparkEntry {
     "pipe_manifest" -> (Pipeline.manifest _),
     "pipe_dq_report" -> (Pipeline.dqReport _),
     "pipe_zorder_layout" -> (Pipeline.zorderLayout _),
+    "pipe_shuffle_shards" -> ((s: SparkSession, d: String) => Pipeline.shuffleShards(s, d)),
     "emb_quantize" -> (Training.quantize _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalOracle,
     "src_docs_jsonl" -> graft.sources.DocsJsonl.srcDocsJsonlOracle,
     "pipe_zorder_layout" -> Pipeline.zorderLayoutOracle,
+    "pipe_shuffle_shards" -> Pipeline.shuffleShardsOracle,
     "dedup_editdist" -> Dedup.editDistanceOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,

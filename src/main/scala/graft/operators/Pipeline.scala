@@ -280,6 +280,53 @@ object Pipeline {
     * within each partition, yielding one tight-stats parquet file per
     * range. Returns the written file count for verification.
     */
+  /** Shards for [[shuffleShards]]. Sized ≥ worker parallelism in
+    * production (e.g. 1024 at cluster scale): the per-shard position
+    * window sorts N/shards rows per task, so shard count IS the
+    * parallelism of the ordering step — never a handful.
+    */
+  val NumShards = 32
+
+  /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the corpus ordering a
+    * training run consumes. Every doc gets a pseudo-random but
+    * key-stable shuffle key md5(seed:doc_id); its top bits pick the
+    * shard (contiguous key ranges, statically defined — no sampled
+    * bounds, so the assignment is reproducible across engines and
+    * runs); `pos` is the doc's index within its shard (resumable
+    * training needs "shard 17, position 90210", not "wherever the
+    * reader happened to be").
+    *
+    * Scale: one map pass + a per-shard sort window. No global total
+    * order is ever materialized — the global shuffle is the KEY SPACE,
+    * shards sort independently in parallel. Changing the seed reshuffles
+    * everything; keeping it reproduces the exact epoch ordering.
+    */
+  def shuffleShards(spark: SparkSession, dir: String, seed: String = "epoch0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id"))).as("skey"))
+      .withColumn("shard",
+        expr(s"CAST(conv(substr(skey, 1, 15), 16, 10) AS LONG) % $NumShards"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("skey", "doc_id"))
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val shuffleShardsOracle: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, skey,
+       |    CAST(concat('0x', substr(skey, 1, 15)) AS BIGINT) % $NumShards AS shard
+       |  FROM k
+       |)
+       |SELECT doc_id, skey, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+       |FROM s ORDER BY doc_id""".stripMargin
+
   def zorderWrite(spark: SparkSession, dir: String, out: String, numFiles: Int): Long = {
     zorderLayout(spark, dir)
       .repartitionByRange(numFiles, col("zval"), col("doc_id"))

@@ -167,6 +167,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("shuffle shards: reproducible per seed, contiguous per-shard positions, every doc placed") {
+    val e0 = Pipeline.shuffleShards(spark, Sf0001, "epoch0")
+      .as[(Long, String, Long, Long)].collect()
+    val nDocs = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    assert(e0.length.toLong === nDocs) // a shuffle must lose/duplicate nothing
+    // same seed == identical epoch ordering; new seed == actually reshuffled
+    val e0again = Pipeline.shuffleShards(spark, Sf0001, "epoch0")
+      .as[(Long, String, Long, Long)].collect()
+    assert(e0again.toSeq === e0.toSeq)
+    val e1 = Pipeline.shuffleShards(spark, Sf0001, "epoch1")
+      .as[(Long, String, Long, Long)].collect()
+    assert(e1.map(r => r._1 -> r._4).toMap !== e0.map(r => r._1 -> r._4).toMap)
+    // positions are exactly 1..count within each shard (resumability needs
+    // a dense index, not a sparse one), and shards are in range
+    e0.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < Pipeline.NumShards)
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // the 60-bit hash spreads docs: no shard hoards the corpus
+    assert(e0.groupBy(_._3).values.map(_.length).max < nDocs / 4)
+  }
+
   test("custom expressions register as SQL functions via SparkSessionExtensions") {
     import org.apache.spark.sql.SparkSession
     val prior = spark // keep the shared session handle
