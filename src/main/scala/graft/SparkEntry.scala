@@ -63,6 +63,7 @@ object SparkEntry {
     "pipe_dq_report" -> (Pipeline.dqReport _),
     "pipe_zorder_layout" -> (Pipeline.zorderLayout _),
     "pipe_shuffle_shards" -> ((s: SparkSession, d: String) => Pipeline.shuffleShards(s, d)),
+    "pipe_mixture_sample" -> (Pipeline.mixtureSample _),
     "emb_quantize" -> (Training.quantize _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
@@ -130,6 +131,7 @@ object SparkEntry {
     "src_docs_jsonl" -> graft.sources.DocsJsonl.srcDocsJsonlOracle,
     "pipe_zorder_layout" -> Pipeline.zorderLayoutOracle,
     "pipe_shuffle_shards" -> Pipeline.shuffleShardsOracle,
+    "pipe_mixture_sample" -> Pipeline.mixtureSampleOracle,
     "dedup_editdist" -> Dedup.editDistanceOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,

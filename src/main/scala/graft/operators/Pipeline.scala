@@ -327,6 +327,60 @@ object Pipeline {
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** 2^60 as a double — the hash-threshold scale for rate sampling. */
+  private val HashSpace = "1152921504606846976.0"
+
+  /** MIXTURE SAMPLING — the data-mixing step of corpus assembly: each
+    * source is down-sampled so the OUTPUT proportions match a target
+    * mixture (here weights derived from the source name, `srcK` -> K+1,
+    * standing in for a config map), scaled to the largest corpus the
+    * mixture can support without upsampling (`c = min_s n_s / w_s`; the
+    * binding source keeps everything).
+    *
+    * Scale design: rates come from a tiny per-source aggregate that
+    * broadcast-joins back onto the corpus, and the keep decision is a
+    * per-row hash threshold — map-parallel, no per-source window (a
+    * window partitioned by source caps parallelism at #sources, the
+    * exact 5-task ceiling the q3_over_daily variant was quarantined
+    * for). Counts hit the mixture binomially, which is what every
+    * production sampler accepts in exchange for a one-pass plan; the
+    * seeded hash makes the sample reproducible and doc-id-stable as the
+    * corpus grows.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).selectExpr(
+      "doc_id", "source",
+      "CAST(substr(source, 4) AS BIGINT) + 1 AS w",
+      s"CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS LONG) AS h")
+    val counts = d.groupBy("source")
+      .agg(count("*").as("n"), min("w").as("w"))
+    val c = counts.agg(min(expr("CAST(n AS DOUBLE) / CAST(w AS DOUBLE)")).as("c"))
+    val rates = counts.crossJoin(c)
+      .selectExpr("source", "c * CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS rate")
+    d.join(broadcast(rates), "source")
+      .filter(expr(s"h < CAST(floor(rate * $HashSpace) AS BIGINT)"))
+      .selectExpr("doc_id", "source", "rate")
+      .orderBy("doc_id")
+  }
+
+  val mixtureSampleOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(substr(source, 4) AS BIGINT) + 1 AS w,
+       |    CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+       |  FROM documents
+       |),
+       |counts AS (SELECT source, count(*) AS n, min(w) AS w FROM d GROUP BY source),
+       |c AS (SELECT min(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) AS c FROM counts),
+       |rates AS (
+       |  SELECT source, c.c * CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+       |  FROM counts, c
+       |)
+       |SELECT d.doc_id, d.source, r.rate
+       |FROM d JOIN rates r USING (source)
+       |WHERE d.h < CAST(floor(r.rate * $HashSpace) AS BIGINT)
+       |ORDER BY d.doc_id""".stripMargin
+
   def zorderWrite(spark: SparkSession, dir: String, out: String, numFiles: Int): Long = {
     zorderLayout(spark, dir)
       .repartitionByRange(numFiles, col("zval"), col("doc_id"))

@@ -190,6 +190,32 @@ class OperatorsSpec extends SparkSpec {
     assert(e0.groupBy(_._3).values.map(_.length).max < nDocs / 4)
   }
 
+  test("mixture sample: binding source keeps all, rates follow weights, reproducible") {
+    val kept = Pipeline.mixtureSample(spark, Sf0001)
+      .as[(Long, String, Double)].collect()
+    val perSource = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // rate == 1 for the binding (max weight per doc) source: it keeps all
+    val rates = kept.map(r => r._2 -> r._3).toMap
+    val binding = rates.maxBy(_._2)
+    assert(binding._2 === 1.0, s"binding source should have rate 1.0: $binding")
+    assert(keptBySource(binding._1) === perSource(binding._1))
+    // nothing upsampled, and the sample is a strict mixture (some source
+    // is actually thinned)
+    keptBySource.foreach { case (s, k) => assert(k <= perSource(s)) }
+    assert(kept.length < perSource.values.sum)
+    // high-weight half outkeeps the low-weight half (binomial noise can
+    // reorder neighbors but not the halves)
+    val bySuffix = keptBySource.toSeq
+      .map { case (s, k) => s.drop(3).toInt -> k }.sortBy(_._1).map(_._2)
+    assert(bySuffix.takeRight(10).sum > bySuffix.take(10).sum)
+    // deterministic: same corpus, same sample
+    val again = Pipeline.mixtureSample(spark, Sf0001)
+      .as[(Long, String, Double)].collect()
+    assert(again.toSeq === kept.toSeq)
+  }
+
   test("custom expressions register as SQL functions via SparkSessionExtensions") {
     import org.apache.spark.sql.SparkSession
     val prior = spark // keep the shared session handle
