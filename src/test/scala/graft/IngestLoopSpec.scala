@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.DocsJsonl
+
+/** The full round-trip a production ingest runs continuously, as ONE test:
+  * JSONL files land in a directory -> the declared-schema stream parses and
+  * quarantines them -> each micro-batch is judged against the persisted
+  * corpus band table -> keepers are admitted -> the query is STOPPED and
+  * RESTARTED from its checkpoint with a new file in the landing zone.
+  * The restart must (a) not re-emit batch-1 verdicts (file-source offsets
+  * live in the checkpoint) and (b) see batch-1's admissions as corpus —
+  * the two durability claims the loop's pieces make individually.
+  */
+class IngestLoopSpec extends SparkSpec {
+
+  /** Serialize rows as a single JSONL file dropped into the landing dir —
+    * how files arrive in practice: atomically, one at a time.
+    */
+  private def land(df: org.apache.spark.sql.DataFrame, landing: String, name: String): Unit = {
+    val tmp = Files.createTempDirectory("land_stage").toString
+    df.coalesce(1).write.mode("overwrite").json(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".json")).get
+    Files.move(part.toPath, Paths.get(landing, name), StandardCopyOption.ATOMIC_MOVE); ()
+  }
+
+  test("landing zone to corpus: stream admits, checkpoint restart resumes without re-emitting") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    Dedup.persistCorpusBands(s2, Sf0001, "corpus_loop_t", buckets = 4)
+    val landing = Files.createTempDirectory("landing").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    try {
+      val docs = s2.read.parquet(s"$Sf0001/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      land(docs.filter(col("doc_id") % 10 === 8), landing, "batch1.json")
+
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean, Long, Double)]
+      def run(): Unit = {
+        val q = Dedup.incrementalStreamAdmitting(
+          DocsJsonl.streamFromJsonl(s2, landing), "corpus_loop_t", Some(ckpt)) { v =>
+          got ++= v.select("doc_id", "keep", "match_doc", "match_sim")
+            .as[(Long, Boolean, Long, Double)].collect(); ()
+        }
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      run()
+      val batch1Ids = docs.filter(col("doc_id") % 10 === 8)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got.map(_._1).toSet === batch1Ids)
+      val keeper = got.filter(_._2).map(_._1).min
+      val keeperText = docs.filter(col("doc_id") === keeper)
+        .select("text").as[String].head()
+      got.clear()
+
+      // second landing-zone file arrives while the query is DOWN: the
+      // restarted query must pick up exactly this file, and its clone of a
+      // batch-1 keeper is only flaggable if batch 1's admissions persisted
+      val clone = Seq((88000002L, keeperText, "xx", "probe", keeperText.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      land(docs.filter(col("doc_id") % 10 === 9).unionByName(clone),
+        landing, "batch2.json")
+
+      run()
+      val batch2Ids = docs.filter(col("doc_id") % 10 === 9)
+        .select("doc_id").as[Long].collect().toSet + 88000002L
+      assert(got.map(_._1).toSet === batch2Ids,
+        "restart must emit exactly the new file's verdicts — no batch-1 replay")
+      val cloneV = got.find(_._1 === 88000002L).get
+      assert(!cloneV._2, "clone of an admitted batch-1 keeper must be flagged dup")
+      assert(cloneV._3 === keeper)
+      assert(cloneV._4 === 1.0)
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_loop_t"); ()
+    }
+  }
+}
