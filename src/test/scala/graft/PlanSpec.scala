@@ -92,6 +92,25 @@ class PlanSpec extends SparkSpec {
       s"cluster members/stats joins must be equi-joins:\n${p.take(800)}")
   }
 
+  test("epoch shuffle reads only doc_id and pays exactly one real shuffle") {
+    val p = plan(Pipeline.shuffleShards(spark, Sf0001))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("text") && !read.contains("lang"),
+      s"shuffle key derives from doc_id; scan must not read data columns: $read")
+    // one hashpartitioning(shard) exchange for the per-shard window; the
+    // only other exchange is the oracle-determinism orderBy (range)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected exactly one hash exchange, got $hashEx:\n${p.take(1200)}")
+  }
+
+  test("mixture sampling broadcasts its rates and uses no per-source window") {
+    val p = plan(Pipeline.mixtureSample(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source rates must broadcast back onto the corpus:\n${p.take(800)}")
+    assert(!p.contains("Window"),
+      "the keep decision is a hash threshold — a per-source window would cap parallelism at #sources")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     val restore = Seq(
