@@ -450,8 +450,18 @@ object Dedup {
     * against a corpus band relation — the reusable core of the batch
     * operator, the persisted-table path and the streaming ingest.
     */
-  private[graft] def verdictFor(newDocs: DataFrame, corpusBands: DataFrame): DataFrame = {
-    val cand = candidatePairs(bandKeysOf(newDocs), corpusBands)
+  private[graft] def verdictFor(newDocs: DataFrame, corpusBands: DataFrame): DataFrame =
+    verdictFromBands(newDocs.select("doc_id"), bandKeysOf(newDocs), corpusBands)
+
+  /** [[verdictFor]] with the batch's band rows supplied by the caller —
+    * the streaming path computes them ONCE, persists them, and reuses the
+    * same rows for both the verdict join and the admission append
+    * (shingling + minhashing dominates per-ingest cost; paying it twice
+    * per batch doubled the hot path).
+    */
+  private[graft] def verdictFromBands(newIds: DataFrame, newBands: DataFrame,
+      corpusBands: DataFrame): DataFrame = {
+    val cand = candidatePairs(newBands, corpusBands)
       .distinct()
       .withColumn("est_sim", estSimCol(col("sig_i"), col("sig_c")))
     // argmax by (est_sim, -corp_doc): best match, ties to lowest corpus id
@@ -459,7 +469,7 @@ object Dedup {
       .agg(max(struct(col("est_sim"), (-col("corp_doc")).as("neg_doc"))).as("b"))
       .select(col("doc_id"), col("b.est_sim").as("match_sim"),
         (-col("b.neg_doc")).as("match_doc"))
-    newDocs.select("doc_id")
+    newIds
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (coalesce(col("match_sim"), lit(0.0)) < IncrDupSim).as("keep"),
@@ -533,8 +543,16 @@ object Dedup {
     * them: verdicts are defined against the pre-batch snapshot, and
     * admitting mid-batch would make them order-dependent.
     */
-  def admitToCorpus(newDocs: DataFrame, verdicts: DataFrame, table: String): Long = {
-    val spark = newDocs.sparkSession
+  def admitToCorpus(newDocs: DataFrame, verdicts: DataFrame, table: String): Long =
+    admitBands(bandKeysOf(newDocs.select("doc_id", "text")), verdicts, table)
+
+  /** [[admitToCorpus]] with the batch's band rows supplied by the caller
+    * (the streaming path reuses the cached rows it computed for the
+    * verdict join instead of re-shingling the batch).
+    */
+  private[graft] def admitBands(newBands: DataFrame, verdicts: DataFrame,
+      table: String): Long = {
+    val spark = newBands.sparkSession
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
@@ -546,8 +564,9 @@ object Dedup {
     val kept = verdicts.filter(col("keep")).select("doc_id").persist()
     try {
       val nKept = kept.count()
-      val keepers = newDocs.select("doc_id", "text").join(kept, "doc_id")
-      bandKeysOf(keepers).write.mode("append")
+      newBands.join(kept, "doc_id")
+        .select("band_key", "doc_id", "sig") // append resolves by position
+        .write.mode("append")
         .bucketBy(buckets, "band_key").saveAsTable(table)
       nKept
     } finally { kept.unpersist(); () }
@@ -562,12 +581,19 @@ object Dedup {
     * verdict order-free.
     *
     * Crash semantics: foreachBatch is at-least-once, so a replayed batch
-    * may re-admit its keepers. That is VERDICT-idempotent — duplicate band
-    * rows produce the same candidate pairs after DISTINCT and the same
-    * est_sim — at the cost of dead rows in the table, which the next
-    * [[compactCorpusBands]] pass drops. `sink` must consume its verdicts
-    * before returning (they are computed against the pre-admission
-    * snapshot and cached only for the duration of the call).
+    * re-runs against a corpus that already contains its own keepers. The
+    * verdict join therefore EXCLUDES the batch's own doc ids from the
+    * corpus side (a broadcast anti-join on the tiny batch) — without it a
+    * replayed keeper would match its own admitted band rows at sim 1.0
+    * and be re-emitted as a duplicate of itself. With the exclusion, a
+    * replay sees exactly the corpus the original run saw and re-emits the
+    * same verdicts; the only replay residue is duplicate band rows in the
+    * table, which the next [[compactCorpusBands]] pass drops. `sink` must
+    * consume its verdicts before returning (they are cached only for the
+    * duration of the call).
+    *
+    * The batch is shingled/minhashed ONCE: the cached band rows feed both
+    * the verdict join and the admission append.
     */
   def incrementalStreamAdmitting(newDocs: DataFrame, corpusTable: String,
       checkpointLocation: Option[String] = None)(
@@ -576,16 +602,28 @@ object Dedup {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          val verdicts =
-            verdictFor(batch, batch.sparkSession.table(corpusTable)).persist()
+          val bands = bandKeysOf(batch.select("doc_id", "text")).persist()
           try {
-            sink(verdicts)
-            admitToCorpus(batch, verdicts, corpusTable); ()
-          } finally { verdicts.unpersist(); () }
+            val verdicts = verdictFromBands(
+              batch.select("doc_id"), bands,
+              replaySafeCorpus(batch, corpusTable)).persist()
+            try {
+              sink(verdicts)
+              admitBands(bands, verdicts, corpusTable); ()
+            } finally { verdicts.unpersist(); () }
+          } finally { bands.unpersist(); () }
         }
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
+
+  /** The corpus as this batch must see it: minus any rows the batch
+    * itself already admitted (an at-least-once replay) — broadcast
+    * anti-join, so the corpus side never shuffles for it.
+    */
+  private[graft] def replaySafeCorpus(batch: DataFrame, corpusTable: String): DataFrame =
+    batch.sparkSession.table(corpusTable)
+      .join(broadcast(batch.select("doc_id")), Seq("doc_id"), "left_anti")
 
   /** Fold the per-append small files back to ONE file per bucket — the
     * maintenance pass that keeps the band table healthy under continuous
@@ -593,15 +631,33 @@ object Dedup {
     * hourly ingests is ~9k files per bucket without this). DISTINCT also
     * drops the dead duplicate rows an at-least-once replay can leave.
     *
-    * The rewrite goes through a temp table + catalog rename so a crash
-    * mid-compaction leaves the original intact (the temp is re-created
-    * on retry). The explicit repartition on the bucket column aligns
-    * write tasks with bucket ids — Spark's bucket id and repartition
-    * hashing are both murmur3 pmod n — so each task emits exactly its
-    * one bucket file. Returns (files before, files after).
+    * The rewrite goes through a temp table + catalog rename. A crash
+    * BEFORE the canonical table is dropped leaves the original intact
+    * (the temp is re-created on retry); a crash in the drop-to-rename
+    * window leaves only the temp, which the next call — or any call
+    * after restart — detects and promotes before doing anything else,
+    * so the canonical name is always recoverable without manual surgery.
+    *
+    * SINGLE-WRITER contract: compaction snapshots the table, so an
+    * [[admitToCorpus]] append committing while the rewrite runs would be
+    * silently dropped by the swap. Pause the admitting stream (or run
+    * compaction from the same maintenance scheduler as admission, which
+    * is how every LSM-style maintenance job serializes against its
+    * writers) — never run the two concurrently.
+    *
+    * The explicit repartition on the bucket column aligns write tasks
+    * with bucket ids — Spark's bucket id and repartition hashing are
+    * both murmur3 pmod n — so each task emits exactly its one bucket
+    * file. Returns (files before, files after).
     */
   def compactCorpusBands(spark: SparkSession, table: String): (Long, Long) = {
     val catalog = spark.sessionState.catalog
+    val tmpName = table + "_compact_tmp"
+    // finish a torn previous run: canonical gone + temp present means the
+    // crash hit between DROP and RENAME — promote the temp first
+    if (!catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(table)) &&
+        catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(tmpName)))
+      spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
     def meta = catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
@@ -612,13 +668,12 @@ object Dedup {
       fs.listStatus(p).count(_.getPath.getName.startsWith("part-")).toLong
     }
     val before = fileCount(meta)
-    val tmp = table + "_compact_tmp"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
     spark.table(table).distinct()
       .repartition(buckets, col("band_key"))
-      .write.bucketBy(buckets, "band_key").saveAsTable(tmp)
+      .write.bucketBy(buckets, "band_key").saveAsTable(tmpName)
     spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
     (before, fileCount(meta))
   }
 

@@ -280,12 +280,14 @@ object Pipeline {
     * within each partition, yielding one tight-stats parquet file per
     * range. Returns the written file count for verification.
     */
-  /** Shards for [[shuffleShards]]. Sized ≥ worker parallelism in
+  /** Shards for [[shuffleShards]] — a power of two, since the shard is
+    * the key's top [[ShardBits]] bits. Sized ≥ worker parallelism in
     * production (e.g. 1024 at cluster scale): the per-shard position
     * window sorts N/shards rows per task, so shard count IS the
     * parallelism of the ordering step — never a handful.
     */
-  val NumShards = 32
+  val ShardBits = 5
+  val NumShards: Int = 1 << ShardBits
 
   /** DETERMINISTIC GLOBAL SHUFFLE + SHARDING — the corpus ordering a
     * training run consumes. Every doc gets a pseudo-random but
@@ -306,8 +308,12 @@ object Pipeline {
     docs(spark, dir)
       .select(col("doc_id"),
         md5(concat_ws(":", lit(seed), col("doc_id"))).as("skey"))
+      // top ShardBits of the 60-bit key: each shard is a CONTIGUOUS key
+      // range (concatenating shards 0..N-1 reconstructs the global skey
+      // order; shard files range-prune by key prefix) — a modulo would
+      // interleave the classes and lose both properties
       .withColumn("shard",
-        expr(s"CAST(conv(substr(skey, 1, 15), 16, 10) AS LONG) % $NumShards"))
+        expr(s"shiftright(CAST(conv(substr(skey, 1, 15), 16, 10) AS LONG), ${60 - ShardBits})"))
       .withColumn("pos",
         row_number().over(Window.partitionBy("shard").orderBy("skey", "doc_id"))
           .cast("long"))
@@ -320,7 +326,7 @@ object Pipeline {
        |  FROM documents
        |), s AS (
        |  SELECT doc_id, skey,
-       |    CAST(concat('0x', substr(skey, 1, 15)) AS BIGINT) % $NumShards AS shard
+       |    CAST(concat('0x', substr(skey, 1, 15)) AS BIGINT) >> ${60 - ShardBits} AS shard
        |  FROM k
        |)
        |SELECT doc_id, skey, shard,
@@ -355,8 +361,15 @@ object Pipeline {
     val counts = d.groupBy("source")
       .agg(count("*").as("n"), min("w").as("w"))
     val c = counts.agg(min(expr("CAST(n AS DOUBLE) / CAST(w AS DOUBLE)")).as("c"))
+    // the binding source (its n/w IS the min, same double) gets rate
+    // exactly 1.0: the algebraic (n/w)*(w/n)=1 does not survive double
+    // rounding for every n,w, and "binding keeps everything" is a
+    // contract, not an approximation
     val rates = counts.crossJoin(c)
-      .selectExpr("source", "c * CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS rate")
+      .selectExpr("source",
+        """CASE WHEN CAST(n AS DOUBLE) / CAST(w AS DOUBLE) = c
+          |THEN CAST(1.0 AS DOUBLE)
+          |ELSE c * CAST(w AS DOUBLE) / CAST(n AS DOUBLE) END AS rate""".stripMargin)
     d.join(broadcast(rates), "source")
       .filter(expr(s"h < CAST(floor(rate * $HashSpace) AS BIGINT)"))
       .selectExpr("doc_id", "source", "rate")
@@ -373,7 +386,10 @@ object Pipeline {
        |counts AS (SELECT source, count(*) AS n, min(w) AS w FROM d GROUP BY source),
        |c AS (SELECT min(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) AS c FROM counts),
        |rates AS (
-       |  SELECT source, c.c * CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+       |  SELECT source,
+       |    CASE WHEN CAST(n AS DOUBLE) / CAST(w AS DOUBLE) = c.c
+       |    THEN CAST(1.0 AS DOUBLE)
+       |    ELSE c.c * CAST(w AS DOUBLE) / CAST(n AS DOUBLE) END AS rate
        |  FROM counts, c
        |)
        |SELECT d.doc_id, d.source, r.rate

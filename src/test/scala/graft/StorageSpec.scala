@@ -166,6 +166,7 @@ class StorageSpec extends SparkSpec {
       }
       try {
         input.addData(batch1.toSeq); q.processAllAvailable()
+        val gotBatch1 = got.toVector
         val keeper = got.filter(_._2).map(_._1).min
         val keeperText = batch1.find(_._1 === keeper).get._2
         got.clear()
@@ -176,6 +177,18 @@ class StorageSpec extends SparkSpec {
         assert(!clone._2, "clone of a batch-1 keeper must be flagged dup")
         assert(clone._3 === keeper)
         assert(clone._4 === 1.0)
+        // at-least-once replay of batch 1 (its keepers are now IN the
+        // corpus) must reproduce the original verdicts — the batch's own
+        // rows are excluded from the corpus side, so a keeper does not
+        // match itself
+        val b1df = batch1.toSeq.toDF("doc_id", "text")
+        val replayed = Dedup.verdictFromBands(
+          b1df.select("doc_id"), Dedup.bandKeysOf(b1df),
+          Dedup.replaySafeCorpus(b1df, "corpus_grow_s"))
+          .as[(Long, Boolean, Long, Double)].collect()
+        val original = gotBatch1.sortBy(_._1)
+        assert(replayed.sortBy(_._1).toSeq === original.toSeq,
+          "replay against the self-grown corpus must re-emit the original verdicts")
       } finally q.stop()
     } finally {
       s2.sql("DROP TABLE IF EXISTS corpus_grow_s"); ()
