@@ -238,6 +238,27 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("compaction recovers a torn drop-to-rename window: temp promoted, then compacts normally") {
+    import graft.operators.Dedup
+    val s2 = spark.newSession()
+    Dedup.persistCorpusBands(s2, Sf0001, "corpus_torn_t", buckets = 4)
+    try {
+      val rows = s2.table("corpus_torn_t").count()
+      // simulate the crash: the rewrite finished the temp, dropped the
+      // canonical table, and died before the rename
+      s2.table("corpus_torn_t")
+        .write.bucketBy(4, "band_key").saveAsTable("corpus_torn_t_compact_tmp")
+      s2.sql("DROP TABLE corpus_torn_t")
+      // next maintenance call must promote the temp and then compact
+      val (_, after) = Dedup.compactCorpusBands(s2, "corpus_torn_t")
+      assert(after <= 4)
+      assert(s2.table("corpus_torn_t").count() === rows)
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_torn_t")
+      s2.sql("DROP TABLE IF EXISTS corpus_torn_t_compact_tmp"); ()
+    }
+  }
+
   test("streaming incremental dedup: per-batch verdicts against the persisted corpus equal the batch run") {
     import graft.operators.Dedup
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
