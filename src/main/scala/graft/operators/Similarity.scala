@@ -187,6 +187,46 @@ object Similarity {
     rankTopK(scored)
   }
 
+  /** Persist the IVF index — the corpus with its norms, BUCKETED by the
+    * coarse label — the artifact a production ANN service maintains
+    * between query batches (the similarity-family analogue of the dedup
+    * band table). Norms are computed once at build time, and the bucketed
+    * layout means a query batch's probe join co-locates on label with no
+    * corpus-side shuffle: only queries move, which is the point at
+    * billions of vectors.
+    */
+  def persistIvfIndex(spark: SparkSession, dir: String, table: String,
+      buckets: Int = 8): Unit =
+    withNorm(spark, dir)
+      .select("label", "vec_id", "embedding", "nrm")
+      .write.mode("overwrite").bucketBy(buckets, "label").saveAsTable(table)
+
+  /** [[ivfTopk]] against a pre-built index table: identical results, but
+    * the corpus is never re-normed or re-shuffled — pivots come from a
+    * shuffle-free aggregate over the bucketed table, and the probe join
+    * reads the corpus in place.
+    */
+  def ivfTopkAgainst(spark: SparkSession, dir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.table(table)
+    val pivotIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
+    val pivots = e.join(pivotIds, Seq("label", "vec_id"))
+      .select(col("label").as("p_label"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val q = withNorm(spark, dir).filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("p_cos").desc, col("p_label"))
+    val probed = q.crossJoin(broadcast(pivots))
+      .withColumn("p_cos", dot(col("q_emb"), col("p_emb")) / (col("q_nrm") * col("p_nrm")))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p_label"))
+    val scored = probed.join(e, e("label") === probed("p_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+    rankTopK(scored)
+  }
+
   val ivfTopkOracle: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding,

@@ -238,6 +238,27 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("IVF against a persisted index: identical top-k, corpus reads bucketed in place") {
+    import graft.operators.Similarity
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle question
+    Similarity.persistIvfIndex(s2, Sf0001, "ivf_idx_t", buckets = 4)
+    try {
+      val fromIdx = Similarity.ivfTopkAgainst(s2, Sf0001, "ivf_idx_t")
+      val rows = fromIdx.collect()
+      assert(rows.nonEmpty)
+      // the index path must reproduce the derive-everything path exactly
+      assert(rows.toSeq === Similarity.ivfTopk(s2, Sf0001).collect().toSeq)
+      // and the corpus side of the probe join reads its buckets in place
+      val plan = fromIdx.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"),
+        s"index scan lost bucketing:\n${plan.take(1200)}")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS ivf_idx_t"); ()
+    }
+  }
+
   test("compaction recovers a torn drop-to-rename window: temp promoted, then compacts normally") {
     import graft.operators.Dedup
     val s2 = spark.newSession()
