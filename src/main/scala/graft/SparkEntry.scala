@@ -38,6 +38,7 @@ object SparkEntry {
     "txt_tfidf" -> (TextAnalysis.tfidf _),
     "txt_pii_scrub" -> (TextAnalysis.piiScrub _),
     "txt_repetition" -> (TextAnalysis.repetition _),
+    "txt_vocab_build" -> (TextAnalysis.vocabBuild _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_near_key" -> (Dedup.nearKey _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "sim_topk_bf" -> (Similarity.topkBruteforce _),
     "sim_lsh_neardup" -> (Similarity.lshNearDup _),
     "sim_ivf_topk" -> (Similarity.ivfTopk _),
+    "dedup_semantic" -> (Similarity.semanticDedup _),
     // multimodal plumbing
     "mm_features" -> (Multimodal.features _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -64,6 +66,8 @@ object SparkEntry {
     "pipe_zorder_layout" -> (Pipeline.zorderLayout _),
     "pipe_shuffle_shards" -> ((s: SparkSession, d: String) => Pipeline.shuffleShards(s, d)),
     "pipe_mixture_sample" -> (Pipeline.mixtureSample _),
+    "pipe_dataset_diff" -> (Pipeline.datasetDiff _),
+    "pipe_quality_classify" -> (Pipeline.qualityClassify _),
     "emb_quantize" -> (Training.quantize _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
@@ -141,6 +145,10 @@ object SparkEntry {
     "sim_topk_bf" -> Similarity.topkBruteforceOracle,
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
     "sim_ivf_topk" -> Similarity.ivfTopkOracle,
+    "dedup_semantic" -> Similarity.semanticDedupOracle,
+    "pipe_dataset_diff" -> Pipeline.datasetDiffOracle,
+    "pipe_quality_classify" -> Pipeline.qualityClassifyOracle,
+    "txt_vocab_build" -> TextAnalysis.vocabBuildOracle,
     "mm_features" -> Multimodal.featuresOracle,
     "pipe_corpus_filter" -> Pipeline.corpusFilterOracle,
     "pipe_stratified_sample" -> Pipeline.stratifiedSampleOracle,

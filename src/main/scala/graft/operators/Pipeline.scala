@@ -397,6 +397,127 @@ object Pipeline {
        |WHERE d.h < CAST(floor(r.rate * $HashSpace) AS BIGINT)
        |ORDER BY d.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Dataset snapshot diff (data versioning)
+  // -------------------------------------------------------------------------
+
+  /** SNAPSHOT DIFF — the data-versioning primitive: given two corpus
+    * versions, emit every doc that was ADDED, REMOVED, or CHANGED (content
+    * hash moved), suppressing the unchanged bulk. This is the audit step
+    * between two curation runs ("what did yesterday's ingest actually do")
+    * and the input to incremental downstream rebuilds.
+    *
+    * The two versions are derived deterministically from the one test
+    * corpus (v1 drops doc_id%17==3, v2 drops doc_id%19==7 and rewrites
+    * text for doc_id%13==0) so the operator has a DuckDB oracle; a real
+    * run points the two scans at two snapshot paths.
+    *
+    * Scale: md5 is computed under each scan BEFORE the join, so the full
+    * outer join shuffles (doc_id, 32-byte hash) pairs, never text — at
+    * 100 TB the exchange is ~0.1 % of corpus bytes, and the join is plain
+    * shuffle-on-key with no skew (doc ids are unique).
+    */
+  def datasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = docs(spark, dir).filter("doc_id % 17 != 3")
+      .selectExpr("doc_id", "md5(text) AS old_md5")
+    val v2 = docs(spark, dir).filter("doc_id % 19 != 7")
+      .selectExpr("doc_id",
+        "md5(CASE WHEN doc_id % 13 = 0 THEN concat(text, ' [rev2]') ELSE text END) AS new_md5")
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .selectExpr("doc_id", "status",
+        "coalesce(old_md5, '') AS old_md5", "coalesce(new_md5, '') AS new_md5")
+      .orderBy("doc_id")
+  }
+
+  val datasetDiffOracle: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 17 <> 3
+      |),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]' ELSE text END) AS new_md5
+      |  FROM documents WHERE doc_id % 19 <> 7
+      |),
+      |d AS (
+      |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, old_md5, new_md5,
+      |    CASE WHEN old_md5 IS NULL THEN 'added'
+      |         WHEN new_md5 IS NULL THEN 'removed'
+      |         WHEN old_md5 <> new_md5 THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |)
+      |SELECT doc_id, status, coalesce(old_md5, '') AS old_md5,
+      |  coalesce(new_md5, '') AS new_md5
+      |FROM d WHERE status <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Model-based quality classifier (frozen weights)
+  // -------------------------------------------------------------------------
+
+  /** QUALITY CLASSIFIER — the "fasttext quality filter" stage of a
+    * training-data pipeline, distilled to its deployable form: a frozen
+    * linear model over engineered per-doc features, scored corpus-wide in
+    * one map-only pass. The margin (not a sigmoid) is emitted — keep =
+    * margin >= 0 — because exp() is transcendental and engine-specific
+    * while multiply/add in double is bit-exact everywhere; a monotone link
+    * function changes no decision.
+    *
+    * Features are exact-integer ratios done in double (the oracle builds
+    * the identical expression trees), weights are literals standing in for
+    * trained coefficients. At 100 TB this is scan + project, nothing else.
+    */
+  def qualityClassify(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("doc_id", "n_chars", "text", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "n_chars",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
+        "CAST(size(filter(toks, t -> t IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stop",
+        "CAST(length(regexp_replace(text, '[^0-9]', '')) AS BIGINT) AS n_digits")
+      .selectExpr("doc_id",
+        "CAST(least(n_chars, 500) AS DOUBLE) / 500.0 AS f_len",
+        "CAST(n_stop AS DOUBLE) / n_tokens AS f_stop",
+        "CAST(n_distinct AS DOUBLE) / n_tokens AS f_ttr",
+        "CAST(n_digits AS DOUBLE) / n_chars AS f_digit")
+      .selectExpr("doc_id", "f_len", "f_stop", "f_ttr", "f_digit",
+        "-2.1 + 2.0 * f_len + 3.0 * f_stop + 1.5 * f_ttr - 4.0 * f_digit AS margin")
+      .selectExpr("doc_id", "f_len", "f_stop", "f_ttr", "f_digit", "margin",
+        "margin >= 0.0 AS keep")
+      .orderBy("doc_id")
+
+  val qualityClassifyOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','and','of','to','in','is'))) AS n_stop,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+      |  FROM documents
+      |),
+      |feats AS (
+      |  SELECT doc_id,
+      |    CAST(least(n_chars, 500) AS DOUBLE) / 500.0 AS f_len,
+      |    CAST(n_stop AS DOUBLE) / n_tokens AS f_stop,
+      |    CAST(n_distinct AS DOUBLE) / n_tokens AS f_ttr,
+      |    CAST(n_digits AS DOUBLE) / n_chars AS f_digit
+      |  FROM f
+      |)
+      |SELECT doc_id, f_len, f_stop, f_ttr, f_digit, margin, margin >= 0.0 AS keep
+      |FROM (
+      |  SELECT doc_id, f_len, f_stop, f_ttr, f_digit,
+      |    -2.1 + 2.0 * f_len + 3.0 * f_stop + 1.5 * f_ttr - 4.0 * f_digit AS margin
+      |  FROM feats
+      |)
+      |ORDER BY doc_id""".stripMargin
+
   def zorderWrite(spark: SparkSession, dir: String, out: String, numFiles: Int): Long = {
     zorderLayout(spark, dir)
       .repartitionByRange(numFiles, col("zval"), col("doc_id"))

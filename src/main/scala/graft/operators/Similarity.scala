@@ -125,22 +125,27 @@ object Similarity {
     }
   }
 
+  /** Corpus with norm + hyperplane-sign bucket — the shared LSH sketch
+    * behind [[lshNearDup]] and [[semanticDedup]]. Plane components are
+    * whole numbers in [-1000, 1000] — float-exact, so float_dot over a
+    * float-cast plane literal is bit-identical to the oracle's double
+    * products.
+    */
+  private def sketched(spark: SparkSession, dir: String): DataFrame = {
+    val planes = planeMatrix(64)
+    val bucket = (0 until NumPlanes).map { p =>
+      val proj = dot(col("embedding"), typedLit(planes(p).map(_.toFloat)))
+      when(proj > 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+    withNorm(spark, dir).withColumn("bucket", bucket)
+  }
+
   /** Sign-of-hyperplane-projection sketch: bucket = 6 sign bits. Candidate
     * pairs share a bucket; cosine >= 0.3 confirms. At scale the bucket join
     * replaces the corpus cross-join.
     */
   def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(spark, dir)
-    val dims = 64
-    // plane components are whole numbers in [-1000, 1000] — float-exact, so
-    // float_dot over a float-cast plane literal is bit-identical to the
-    // oracle's double products
-    val planes = planeMatrix(dims)
-    val bucket = (0 until NumPlanes).map { p =>
-      val proj = dot(col("embedding"), typedLit(planes(p).map(_.toFloat)))
-      when(proj > 0, 1 << p).otherwise(0)
-    }.reduce(_ + _)
-    val sketch = e.withColumn("bucket", bucket)
+    val sketch = sketched(spark, dir)
     sketch.as("a").join(sketch.as("b"), Seq("bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",
@@ -260,9 +265,12 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
 
-  val lshNearDupOracle: String = {
+  /** DuckDB rendering of [[sketched]] — defined once and composed into both
+    * bucket-join oracles so the sketch semantics cannot drift between them.
+    */
+  private val duckSketchCte: String = {
     val pc = duckPlaneComponent("p", "d")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding, label,
        |    sqrt(${duckDot("embedding", "embedding")}) AS nrm,
        |    CAST(list_sum(list_transform(range(0, $NumPlanes), p ->
@@ -270,11 +278,76 @@ object Similarity {
        |          CAST(embedding[d + 1] AS DOUBLE) * $pc)) > 0
        |        THEN (1 << p) ELSE 0 END)) AS INT) AS bucket
        |  FROM embeddings
-       |)
+       |)""".stripMargin
+  }
+
+  val lshNearDupOracle: String =
+    s"""WITH $duckSketchCte
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
        |  ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Semantic dedup over embeddings (SemDeDup-style keep/drop verdicts)
+  // -------------------------------------------------------------------------
+
+  /** Same-bucket pairs at or above this cosine are semantic duplicates. */
+  val SemDupSim = 0.35
+
+  /** SEMANTIC DEDUP — the embedding-space dedup stage (SemDeDup, Abbas et
+    * al. 2023, distilled to its data-parallel core): a vector is DROPPED
+    * when some lower-id vector in its LSH bucket sits within cosine >=
+    * [[SemDupSim]]; the verdict row carries the strongest such match as
+    * the audit trail. Unlike [[lshNearDup]] (the pair relation), this is
+    * the per-document keep/drop decision a curation pipeline consumes —
+    * the embedding analogue of the text-side `dedup_incremental` verdict.
+    *
+    * Scale: the sketch is map-only; the candidate join touches only
+    * same-bucket pairs (corpus²/2^planes); the best-match window keys by
+    * the dropped vector id, so state per key is that vector's own bucket
+    * matches — no global sort, no driver data.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sketched(spark, dir)
+    val pairs = s.as("a").join(s.as("b"), Seq("bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= SemDupSim)
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("cand_id"), col("cosine"))
+    val best = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cand_id"), col("cosine"))
+    emb(spark, dir).select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cand_id").isNull.as("keep"),
+        coalesce(col("cand_id"), lit(-1L)).as("match_id"),
+        coalesce(col("cosine"), lit(0.0)).as("match_cos"))
+      .orderBy("vec_id")
   }
+
+  val semanticDedupOracle: String =
+    s"""WITH $duckSketchCte,
+       |pairs AS (
+       |  SELECT b.vec_id AS vec_id, a.vec_id AS cand_id,
+       |    ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $SemDupSim
+       |),
+       |best AS (
+       |  SELECT vec_id, cand_id, cosine FROM (
+       |    SELECT vec_id, cand_id, cosine,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cand_id) AS rn
+       |    FROM pairs
+       |  ) WHERE rn = 1
+       |)
+       |SELECT v.vec_id, best.cand_id IS NULL AS keep,
+       |  coalesce(best.cand_id, CAST(-1 AS BIGINT)) AS match_id,
+       |  coalesce(best.cosine, CAST(0.0 AS DOUBLE)) AS match_cos
+       |FROM embeddings v LEFT JOIN best ON v.vec_id = best.vec_id
+       |ORDER BY v.vec_id""".stripMargin
 }

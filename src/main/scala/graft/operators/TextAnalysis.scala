@@ -319,4 +319,62 @@ object TextAnalysis {
       |)
       |WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Vocabulary construction (tokenizer-training corpus statistics)
+  // -------------------------------------------------------------------------
+
+  /** Vocabulary entries emitted (the top of the frequency table) — sized
+    * BELOW the test corpus' distinct-token count so the truncation path is
+    * actually exercised (at 100 real scale this is 32k-ish).
+    */
+  val VocabSize = 20
+
+  /** VOCABULARY BUILD — the corpus statistic a tokenizer is trained from:
+    * the [[VocabSize]] most frequent tokens with term frequency, document
+    * frequency, and CUMULATIVE CORPUS COVERAGE (what share of all token
+    * occurrences the vocab up to this rank explains — the curve that
+    * decides vocab size). Ties break on the token string, so the table is
+    * fully deterministic.
+    *
+    * Scale shape: tf/df is one shuffle on token with map-side partials;
+    * the top-N is a TakeOrdered (per-partition heads, no global sort);
+    * only the N SURVIVORS flow into the single-partition cumulative
+    * window, so the serial step is O(VocabSize), not O(corpus). The
+    * total-occurrence count rides alongside as a 1-row broadcast.
+    */
+  def vocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    val counts = docs(spark, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+    val total = counts.agg(sum("tf").cast("long").as("total_tf"))
+    counts.orderBy(col("tf").desc, col("token")).limit(VocabSize)
+      .crossJoin(total) // 1-row broadcast: the corpus-occurrence constant
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tf", sum("tf").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .selectExpr("rank", "token", "tf", "df",
+        "CAST(cum_tf AS DOUBLE) / total_tf AS coverage")
+      .orderBy("rank")
+  }
+
+  val vocabBuildOracle: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |counts AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS tf,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM toks GROUP BY token
+       |),
+       |total AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf FROM counts),
+       |top AS (SELECT token, tf, df FROM counts ORDER BY tf DESC, token LIMIT $VocabSize)
+       |SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+       |  token, tf, df,
+       |  CAST(CAST(sum(tf) OVER (ORDER BY tf DESC, token
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+       |    / total_tf AS coverage
+       |FROM top CROSS JOIN total
+       |ORDER BY rank""".stripMargin
 }

@@ -391,4 +391,66 @@ class OperatorsSpec extends SparkSpec {
       .filter { case (_, t) => sh(t).exists(bench.contains) }.map(_._1).toSet
     assert(flagged === expected)
   }
+
+  test("semantic dedup verdicts agree with the LSH pair relation") {
+    val pairs = Similarity.lshNearDup(spark, Sf0001)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val verdicts = Similarity.semanticDedup(spark, Sf0001)
+      .select("vec_id", "keep", "match_id", "match_cos")
+      .as[(Long, Boolean, Long, Double)].collect()
+    // lshNearDup keeps pairs >= 0.3 < SemDupSim, so the dup relation is a subset
+    val dupOf = pairs.filter(_._3 >= Similarity.SemDupSim)
+      .groupBy(_._2).map { case (b, ps) => b -> ps.map(p => (p._3, p._1)).toSeq }
+    for ((id, keep, m, c) <- verdicts) {
+      dupOf.get(id) match {
+        case None => assert(keep && m === -1L && c === 0.0, s"vec $id should be kept clean")
+        case Some(ms) =>
+          val (bestCos, bestId) = ms.maxBy { case (cos, mid) => (cos, -mid) }
+          assert(!keep && m === bestId && c === bestCos,
+            s"vec $id should be dropped with best match $bestId")
+      }
+    }
+    assert(verdicts.count(!_._2) > 0, "threshold must actually drop something at sf0.001")
+  }
+
+  test("dataset diff recovers the exact added/removed/changed sets") {
+    val ids = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id").as[Long].collect().toSet
+    val v1 = ids.filter(_ % 17 != 3)
+    val v2 = ids.filter(_ % 19 != 7)
+    val expected =
+      (v2 -- v1).map(_ -> "added") ++
+        (v1 -- v2).map(_ -> "removed") ++
+        (v1 & v2).filter(_ % 13 == 0).map(_ -> "changed")
+    val got = Pipeline.datasetDiff(spark, Sf0001)
+      .select("doc_id", "status").as[(Long, String)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("quality classifier: margin is the stated linear form and keep is its sign") {
+    val rows = Pipeline.qualityClassify(spark, Sf0001)
+      .select("f_len", "f_stop", "f_ttr", "f_digit", "margin", "keep")
+      .as[(Double, Double, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    for ((fl, fs, ft, fd, m, keep) <- rows) {
+      assert(fl >= 0 && fl <= 1 && fs >= 0 && fs <= 1 && ft >= 0 && ft <= 1 && fd >= 0 && fd <= 1)
+      assert(m === -2.1 + 2.0 * fl + 3.0 * fs + 1.5 * ft - 4.0 * fd)
+      assert(keep === (m >= 0.0))
+    }
+    // frozen weights on this corpus must separate, not rubber-stamp
+    assert(rows.exists(_._6) && rows.exists(!_._6), "classifier should split the corpus")
+  }
+
+  test("vocab build: dense ranks, non-increasing tf, monotone coverage ending <= 1") {
+    val rows = TextAnalysis.vocabBuild(spark, Sf0001)
+      .select("rank", "token", "tf", "df", "coverage")
+      .as[(Long, String, Long, Long, Double)].collect()
+    val nDocs = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    assert(rows.length === TextAnalysis.VocabSize, "corpus vocab must exceed VocabSize for a real truncation")
+    assert(rows.map(_._1).toSeq === (1L to rows.length).toSeq)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 >= b._3 }, "tf non-increasing")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._5 < b._5 }, "coverage strictly increasing")
+    assert(rows.last._5 > 0 && rows.last._5 <= 1.0)
+    assert(rows.forall { case (_, _, tf, df, _) => df <= tf && df <= nDocs && df >= 1 })
+  }
 }

@@ -111,6 +111,38 @@ class PlanSpec extends SparkSpec {
       "the keep decision is a hash threshold — a per-source window would cap parallelism at #sources")
   }
 
+  test("quality classifier is scan + project only (no shuffle before the output ordering)") {
+    val p = plan(Pipeline.qualityClassify(spark, Sf0001))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"frozen-weight scoring must not join or aggregate:\n${p.take(800)}")
+    // exactly one Exchange: the orderBy's range partitioning
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"classifier should be map-only up to the output sort:\n${p.take(800)}")
+  }
+
+  test("dataset diff hashes below the join: the full-outer exchange carries md5, not text") {
+    val df = Pipeline.datasetDiff(spark, Sf0001)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // no Exchange row may reference the text column — only doc_id + md5 shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text")),
+      s"diff shuffles raw text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("vocab build truncates with TakeOrdered before the serial coverage window") {
+    val p = plan(TextAnalysis.vocabBuild(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N must be per-partition heads + merge, not a global sort:\n${p.take(800)}")
+  }
+
+  test("semantic dedup joins on the sketch bucket, never all pairs") {
+    val p = plan(Similarity.semanticDedup(spark, Sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must ride the bucket equi-join:\n${p.take(800)}")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     val restore = Seq(
