@@ -20,13 +20,21 @@ object Bench {
     // several seconds of codegen that alphabetical ordering would otherwise
     // pin on whichever dedup query sorts first
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => () }
-    // shingle warmup prefers the tiny smoke SF but falls back to the bench
+    // shingle warmup prefers sf0.01 — sf0.001's ~600 docs don't run the
+    // generated md5/shingle code enough times to clear the C2 JIT
+    // threshold, so the first sf0.1 shingle query on the clock was still
+    // absorbing ~15 s of JIT (measured: cold 19.4 s vs steady-state 2-3 s
+    // for the same sf0.1 minhash plan). sf0.01 is 1/10 the bench volume
+    // and a different directory, so this is JIT/codegen warmup only — no
+    // benched data or cached blocks are reused. Falls back to the bench
     // dir itself (the env var exists to relocate data — a hardcoded-only
     // path would silently skip the warmup there); a warmup failure is
     // logged, not swallowed, because its symptom (the first dedup query
     // re-absorbing codegen seconds) is otherwise undetectable
     val warmDir =
-      if (new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+      if (new java.io.File("/root/testdata/sf0.01/documents.parquet").exists())
+        "/root/testdata/sf0.01"
+      else if (new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
         "/root/testdata/sf0.001"
       else sfDir
     // cluster() is a strict superset of the minhash pipeline (pair

@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup_cluster" -> (Dedup.cluster _),
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_editdist" -> (Dedup.editDistance _),
+    "dedup_substring" -> (Dedup.substring _),
     // similarity search
     "sim_topk_bf" -> (Similarity.topkBruteforce _),
     "sim_lsh_neardup" -> (Similarity.lshNearDup _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "pipe_shuffle_shards" -> Pipeline.shuffleShardsOracle,
     "pipe_mixture_sample" -> Pipeline.mixtureSampleOracle,
     "dedup_editdist" -> Dedup.editDistanceOracle,
+    "dedup_substring" -> Dedup.substringOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,
     "rel_scalar_subquery" -> Relational.scalarSubqueryOracle,

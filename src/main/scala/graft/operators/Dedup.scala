@@ -893,4 +893,136 @@ object Dedup {
       |)
       |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Sub-document exact-substring dedup (content-anchored token windows)
+  // -------------------------------------------------------------------------
+
+  /** Token-window width for [[substring]], and the anchor set that decides
+    * where windows start. A window begins at every token whose md5 starts
+    * with a hex digit in [[SubstrAnchorHex]] (4 of 16 digits → expected
+    * anchor gap 4). Anchoring on CONTENT, not position, is what makes the
+    * scheme alignment-free (winnowing/MOSS-style fingerprint selection):
+    * the same token run produces the same window starts in every document
+    * that contains it, wherever it sits. A naive fixed stride S from the
+    * document head cannot do this — two copies of a run whose offsets
+    * differ by a non-multiple of S NEVER produce a common window. Expected
+    * detection: a shared run of >= W + gap tokens collides whenever it
+    * contains an anchor with W tokens of run left (miss probability decays
+    * as (3/4)^(run - W + 1) — content-determined, not adversary-placeable
+    * by shifting).
+    */
+  val SubstrWindow = 8
+  val SubstrAnchorHex: Seq[String] = Seq("0", "4", "8", "c")
+
+  /** Probe docs unioned into the substring-dedup input on BOTH engines.
+    * The synthetic corpus does share real phrase runs (small generator
+    * vocabulary), but none of them pin the EDGE semantics, so the probes
+    * add deterministic cases:
+    * 9100001/9100002 — exact copies (every window duplicated, ratio 1.0);
+    * 9100003 — shares the first 16 tokens of 9100001, then diverges
+    * (partial ratio); 9100004 — contains 9100001's tokens 3..18 shifted to
+    * a different document offset — the case position-strided windowing
+    * misses and content anchoring must catch; 9100005 — shorter than one
+    * window (zero windows, ratio 0 by fiat).
+    */
+  private[graft] val substringProbes: Seq[(Long, String)] = {
+    val base = (1 to 24).map(i => f"probetok$i%02d")
+    Seq(
+      9100001L -> base.mkString(" "),
+      9100002L -> base.mkString(" "),
+      9100003L -> (base.take(16) ++ (1 to 8).map(i => f"divergent$i%02d")).mkString(" "),
+      9100004L -> ((1 to 4).map(i => f"prefix$i%02d") ++ base.slice(2, 18)).mkString(" "),
+      9100005L -> "tiny doc five tokens only")
+  }
+
+  /** SUB-DOCUMENT EXACT-SUBSTRING DEDUP — the granularity document-level
+    * dedup cannot see (boilerplate headers, license blocks, quoted chunks
+    * shared across otherwise-distinct pages). Every doc is cut into
+    * [[SubstrWindow]]-token windows starting at content-defined anchor
+    * tokens (see [[SubstrAnchorHex]]); a window whose md5 appears in >= 2
+    * DISTINCT docs is corpus-duplicated; a doc whose duplicated-window
+    * ratio reaches 0.5 is flagged. This is the fingerprinted form of
+    * suffix-array training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better") — content-anchored
+    * windows replace suffixes so the whole thing is two hash shuffles
+    * instead of a global suffix sort.
+    *
+    * Scale shape: the explode is map-side (O(tokens/gap) rows, each a
+    * 16-byte hash + id — window TEXT never leaves the map stage, only its
+    * md5); one shuffle groups by window hash (two-level agg, no hot key:
+    * a window shared by millions of docs still reduces to one count);
+    * one shuffle joins verdicts back and re-groups by doc. No pairwise
+    * comparisons anywhere, so a window duplicated N times costs O(N), not
+    * O(N^2).
+    */
+  def substring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = SubstrWindow
+    val anchorIn = SubstrAnchorHex.map(h => s"'$h'").mkString(", ")
+    val corpus = docs(spark, dir).select("doc_id", "text")
+      .union(substringProbes.toDF("doc_id", "text"))
+    val wins = corpus
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        s"""CASE WHEN size(toks) >= $w
+           |  THEN transform(
+           |    filter(sequence(0, size(toks) - $w),
+           |           i -> substr(md5(toks[i]), 1, 1) IN ($anchorIn)),
+           |    i -> md5(array_join(slice(toks, i + 1, $w), ' ')))
+           |  ELSE array() END AS whashes""".stripMargin)
+      .selectExpr("doc_id", "explode(whashes) AS whash")
+    val counts = wins.groupBy("whash")
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    val perDoc = wins.join(counts, "whash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    corpus.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_windows, 0L) AS n_windows",
+        "coalesce(n_dup_windows, 0L) AS n_dup_windows")
+      .selectExpr("doc_id", "n_windows", "n_dup_windows",
+        """CASE WHEN n_windows = 0 THEN CAST(0.0 AS DOUBLE)
+          |  ELSE CAST(n_dup_windows AS DOUBLE) / n_windows END AS dup_ratio""".stripMargin)
+      .withColumn("flag_dup", col("dup_ratio") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  val substringOracle: String = {
+    val w = SubstrWindow
+    val anchorIn = SubstrAnchorHex.map(h => s"'$h'").mkString(", ")
+    val probeSql = substringProbes.map { case (id, t) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$t' AS text"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL $probeSql
+       |),
+       |wins AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(toks) >= $w
+       |      THEN list_transform(
+       |        list_filter(range(0, len(toks) - $w + 1),
+       |                    i -> substr(md5(toks[i + 1]), 1, 1) IN ($anchorIn)),
+       |        i -> md5(array_to_string(toks[i + 1:i + $w], ' ')))
+       |      ELSE [] END) AS whash
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+       |),
+       |counts AS (SELECT whash, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY 1),
+       |per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |    CAST(count(*) FILTER (WHERE n_docs >= 2) AS BIGINT) AS n_dup_windows
+       |  FROM wins JOIN counts USING (whash) GROUP BY 1
+       |)
+       |SELECT corpus.doc_id,
+       |  coalesce(n_windows, 0) AS n_windows,
+       |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+       |  CASE WHEN coalesce(n_windows, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(coalesce(n_dup_windows, 0) AS DOUBLE) / n_windows END AS dup_ratio,
+       |  (CASE WHEN coalesce(n_windows, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(coalesce(n_dup_windows, 0) AS DOUBLE) / n_windows END) >= 0.5 AS flag_dup
+       |FROM corpus LEFT JOIN per_doc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -453,4 +453,32 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.last._5 > 0 && rows.last._5 <= 1.0)
     assert(rows.forall { case (_, _, tf, df, _) => df <= tf && df <= nDocs && df >= 1 })
   }
+
+  test("substring dedup: probe docs pin exact-copy, offset-run, and sub-window cases") {
+    val byId = Dedup.substring(spark, Sf0001)
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_ratio", "flag_dup")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // exact copies: every window duplicated on both docs
+    for (id <- Seq(9100001L, 9100002L)) {
+      val (_, n, d, ratio, flag) = byId(id)
+      assert(n > 0 && d === n && ratio === 1.0 && flag, s"doc $id should be fully duplicated")
+    }
+    // 16-token shared prefix at aligned offsets: partially duplicated
+    val (_, n3, d3, r3, _) = byId(9100003L)
+    assert(d3 > 0 && d3 < n3 && r3 > 0 && r3 < 1.0, "partial overlap must be partial")
+    // 16-token run at a non-stride-aligned offset: still detected
+    // (W + S - 1 = 11 <= 16 guarantees an aligned window inside the run)
+    assert(byId(9100004L)._3 > 0, "offset run must still collide")
+    // shorter than one window: zero windows, ratio 0, not flagged
+    val (_, n5, _, r5, f5) = byId(9100005L)
+    assert(n5 === 0 && r5 === 0.0 && !f5)
+    // real corpus docs share phrase runs too (small generator vocabulary):
+    // the operator must fire on them, and the flag must be exactly ratio>=0.5
+    assert(byId.exists { case (id, r) => id < 9100000L && r._3 > 0 },
+      "corpus should contribute real duplicated windows at sf0.001")
+    assert(byId.values.forall { case (_, n, d, ratio, flag) =>
+      flag === (ratio >= 0.5) && d <= n
+    })
+  }
 }
