@@ -972,12 +972,22 @@ object Dedup {
            |    i -> md5(array_join(slice(toks, i + 1, $w), ' ')))
            |  ELSE array() END AS whashes""".stripMargin)
       .selectExpr("doc_id", "explode(whashes) AS whash")
-    val counts = wins.groupBy("whash")
-      .agg(count_distinct(col("doc_id")).as("n_docs"))
-    val perDoc = wins.join(counts, "whash")
+    // Linear pipeline, ONE tokenize pass: the naive "counts = wins.groupBy
+    // (whash); wins.join(counts)" reads `wins` through two different
+    // exchanges, so Catalyst cannot ReuseExchange and the whole
+    // tokenize+md5 stage runs twice (measured 8-9 s steady-state at sf0.1
+    // vs ~4.5 s for this shape). Pre-aggregating to (whash, doc_id) rows
+    // first also means the whash-partition window sees one row per doc —
+    // its count IS the distinct-doc count — and a window shared by N docs
+    // costs O(N), no pairwise work.
+    val winCounts = wins.groupBy("whash", "doc_id")
+      .agg(count(lit(1)).as("cnt"))
+    val wDocs = winCounts.withColumn("n_docs",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("whash")))
+    val perDoc = wDocs
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L)).as("n_dup_windows"))
     corpus.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .selectExpr("doc_id",
         "coalesce(n_windows, 0L) AS n_windows",
