@@ -39,6 +39,7 @@ object SparkEntry {
     "txt_pii_scrub" -> (TextAnalysis.piiScrub _),
     "txt_repetition" -> (TextAnalysis.repetition _),
     "txt_vocab_build" -> (TextAnalysis.vocabBuild _),
+    "txt_oov_rate" -> (TextAnalysis.oovRate _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_near_key" -> (Dedup.nearKey _),
@@ -70,6 +71,7 @@ object SparkEntry {
     "pipe_dataset_diff" -> (Pipeline.datasetDiff _),
     "pipe_quality_classify" -> (Pipeline.qualityClassify _),
     "emb_quantize" -> (Training.quantize _),
+    "emb_kmeans" -> (Clustering.kmeans _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
     "rel_revenue_nation" -> (Relational.revenueByNation _),
@@ -89,6 +91,7 @@ object SparkEntry {
     "rel_scalar_subquery" -> (Relational.scalarSubquery _),
     "rel_cube" -> (Relational.segmentNationCube _),
     "rel_full_outer" -> (Relational.fullOuterActivity _),
+    "rel_funnel" -> (Relational.funnel _),
     "skew_salted_agg" -> (Relational.saltedEventCount _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
@@ -119,6 +122,7 @@ object SparkEntry {
     "pipe_manifest" -> Pipeline.manifestOracle,
     "pipe_dq_report" -> Pipeline.dqReportOracle,
     "emb_quantize" -> Training.quantizeOracle,
+    "emb_kmeans" -> Clustering.kmeansOracle,
     "rel_interval_join" -> Relational.intervalJoinOracle,
     "rel_window_suite" -> Relational.windowSuiteOracle,
     "skew_salted_agg" -> Relational.saltedEventCountOracle,
@@ -144,6 +148,7 @@ object SparkEntry {
     "rel_scalar_subquery" -> Relational.scalarSubqueryOracle,
     "rel_cube" -> Relational.segmentNationCubeOracle,
     "rel_full_outer" -> Relational.fullOuterActivityOracle,
+    "rel_funnel" -> Relational.funnelOracle,
     "sim_topk_bf" -> Similarity.topkBruteforceOracle,
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
     "sim_ivf_topk" -> Similarity.ivfTopkOracle,
@@ -151,6 +156,7 @@ object SparkEntry {
     "pipe_dataset_diff" -> Pipeline.datasetDiffOracle,
     "pipe_quality_classify" -> Pipeline.qualityClassifyOracle,
     "txt_vocab_build" -> TextAnalysis.vocabBuildOracle,
+    "txt_oov_rate" -> TextAnalysis.oovRateOracle,
     "mm_features" -> Multimodal.featuresOracle,
     "pipe_corpus_filter" -> Pipeline.corpusFilterOracle,
     "pipe_stratified_sample" -> Pipeline.stratifiedSampleOracle,

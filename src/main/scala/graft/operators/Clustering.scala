@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Embedding-space clustering for corpus curation (the partitioning step
+  * of SemDeDup / mixture-balancing pipelines: cluster the corpus, then
+  * dedup or re-weight per cluster).
+  *
+  * Everything runs in QUANTIZED INTEGER space: coordinates are
+  * floor(x * 1e6) as BIGINT, distances are exact integer sums, centroid
+  * updates are floor(sum / count) — so Lloyd's algorithm is bit-identical
+  * across engines (float k-means can't hash-match an oracle: cross-
+  * partition float sums are order-dependent). Quantization error (1e-6
+  * per coordinate) is far below any cluster structure worth keeping.
+  */
+object Clustering {
+
+  /** Cluster count, Lloyd assignment rounds, and coordinate scale. */
+  val K = 8
+  val Iters = 3
+  val Scale = 1000000L
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  /** Quantized vectors: q[i] = floor(double(embedding[i]) * Scale). */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir).selectExpr("vec_id",
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q")
+
+  /** Centroid set rendered as a literal SQL array of structs — the
+    * broadcast-to-every-row form: assignment is then a map-only
+    * scan (argmin over K structs per row), with NO shuffle and no join.
+    */
+  private def centroidExpr(cents: Seq[(Int, Seq[Long])]): String =
+    cents.sortBy(_._1).map { case (cid, arr) =>
+      s"named_struct('cid', $cid, 'c', array(${arr.mkString("L, ")}L))"
+    }.mkString("array(", ", ", ")")
+
+  /** One Lloyd assignment: argmin_c ||q - c||² with deterministic
+    * (dist, cid) tie-break via struct array_min.
+    */
+  private def assign(qDF: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame =
+    qDF.selectExpr("vec_id", "q",
+      s"""array_min(transform(${centroidExpr(cents)},
+         |  s -> named_struct(
+         |    'dist', aggregate(zip_with(q, s.c, (a, b) -> (a - b) * (a - b)),
+         |                      0L, (acc, x) -> acc + x),
+         |    'cid', s.cid))) AS best""".stripMargin)
+      .selectExpr("vec_id", "q",
+        "best.cid AS cluster_id", "best.dist AS sq_dist")
+
+  /** K-MEANS (exact integer Lloyd): [[Iters]] assignment rounds over
+    * [[K]] centroids seeded from the K vectors with the smallest
+    * md5(vec_id) (a deterministic pseudo-random draw both engines agree
+    * on, fetched with a distributed top-K, not a global sort). Returns
+    * the final assignment: vec_id, cluster_id, sq_dist.
+    *
+    * Scale shape: each assignment is a MAP-ONLY pass (centroids travel to
+    * the data as a K-struct literal — the broadcast pattern); each update
+    * is one aggregation whose map-side combine reduces every partition to
+    * at most K×dim cells, so the shuffle carries K×dim×partitions tiny
+    * rows regardless of corpus size. Driver traffic per round is exactly
+    * K×dim longs (the new centroids) — bounded by construction, the same
+    * K rows any distributed k-means must synchronize. Integer-overflow
+    * headroom: |q| <= ~2^21 for unit-ish embeddings, so dist fits 2^63
+    * for dim <= 2^19, and per-cluster coordinate sums stay inside
+    * double-exact 2^53 up to ~10^10 vectors — beyond that, swap the
+    * update division to DECIMAL(38,0).
+    */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val qDF = quantized(spark, dir)
+    // seed draw: distributed TakeOrdered of (md5(id), id) — K rows collected
+    val seedRows = qDF
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy("h", "vec_id").limit(K)
+      .select("q").collect()
+    var cents: Seq[(Int, Seq[Long])] = seedRows.zipWithIndex.map { case (r, i) =>
+      i -> r.getSeq[Long](0)
+    }.toSeq
+    for (_ <- 1 until Iters) {
+      // update: two-level agg (map-side combine) over (cluster, dim) cells;
+      // floor(sum/count) in double is exact while |sum| < 2^53
+      val updated = assign(qDF, cents)
+        .select(col("cluster_id"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cluster_id", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .selectExpr("cluster_id", "pos",
+          "CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS v")
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      // a cluster that lost all members keeps its previous centroid
+      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+    assign(qDF, cents)
+      .select(col("vec_id"), col("cluster_id").cast("int").as("cluster_id"),
+        col("sq_dist"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB unrolled Lloyd — same quantization, same integer arithmetic,
+    * same (dist, cid) tie-break, same floor(sum/count) update, same
+    * keep-previous-on-empty-cluster rule (via the left-join coalesce).
+    */
+  val kmeansOracle: String = {
+    val dim = 64
+    // one assignment CTE against a centroid CTE named $c, producing (vec_id, cluster_id, sq_dist)
+    def assignSql(c: String): String =
+      s"""SELECT vec_id, cid AS cluster_id, dist AS sq_dist FROM (
+         |  SELECT a.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(list_zip(a.q, c.c),
+         |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY CAST(list_sum(list_transform(list_zip(a.q, c.c),
+         |        x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT), c.cid) AS rn
+         |  FROM q a CROSS JOIN $c c
+         |) WHERE rn = 1""".stripMargin
+    def updateSql(assignCte: String, prevCte: String): String =
+      s"""SELECT p.cid, coalesce(u.c, p.c) AS c
+         |FROM $prevCte p LEFT JOIN (
+         |  SELECT cluster_id AS cid, list(v ORDER BY pos) AS c FROM (
+         |    SELECT a.cluster_id, t.i AS pos,
+         |      CAST(floor(CAST(sum(q.q[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         |    FROM $assignCte a JOIN q USING (vec_id), range(1, ${dim + 1}) t(i)
+         |    GROUP BY a.cluster_id, t.i
+         |  ) GROUP BY cluster_id
+         |) u ON u.cid = p.cid""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid, q AS c
+       |  FROM (SELECT vec_id, q FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K)
+       |),
+       |a1 AS (${assignSql("seeds")}),
+       |c2 AS (${updateSql("a1", "seeds")}),
+       |a2 AS (${assignSql("c2")}),
+       |c3 AS (${updateSql("a2", "c2")}),
+       |a3 AS (${assignSql("c3")})
+       |SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id,
+       |  CAST(sq_dist AS BIGINT) AS sq_dist
+       |FROM a3 ORDER BY vec_id""".stripMargin
+  }
+}

@@ -742,4 +742,68 @@ object Relational {
   val unpivotEventCountsOracle: String =
     """SELECT user_id % 10 AS user_bucket, event_type, count(*) AS cnt
       |FROM events GROUP BY 1, 2 ORDER BY user_bucket, event_type""".stripMargin
+
+  /** Max event-time gap between consecutive funnel steps (24 h): a later
+    * step only counts within this window of the previous one — without a
+    * window, any sufficiently long event stream completes every funnel
+    * and the depth column is vacuously 3.
+    */
+  val FunnelStepGapMs = 86400000L
+
+  /** FUNNEL ANALYSIS — ordered step completion per user: the earliest
+    * view, the earliest click within [[FunnelStepGapMs]] strictly after
+    * that view, the earliest purchase within the window after that click
+    * (the product-analytics "did the user progress view -> click ->
+    * purchase, and when" query; MATCH_RECOGNIZE's first-match semantics
+    * expressed relationally). Steps are chained conditional minima, not a
+    * 3-way self-join of raw events: each stage joins the per-user
+    * single-row result of the previous stage (at most |users| rows) back
+    * to that user's events, so stage K costs one co-partitioned shuffle
+    * on user_id and the intermediate never exceeds one row per user.
+    * funnel_depth counts completed steps; later-step columns are NULL
+    * once a step is missed.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("t_view"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts_ms") > col("t_view") && col("ts_ms") <= col("t_view") + FunnelStepGapMs)
+      .groupBy("user_id").agg(min("ts_ms").as("t_click"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts_ms") > col("t_click") && col("ts_ms") <= col("t_click") + FunnelStepGapMs)
+      .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .selectExpr("user_id", "t_view", "t_click", "t_purchase",
+        """CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+          |     WHEN t_click IS NOT NULL THEN 2
+          |     ELSE 1 END AS INTEGER) AS funnel_depth""".stripMargin)
+      .orderBy("user_id")
+  }
+
+  val funnelOracle: String =
+    s"""WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+      |s1 AS (SELECT user_id, min(ts_ms) AS t_view FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts_ms) AS t_click
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts_ms > s1.t_view
+      |    AND e.ts_ms <= s1.t_view + $FunnelStepGapMs GROUP BY 1
+      |),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts_ms) AS t_purchase
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts_ms > s2.t_click
+      |    AND e.ts_ms <= s2.t_click + $FunnelStepGapMs GROUP BY 1
+      |)
+      |SELECT s1.user_id, t_view, t_click, t_purchase,
+      |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+      |       WHEN t_click IS NOT NULL THEN 2
+      |       ELSE 1 END AS INTEGER) AS funnel_depth
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
 }

@@ -361,6 +361,43 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** VOCABULARY APPLICATION / OOV RATE — score every document by how much
+    * of it a fixed top-[[VocabSize]] vocabulary covers (the "will my
+    * tokenizer shred this doc into unknowns" check run before training;
+    * high OOV = foreign-language, code, or garbage relative to the
+    * vocab). The vocabulary is the same top-N-by-tf table
+    * [[vocabBuild]] emits; membership is a BROADCAST join (the vocab is
+    * bounded by construction — VocabSize rows — so the per-token probe
+    * never shuffles the exploded token stream; the only shuffle is the
+    * per-doc re-aggregation with map-side combine).
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(VocabSize)
+      .select(col("token"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .selectExpr("doc_id", "n_tokens", "n_oov",
+        "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate")
+      .orderBy("doc_id")
+  }
+
+  val oovRateOracle: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |vocab AS (
+       |  SELECT token FROM (SELECT token, count(*) AS tf FROM toks GROUP BY 1)
+       |  ORDER BY tf DESC, token LIMIT $VocabSize
+       |)
+       |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+       |  CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE) / count(*) AS oov_rate
+       |FROM toks t LEFT JOIN vocab v USING (token)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val vocabBuildOracle: String =
     s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
        |counts AS (

@@ -454,6 +454,80 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall { case (_, _, tf, df, _) => df <= tf && df <= nDocs && df >= 1 })
   }
 
+  test("kmeans matches an independent scala Lloyd reference (exact integer arithmetic)") {
+    import graft.operators.Clustering.{K, Iters, Scale}
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val vecs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(x => math.floor(x.toDouble * Scale).toLong) }
+      .sortBy(_._1)
+    // seeds: K smallest by (md5(id), id)
+    var cents: Seq[Array[Long]] = vecs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(K).map(_._2).toSeq
+    def assign(q: Array[Long]): (Int, Long) =
+      cents.zipWithIndex.map { case (c, cid) =>
+        (q.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min match { case (d, cid) => (cid, d) }
+    for (_ <- 1 until Iters) {
+      val byCluster = vecs.groupBy { case (_, q) => assign(q)._1 }
+      cents = cents.zipWithIndex.map { case (old, cid) =>
+        byCluster.get(cid).fold(old) { members =>
+          val n = members.length
+          Array.tabulate(old.length)(i =>
+            math.floor(members.map(_._2(i)).sum.toDouble / n).toLong)
+        }
+      }
+    }
+    val expected = vecs.map { case (id, q) =>
+      val (cid, d) = assign(q); (id, cid, d)
+    }.toSeq
+    val got = graft.operators.Clustering.kmeans(spark, Sf0001)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got === expected)
+    assert(got.map(_._2).distinct.length > 1, "clustering should use more than one cluster")
+  }
+
+  test("funnel: chained conditional minima match a per-user scan of the raw events") {
+    val ev = graft.core.Tables.load(spark, Sf0001, "events")
+      .selectExpr("user_id", "unix_millis(ts) AS ts_ms", "event_type")
+      .as[(Long, Long, String)].collect()
+    val expected = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val gap = graft.operators.Relational.FunnelStepGapMs
+      val t1 = sorted.collectFirst { case (_, t, "view") => t }
+      t1.map { v =>
+        val t2 = sorted.collectFirst { case (_, t, "click") if t > v && t <= v + gap => t }
+        val t3 = t2.flatMap(c =>
+          sorted.collectFirst { case (_, t, "purchase") if t > c && t <= c + gap => t })
+        (uid, v, t2, t3, if (t3.isDefined) 3 else if (t2.isDefined) 2 else 1)
+      }
+    }.toSeq.sortBy(_._1)
+    val got = graft.operators.Relational.funnel(spark, Sf0001)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect().toSeq
+    assert(got === expected)
+    assert(got.exists(_._5 === 3) && got.exists(_._5 < 3), "fixture should split funnel depths")
+  }
+
+  test("oov rate: per-doc rates match a brute-force vocab membership count") {
+    val docsRows = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val tokens = docsRows.flatMap { case (id, t) => t.split(" ", -1).map(id -> _) }
+    val vocab = tokens.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (tok, tf) => (-tf, tok) }
+      .take(TextAnalysis.VocabSize).map(_._1).toSet
+    val expected = tokens.groupBy(_._1).map { case (id, ts) =>
+      val oov = ts.count(t => !vocab.contains(t._2))
+      (id, ts.length.toLong, oov.toLong, oov.toDouble / ts.length)
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.oovRate(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(got.exists(_._4 > 0), "some doc should contain OOV tokens")
+  }
+
   test("substring dedup: probe docs pin exact-copy, offset-run, and sub-window cases") {
     val byId = Dedup.substring(spark, Sf0001)
       .select("doc_id", "n_windows", "n_dup_windows", "dup_ratio", "flag_dup")
