@@ -44,6 +44,12 @@ object Bench {
     // dedup_cluster, which sorts first in the benched order
     try force(graft.operators.Dedup.cluster(spark, warmDir))
     catch { case e: Throwable => System.err.println(s"[bench] shingle warmup failed: ${e.getMessage}") }
+    // the substring family exercises generated classes the shingle path
+    // doesn't touch (interpreted higher-order lambdas, inline/posexplode,
+    // collect_set window) — warm them too or the first substring query
+    // absorbs their JIT
+    try force(graft.operators.Dedup.substringScrub(spark, warmDir))
+    catch { case e: Throwable => System.err.println(s"[bench] substring warmup failed: ${e.getMessage}") }
     // stage the JSONL landing zone off the clock: the benched operator is
     // the declared-schema ingest READ; the harness's own corpus-to-JSONL
     // serialization (memoized per JVM in stage()) is setup, not workload

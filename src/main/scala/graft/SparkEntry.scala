@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.incremental _),
     "dedup_editdist" -> (Dedup.editDistance _),
     "dedup_substring" -> (Dedup.substring _),
+    "pipe_substring_scrub" -> (Dedup.substringScrub _),
     // similarity search
     "sim_topk_bf" -> (Similarity.topkBruteforce _),
     "sim_lsh_neardup" -> (Similarity.lshNearDup _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "rel_cube" -> (Relational.segmentNationCube _),
     "rel_full_outer" -> (Relational.fullOuterActivity _),
     "rel_funnel" -> (Relational.funnel _),
+    "rel_retention" -> (Relational.retention _),
     "skew_salted_agg" -> (Relational.saltedEventCount _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
@@ -143,12 +145,14 @@ object SparkEntry {
     "pipe_mixture_sample" -> Pipeline.mixtureSampleOracle,
     "dedup_editdist" -> Dedup.editDistanceOracle,
     "dedup_substring" -> Dedup.substringOracle,
+    "pipe_substring_scrub" -> Dedup.substringScrubOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,
     "rel_scalar_subquery" -> Relational.scalarSubqueryOracle,
     "rel_cube" -> Relational.segmentNationCubeOracle,
     "rel_full_outer" -> Relational.fullOuterActivityOracle,
     "rel_funnel" -> Relational.funnelOracle,
+    "rel_retention" -> Relational.retentionOracle,
     "sim_topk_bf" -> Similarity.topkBruteforceOracle,
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
     "sim_ivf_topk" -> Similarity.ivfTopkOracle,

@@ -1035,4 +1035,111 @@ object Dedup {
        |FROM corpus LEFT JOIN per_doc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** SUBSTRING SCRUB — the REWRITE step of sub-document dedup (Lee et
+    * al.'s actual remedy: don't drop the document, cut the duplicated
+    * span out of it). Every token covered by any corpus-duplicated
+    * anchored window (same [[SubstrWindow]]/[[SubstrAnchorHex]] scheme as
+    * [[substring]]) is removed; the cleaned text is re-joined in token
+    * order. Output carries counts plus md5 of the cleaned text (the
+    * corpus-sized text itself stays out of the comparison surface).
+    *
+    * Scale shape: one tokenize pass feeds both the window lineage and the
+    * coverage anti-join; duplicated-window detection is the same
+    * whash-partition window as [[substring]] (collect_set holds DISTINCT
+    * doc ids per window hash — bounded by the corpus's duplication
+    * profile, and only rows whose hash repeats survive the filter);
+    * coverage explodes W rows per duplicated occurrence only; the
+    * reassembly groups each doc's kept tokens with a bounded-by-doc-length
+    * sort inside the aggregate.
+    */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = SubstrWindow
+    val anchorIn = SubstrAnchorHex.map(h => s"'$h'").mkString(", ")
+    val corpus = docs(spark, dir).select("doc_id", "text")
+      .union(substringProbes.toDF("doc_id", "text"))
+    val toks = corpus.selectExpr("doc_id", "split(text, ' ') AS toks")
+    // anchored window occurrences WITH their start position
+    val wins = toks.selectExpr("doc_id",
+      s"""CASE WHEN size(toks) >= $w
+         |  THEN transform(
+         |    filter(sequence(0, size(toks) - $w),
+         |           i -> substr(md5(toks[i]), 1, 1) IN ($anchorIn)),
+         |    i -> named_struct('i', i, 'whash', md5(array_join(slice(toks, i + 1, $w), ' '))))
+         |  ELSE array() END AS ws""".stripMargin)
+      .selectExpr("doc_id", "inline(ws)")
+    val dupOcc = wins.withColumn("n_docs",
+      size(collect_set(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("whash"))))
+      .filter(col("n_docs") >= 2)
+      .select("doc_id", "i")
+    val covered = dupOcc
+      .selectExpr("doc_id", s"explode(sequence(i, i + ${w - 1})) AS pos")
+      .distinct()
+    val kept = toks
+      .selectExpr("doc_id", "posexplode(toks) AS (pos, tok)")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(named_struct('pos', pos, 'tok', tok))), x -> x.tok), ' ')")
+          .as("clean_text"))
+    corpus.selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+      .join(kept, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_tokens",
+        "coalesce(n_kept, 0L) AS n_kept",
+        "n_tokens - coalesce(n_kept, 0L) AS n_dropped",
+        "md5(coalesce(clean_text, '')) AS clean_md5")
+      .orderBy("doc_id")
+  }
+
+  val substringScrubOracle: String = {
+    val w = SubstrWindow
+    val anchorIn = SubstrAnchorHex.map(h => s"'$h'").mkString(", ")
+    val probeSql = substringProbes.map { case (id, t) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$t' AS text"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL $probeSql
+       |),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+       |wins AS (
+       |  SELECT doc_id, u.i AS i, u.whash AS whash FROM (
+       |    SELECT doc_id, unnest(
+       |      CASE WHEN len(toks) >= $w
+       |        THEN list_transform(
+       |          list_filter(range(0, len(toks) - $w + 1),
+       |                      i -> substr(md5(toks[i + 1]), 1, 1) IN ($anchorIn)),
+       |          i -> {'i': i, 'whash': md5(array_to_string(toks[i + 1:i + $w], ' '))})
+       |        ELSE [] END) AS u
+       |    FROM toks
+       |  )
+       |),
+       |counts AS (SELECT whash, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY 1),
+       |covered AS (
+       |  SELECT DISTINCT w.doc_id, unnest(range(w.i, w.i + $w)) AS pos
+       |  FROM wins w JOIN counts c USING (whash) WHERE c.n_docs >= 2
+       |),
+       |tok_rows AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, u.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |      i -> {'i': i, 'tok': toks[i]})) AS u
+       |    FROM toks
+       |  )
+       |),
+       |kept AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+       |  FROM tok_rows t ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT corpus.doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  coalesce(n_kept, 0) AS n_kept,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) - coalesce(n_kept, 0) AS n_dropped,
+       |  md5(coalesce(clean_text, '')) AS clean_md5
+       |FROM corpus LEFT JOIN kept USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -806,4 +806,41 @@ object Relational {
       |       ELSE 1 END AS INTEGER) AS funnel_depth
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  /** COHORT RETENTION — the other half of product analytics next to
+    * [[funnel]]: users are grouped into weekly cohorts by their first
+    * event, and each cohort's surviving distinct-user count is reported
+    * per week offset (the "week 0 / week 1 / week N retention" triangle).
+    * All integer arithmetic (epoch-week buckets), so cross-engine exact.
+    * Two key-shuffles: first-event per user, then (cohort, offset)
+    * distinct-user counts — both partial-aggregated map-side.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekMs = 7L * 86400000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        // integer DIV, not double `/`+cast: double division can land a
+        // hair above an integer boundary and truncate to the wrong week
+        expr(s"unix_millis(ts) DIV ${weekMs}L").as("wk"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort_wk", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  val retentionOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS wk FROM events
+      |),
+      |first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1)
+      |SELECT cohort_wk, week_offset, CAST(count(*) AS BIGINT) AS n_users
+      |FROM (
+      |  SELECT DISTINCT e.user_id, f.cohort_wk, e.wk - f.cohort_wk AS week_offset
+      |  FROM ev e JOIN first f USING (user_id)
+      |)
+      |GROUP BY cohort_wk, week_offset
+      |ORDER BY cohort_wk, week_offset""".stripMargin
 }

@@ -511,6 +511,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._5 === 3) && got.exists(_._5 < 3), "fixture should split funnel depths")
   }
 
+  test("retention: weekly cohort triangle matches a brute-force user scan") {
+    val weekMs = 7L * 86400000L
+    val ev = graft.core.Tables.load(spark, Sf0001, "events")
+      .selectExpr("user_id", "unix_millis(ts) AS ts_ms")
+      .as[(Long, Long)].collect()
+    val firstWk = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> rs.map(_._2 / weekMs).min
+    }
+    val expected = ev.map { case (u, t) => (firstWk(u), t / weekMs - firstWk(u), u) }
+      .distinct.groupBy(p => (p._1, p._2)).map { case ((c, o), us) => (c, o, us.length.toLong) }
+      .toSeq.sortBy(p => (p._1, p._2))
+    val got = graft.operators.Relational.retention(spark, Sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // a retention triangle needs both a week-0 row and some later-week row
+    assert(got.exists(_._2 === 0) && got.exists(_._2 > 0))
+  }
+
   test("oov rate: per-doc rates match a brute-force vocab membership count") {
     val docsRows = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
@@ -526,6 +544,38 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got === expected)
     assert(got.exists(_._4 > 0), "some doc should contain OOV tokens")
+  }
+
+  test("substring scrub: duplicated spans cut, untouched docs byte-identical") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val scrub = Dedup.substringScrub(spark, Sf0001)
+      .select("doc_id", "n_tokens", "n_kept", "n_dropped", "clean_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // exact-copy probes: anchored windows cover tokens 0..19 (anchors
+    // {0,7,8,9,11,12} each spanning 8), so exactly tokens 21..24 survive
+    val tail = (21 to 24).map(i => f"probetok$i%02d").mkString(" ")
+    for (id <- Seq(9100001L, 9100002L)) {
+      val (_, n, k, d, h) = scrub(id)
+      assert(n === 24 && k === 4 && d === 20 && h === md5hex(tail), s"doc $id")
+    }
+    // sub-window probe: nothing to anchor, text passes through unchanged
+    val (_, n5, k5, d5, h5) = scrub(9100005L)
+    assert(n5 === 5 && k5 === 5 && d5 === 0 && h5 === md5hex("tiny doc five tokens only"))
+    // invariants vs the detector: a doc loses tokens iff it has duplicated windows
+    val flags = Dedup.substring(spark, Sf0001)
+      .select("doc_id", "n_dup_windows").as[(Long, Long)].collect().toMap
+    assert(scrub.values.forall { case (id, n, k, d, _) =>
+      k + d === n && (d > 0) === (flags(id) > 0)
+    })
+    // untouched docs keep byte-identical text
+    val texts = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(scrub.collect { case (id, (_, _, _, d, h)) if d === 0L && texts.contains(id) =>
+      h === md5hex(texts(id))
+    }.forall(identity))
   }
 
   test("substring dedup: probe docs pin exact-copy, offset-run, and sub-window cases") {
