@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_editdist" -> (Dedup.editDistance _),
     "dedup_substring" -> (Dedup.substring _),
     "pipe_substring_scrub" -> (Dedup.substringScrub _),
+    "dedup_substring_incr" -> (Dedup.substringIncremental _),
     // similarity search
     "sim_topk_bf" -> (Similarity.topkBruteforce _),
     "sim_lsh_neardup" -> (Similarity.lshNearDup _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "dedup_editdist" -> Dedup.editDistanceOracle,
     "dedup_substring" -> Dedup.substringOracle,
     "pipe_substring_scrub" -> Dedup.substringScrubOracle,
+    "dedup_substring_incr" -> Dedup.substringIncrementalOracle,
     "mm_frame_sample" -> Multimodal.frameSampleOracle,
     "rel_unpivot" -> Relational.unpivotEventCountsOracle,
     "rel_scalar_subquery" -> Relational.scalarSubqueryOracle,

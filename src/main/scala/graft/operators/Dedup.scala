@@ -956,14 +956,15 @@ object Dedup {
     * comparisons anywhere, so a window duplicated N times costs O(N), not
     * O(N^2).
     */
-  def substring(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Anchored window hashes of arbitrary (doc_id, text) rows — the ONE
+    * definition of the windowing scheme, shared by the batch detector,
+    * the scrub, and the incremental/streaming paths so they can never
+    * drift apart.
+    */
+  private[graft] def windowHashesOf(d: DataFrame): DataFrame = {
     val w = SubstrWindow
     val anchorIn = SubstrAnchorHex.map(h => s"'$h'").mkString(", ")
-    val corpus = docs(spark, dir).select("doc_id", "text")
-      .union(substringProbes.toDF("doc_id", "text"))
-    val wins = corpus
-      .selectExpr("doc_id", "split(text, ' ') AS toks")
+    d.selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id",
         s"""CASE WHEN size(toks) >= $w
            |  THEN transform(
@@ -972,6 +973,13 @@ object Dedup {
            |    i -> md5(array_join(slice(toks, i + 1, $w), ' ')))
            |  ELSE array() END AS whashes""".stripMargin)
       .selectExpr("doc_id", "explode(whashes) AS whash")
+  }
+
+  def substring(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = docs(spark, dir).select("doc_id", "text")
+      .union(substringProbes.toDF("doc_id", "text"))
+    val wins = windowHashesOf(corpus)
     // Linear pipeline, ONE tokenize pass: the naive "counts = wins.groupBy
     // (whash); wins.join(counts)" reads `wins` through two different
     // exchanges, so Catalyst cannot ReuseExchange and the whole
@@ -1144,5 +1152,134 @@ object Dedup {
        |  md5(coalesce(clean_text, '')) AS clean_md5
        |FROM corpus LEFT JOIN kept USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
+  // Incremental sub-document dedup against a persisted window table
+  // -------------------------------------------------------------------------
+
+  /** Per-new-doc substring verdict against a corpus window relation — the
+    * reusable core of the batch operator, the persisted-table path and
+    * the streaming ingest. A batch window is corpus-duplicated iff its
+    * hash exists in the corpus set; the per-batch cost is the batch's own
+    * windows plus one whash equi-join.
+    */
+  private[graft] def substringVerdictFor(newDocs: DataFrame, corpusWins: DataFrame): DataFrame = {
+    val marked = windowHashesOf(newDocs)
+      .join(corpusWins.select(col("whash"), lit(1).as("hit")), Seq("whash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+    newDocs.select("doc_id").join(marked, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_windows, 0L) AS n_windows",
+        "coalesce(n_dup_windows, 0L) AS n_dup_windows")
+      .selectExpr("doc_id", "n_windows", "n_dup_windows",
+        """CASE WHEN n_windows = 0 THEN CAST(0.0 AS DOUBLE)
+          |  ELSE CAST(n_dup_windows AS DOUBLE) / n_windows END AS dup_ratio""".stripMargin)
+      .withColumn("flag_dup", col("dup_ratio") >= 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Distinct corpus window hashes (the 80% split, matching the minhash
+    * incremental family's corpus/batch convention).
+    */
+  private[graft] def corpusWindowSet(spark: SparkSession, dir: String): DataFrame =
+    windowHashesOf(corpusDocs(spark, dir)).select("whash").distinct()
+
+  /** Batch-vs-corpus substring dedup, both sides computed inline — the
+    * oracle-checked form of the incremental path.
+    */
+  def substringIncremental(spark: SparkSession, dir: String): DataFrame =
+    substringVerdictFor(incomingDocs(spark, dir), corpusWindowSet(spark, dir))
+
+  /** Persist the corpus window set BUCKETED by whash — the artifact a
+    * production sub-document pipeline maintains between ingests, exactly
+    * parallel to [[persistCorpusBands]]: each batch joins against it with
+    * no shuffle on the corpus side (hash-placed on disk), so per-ingest
+    * cost is the batch's windows, never the corpus's.
+    */
+  def persistWindowTable(spark: SparkSession, dir: String, table: String,
+      buckets: Int = 16): Unit =
+    corpusWindowSet(spark, dir)
+      .write.mode("overwrite").bucketBy(buckets, "whash").saveAsTable(table)
+
+  /** [[substringIncremental]] against the pre-persisted window table:
+    * identical verdicts, corpus never re-tokenized or re-shuffled.
+    */
+  def substringAgainst(spark: SparkSession, dir: String, table: String): DataFrame =
+    substringVerdictFor(incomingDocs(spark, dir), spark.table(table))
+
+  /** ADMISSION for the window table: kept (non-flagged) docs' distinct
+    * window hashes are appended bucket-aligned, so the next ingest sees
+    * them as corpus. Duplicate hash rows across appends don't change
+    * verdicts (membership join) — compaction folds them later. Returns
+    * the number of docs admitted.
+    */
+  def admitWindows(newDocs: DataFrame, verdicts: DataFrame, table: String): Long = {
+    val spark = newDocs.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(s"$table is not a bucketed window table"))
+    // pin the pre-append verdicts: `verdicts` is typically lazy over this
+    // very table (see admitBands for the full rationale)
+    val kept = verdicts.filter(!col("flag_dup")).select("doc_id").persist()
+    try {
+      val n = kept.count()
+      if (n > 0)
+        windowHashesOf(newDocs.join(kept, "doc_id"))
+          .select("whash").distinct()
+          .write.mode("append").bucketBy(buckets, "whash").saveAsTable(table)
+      n
+    } finally { kept.unpersist(); () }
+  }
+
+  /** STREAMING incremental substring dedup: each micro-batch's verdicts
+    * against the persisted window table, appended to `sink` — same
+    * contract and checkpoint caveats as [[incrementalStream]].
+    */
+  def substringStream(newDocs: DataFrame, windowTable: String,
+      checkpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) sink(substringVerdictFor(batch, batch.sparkSession.table(windowTable)))
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  val substringIncrementalOracle: String = {
+    val w = SubstrWindow
+    val anchorIn = SubstrAnchorHex.map(h => s"'$h'").mkString(", ")
+    s"""WITH wins AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(toks) >= $w
+       |      THEN list_transform(
+       |        list_filter(range(0, len(toks) - $w + 1),
+       |                    i -> substr(md5(toks[i + 1]), 1, 1) IN ($anchorIn)),
+       |        i -> md5(array_to_string(toks[i + 1:i + $w], ' ')))
+       |      ELSE [] END) AS whash
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |),
+       |corpus_set AS (SELECT DISTINCT whash FROM wins WHERE doc_id % 10 < 8),
+       |marked AS (
+       |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       |    CAST(count(*) FILTER (WHERE c.whash IS NOT NULL) AS BIGINT) AS n_dup_windows
+       |  FROM (SELECT * FROM wins WHERE doc_id % 10 >= 8) w
+       |  LEFT JOIN corpus_set c USING (whash)
+       |  GROUP BY w.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(n_windows, 0) AS n_windows,
+       |  coalesce(n_dup_windows, 0) AS n_dup_windows,
+       |  CASE WHEN coalesce(n_windows, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(coalesce(n_dup_windows, 0) AS DOUBLE) / n_windows END AS dup_ratio,
+       |  (CASE WHEN coalesce(n_windows, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(coalesce(n_dup_windows, 0) AS DOUBLE) / n_windows END) >= 0.5 AS flag_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+       |LEFT JOIN marked USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 }

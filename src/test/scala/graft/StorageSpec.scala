@@ -473,4 +473,69 @@ class StorageSpec extends SparkSpec {
     val rows = merged.orderBy("id").collect()
     assert(rows(0).isNullAt(2) && rows(1).getLong(2) === 9L) // old files read v2 as null
   }
+
+  test("substring dedup against a persisted window table: same verdicts, corpus joins in place") {
+    import graft.operators.Dedup
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Dedup.persistWindowTable(s2, Sf0001, "corpus_wins_t", buckets = 4)
+    try {
+      val fromTable = Dedup.substringAgainst(s2, Sf0001, "corpus_wins_t").collect()
+      val derived = Dedup.substringIncremental(s2, Sf0001).collect()
+      assert(fromTable.toSeq === derived.toSeq)
+      // the membership join must move only the batch's windows: exactly
+      // one whash exchange (incoming side); the bucketed corpus scan
+      // joins in place
+      val marked = Dedup.windowHashesOf(
+        s2.read.parquet(s"$Sf0001/documents.parquet")
+          .filter(col("doc_id") % 10 >= 8).select("doc_id", "text"))
+        .join(s2.table("corpus_wins_t"), "whash")
+      marked.collect()
+      val plan = marked.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val nWhashExchanges = "Exchange hashpartitioning\\(whash".r
+        .findAllIn(plan).length
+      assert(nWhashExchanges === 1,
+        s"expected only the incoming side to shuffle on whash, got $nWhashExchanges:\n${plan.take(1500)}")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_wins_t"); ()
+    }
+  }
+
+  test("window-table admission: a clone of an admitted doc is flagged by the next batch") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Dedup.persistWindowTable(s2, Sf0001, "corpus_wins_a", buckets = 4)
+    try {
+      val batch1 = s2.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 === 8).select("doc_id", "text")
+      val v1 = Dedup.substringVerdictFor(batch1, s2.table("corpus_wins_a"))
+      val v1Rows = v1.select("doc_id", "flag_dup", "n_windows")
+        .as[(Long, Boolean, Long)].collect()
+      val nKept = v1Rows.count(!_._2).toLong
+      assert(nKept > 0)
+      assert(Dedup.admitWindows(batch1, v1, "corpus_wins_a") === nKept)
+      // clone of an admitted keeper under a fresh id: every window of the
+      // clone now exists in the table, so it must be fully duplicated
+      // (keeper chosen WITH windows — a sub-window doc would be vacuous)
+      val keeperId = v1Rows.filter(r => !r._2 && r._3 > 0).map(_._1).min
+      val clone = batch1.filter(col("doc_id") === keeperId)
+        .select(lit(88000001L).as("doc_id"), col("text"))
+      val v2 = Dedup.substringVerdictFor(clone, s2.table("corpus_wins_a"))
+        .select("doc_id", "dup_ratio", "flag_dup").as[(Long, Double, Boolean)].collect()
+      assert(v2.length === 1 && v2.head._2 === 1.0 && v2.head._3,
+        s"admitted keeper's clone should be fully duplicated, got ${v2.toSeq}")
+      // the grown table still scans bucketed
+      val probe = Dedup.windowHashesOf(clone).join(s2.table("corpus_wins_a"), "whash")
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"),
+        s"window table lost bucketing after append:\n${plan.take(1200)}")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_wins_a"); ()
+    }
+  }
 }
