@@ -70,7 +70,10 @@ object Clustering {
     * double-exact 2^53 up to ~10^10 vectors — beyond that, swap the
     * update division to DECIMAL(38,0).
     */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+  /** The Lloyd FIT: seeds + [[Iters]]-1 update rounds, returning the
+    * final centroid set (the model — K×dim longs).
+    */
+  private[graft] def fitCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Long])] = {
     val qDF = quantized(spark, dir)
     // seed draw: distributed TakeOrdered of (md5(id), id) — K rows collected
     val seedRows = qDF
@@ -97,10 +100,37 @@ object Clustering {
       // a cluster that lost all members keeps its previous centroid
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
+    cents
+  }
+
+  private def assignOut(qDF: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame =
     assign(qDF, cents)
       .select(col("vec_id"), col("cluster_id").cast("int").as("cluster_id"),
         col("sq_dist"))
       .orderBy("vec_id")
+
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    assignOut(quantized(spark, dir), fitCentroids(spark, dir))
+
+  /** Persist the fitted model — K rows of (cid, centroid). The FIT/APPLY
+    * seam: training corpora are clustered once; later (or streaming)
+    * vectors are assigned against the stored centroids without refitting.
+    */
+  def persistCentroids(spark: SparkSession, dir: String, table: String): Unit = {
+    import spark.implicits._
+    fitCentroids(spark, dir).toDF("cid", "c")
+      .write.mode("overwrite").saveAsTable(table)
+  }
+
+  /** Map-only assignment of a vector table against a persisted centroid
+    * model: the K model rows collect to the driver (bounded by
+    * construction) and travel to the data as the same broadcast-literal
+    * the fit uses — identical plan shape, no join, no shuffle.
+    */
+  def kmeansAgainst(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val cents = spark.table(table).select("cid", "c").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toSeq
+    assignOut(quantized(spark, dir), cents)
   }
 
   /** DuckDB unrolled Lloyd — same quantization, same integer arithmetic,

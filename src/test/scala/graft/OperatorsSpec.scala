@@ -490,6 +490,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length > 1, "clustering should use more than one cluster")
   }
 
+  test("kmeans fit/apply: assignment against the persisted model equals the fit-time output") {
+    import graft.operators.Clustering
+    val s2 = spark.newSession()
+    Clustering.persistCentroids(s2, Sf0001, "kmeans_model_t")
+    try {
+      assert(s2.table("kmeans_model_t").count() === Clustering.K.toLong)
+      val applied = Clustering.kmeansAgainst(s2, Sf0001, "kmeans_model_t").collect()
+      val fitted = Clustering.kmeans(s2, Sf0001).collect()
+      assert(applied.toSeq === fitted.toSeq)
+      // apply is map-only: no Exchange except the output sort
+      val plan = Clustering.kmeansAgainst(s2, Sf0001, "kmeans_model_t")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+        s"apply must not join:\n${plan.take(800)}")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS kmeans_model_t"); ()
+    }
+  }
+
   test("funnel: chained conditional minima match a per-user scan of the raw events") {
     val ev = graft.core.Tables.load(spark, Sf0001, "events")
       .selectExpr("user_id", "unix_millis(ts) AS ts_ms", "event_type")
