@@ -72,6 +72,7 @@ object SparkEntry {
     "pipe_mixture_sample" -> (Pipeline.mixtureSample _),
     "pipe_dataset_diff" -> (Pipeline.datasetDiff _),
     "pipe_quality_classify" -> (Pipeline.qualityClassify _),
+    "pipe_source_caps" -> (Pipeline.sourceCaps _),
     "emb_quantize" -> (Training.quantize _),
     "emb_kmeans" -> (Clustering.kmeans _),
     // relational / analytics
@@ -161,6 +162,7 @@ object SparkEntry {
     "dedup_semantic" -> Similarity.semanticDedupOracle,
     "pipe_dataset_diff" -> Pipeline.datasetDiffOracle,
     "pipe_quality_classify" -> Pipeline.qualityClassifyOracle,
+    "pipe_source_caps" -> Pipeline.sourceCapsOracle,
     "txt_vocab_build" -> TextAnalysis.vocabBuildOracle,
     "txt_oov_rate" -> TextAnalysis.oovRateOracle,
     "mm_features" -> Multimodal.featuresOracle,

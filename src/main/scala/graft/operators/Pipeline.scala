@@ -529,4 +529,42 @@ object Pipeline {
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(path).count(_.getPath.getName.startsWith("part-")).toLong
   }
+
+  /** Max documents retained per source by [[sourceCaps]]. */
+  val SourceCap = 5
+
+  /** PER-SOURCE DOCUMENT CAPS — the web-crawl curation rule (RefinedWeb /
+    * CCNet style per-domain caps): no source may contribute more than
+    * [[SourceCap]] documents, the survivors chosen by a seeded hash rank
+    * (deterministic, not arrival order — a re-crawl keeps the same docs).
+    *
+    * The per-source selection is the bounded [[graft.functions.TopK]]
+    * aggregate, NOT a row_number window: map-side partials ship at most
+    * cap rows per source per task, so a pathological million-doc domain
+    * costs O(cap) shuffle rows instead of materializing and sorting the
+    * whole domain in one window partition. The hash is 48-bit so its
+    * negation is exact in the aggregate's double score (53-bit mantissa)
+    * — ranking stays bit-identical to the oracle's integer ORDER BY.
+    */
+  def sourceCaps(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source")
+    val scored = d.selectExpr("doc_id", "source",
+      "-CAST(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT) AS DOUBLE) AS score")
+    val kept = scored.groupBy("source")
+      .agg(graft.functions.TopK.topk(SourceCap)(col("doc_id"), col("score")).as("top"))
+      .select(col("source"), explode(col("top.id")).as("doc_id"), lit(true).as("keep"))
+    d.join(kept, Seq("doc_id", "source"), "left")
+      .select(col("doc_id"), col("source"), coalesce(col("keep"), lit(false)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val sourceCapsOracle: String =
+    s"""SELECT doc_id, source, rnk <= $SourceCap AS keep FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY
+       |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT),
+       |      doc_id) AS rnk
+       |  FROM documents
+       |)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -548,6 +548,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._2 === 0) && got.exists(_._2 > 0))
   }
 
+  test("source caps: per-source keepers are the hash-min set, cap enforced where it bites") {
+    val sf = "/root/testdata/sf0.01" // sf0.001 sources are under the cap — vacuous there
+    def h48(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    val docsRows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect()
+    val expectedKeep = docsRows.groupBy(_._2).values.flatMap { ds =>
+      ds.map(_._1).sortBy(id => (h48(id), id)).take(graft.operators.Pipeline.SourceCap)
+    }.toSet
+    val got = graft.operators.Pipeline.sourceCaps(spark, sf)
+      .as[(Long, String, Boolean)].collect()
+    assert(got.filter(_._3).map(_._1).toSet === expectedKeep)
+    // the cap must actually truncate some source at this SF
+    assert(docsRows.groupBy(_._2).values.exists(_.length > graft.operators.Pipeline.SourceCap))
+    assert(got.count(_._3) < got.length)
+  }
+
   test("oov rate: per-doc rates match a brute-force vocab membership count") {
     val docsRows = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
