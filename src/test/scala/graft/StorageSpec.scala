@@ -474,6 +474,37 @@ class StorageSpec extends SparkSpec {
     assert(rows(0).isNullAt(2) && rows(1).getLong(2) === 9L) // old files read v2 as null
   }
 
+  test("substring stream: verdicts across batch boundaries equal the one-shot batch form") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    Dedup.persistWindowTable(spark, Sf0001, "corpus_wins_s", buckets = 4)
+    try {
+      val incoming = spark.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 >= 8)
+        .select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(incoming.length > 1)
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      val input = MemoryStream[(Long, String)](spark)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Boolean)]
+      val q = Dedup.substringStream(
+        input.toDF().toDF("doc_id", "text"), "corpus_wins_s") { verdicts =>
+        got ++= verdicts.as[(Long, Long, Long, Double, Boolean)].collect(); ()
+      }
+      try {
+        input.addData(first.toSeq); q.processAllAvailable()
+        input.addData(second.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      // fixed corpus table -> batch boundaries must not change verdicts
+      val batch = Dedup.substringIncremental(spark, Sf0001)
+        .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      assert(got.sortBy(_._1).toSeq === batch.toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS corpus_wins_s"); ()
+    }
+  }
+
   test("substring dedup against a persisted window table: same verdicts, corpus joins in place") {
     import graft.operators.Dedup
     val s2 = spark.newSession()
