@@ -650,7 +650,15 @@ object Dedup {
     * both murmur3 pmod n — so each task emits exactly its one bucket
     * file. Returns (files before, files after).
     */
-  def compactCorpusBands(spark: SparkSession, table: String): (Long, Long) = {
+  def compactCorpusBands(spark: SparkSession, table: String): (Long, Long) =
+    compactBucketedTable(spark, table, "band_key")
+
+  /** [[compactCorpusBands]] for the substring family's window table. */
+  def compactWindowTable(spark: SparkSession, table: String): (Long, Long) =
+    compactBucketedTable(spark, table, "whash")
+
+  private[graft] def compactBucketedTable(spark: SparkSession, table: String,
+      keyCol: String): (Long, Long) = {
     val catalog = spark.sessionState.catalog
     val tmpName = table + "_compact_tmp"
     // finish a torn previous run: canonical gone + temp present means the
@@ -661,7 +669,7 @@ object Dedup {
     def meta = catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
-      throw new IllegalArgumentException(s"$table is not a bucketed band table"))
+      throw new IllegalArgumentException(s"$table is not a bucketed table"))
     def fileCount(m: org.apache.spark.sql.catalyst.catalog.CatalogTable): Long = {
       val p = new org.apache.hadoop.fs.Path(m.location)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -670,8 +678,8 @@ object Dedup {
     val before = fileCount(meta)
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
     spark.table(table).distinct()
-      .repartition(buckets, col("band_key"))
-      .write.bucketBy(buckets, "band_key").saveAsTable(tmpName)
+      .repartition(buckets, col(keyCol))
+      .write.bucketBy(buckets, keyCol).saveAsTable(tmpName)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
     (before, fileCount(meta))

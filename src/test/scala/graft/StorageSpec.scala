@@ -505,6 +505,41 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("window-table compaction folds per-append files to one per bucket, drops replay dups") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Dedup.persistWindowTable(s2, Sf0001, "corpus_wins_c", buckets = 4)
+    try {
+      val batch = s2.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 === 8).select("doc_id", "text")
+      // pin the pre-append verdicts eagerly: a lazy plan would re-evaluate
+      // against the grown table on the replayed admit (keepers match
+      // themselves) and admit nothing the second time
+      val v = Dedup.substringVerdictFor(batch, s2.table("corpus_wins_c"))
+        .localCheckpoint(true)
+      // admit the same batch twice (at-least-once replay): duplicate rows land
+      assert(Dedup.admitWindows(batch, v, "corpus_wins_c") > 0)
+      assert(Dedup.admitWindows(batch, v, "corpus_wins_c") > 0)
+      val beforeRows = s2.table("corpus_wins_c").count()
+      val distinctRows = s2.table("corpus_wins_c").distinct().count()
+      assert(beforeRows > distinctRows, "replay should have produced duplicate rows")
+      val (filesBefore, filesAfter) = Dedup.compactWindowTable(s2, "corpus_wins_c")
+      assert(filesBefore > 4 && filesAfter === 4L, s"$filesBefore -> $filesAfter")
+      assert(s2.table("corpus_wins_c").count() === distinctRows)
+      // verdicts unchanged by compaction, and the scan is still bucketed
+      val probe = Dedup.windowHashesOf(batch).join(s2.table("corpus_wins_c"), "whash")
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("Bucketed: true"))
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_wins_c")
+      s2.sql("DROP TABLE IF EXISTS corpus_wins_c_compact_tmp"); ()
+    }
+  }
+
   test("substring dedup against a persisted window table: same verdicts, corpus joins in place") {
     import graft.operators.Dedup
     val s2 = spark.newSession()
