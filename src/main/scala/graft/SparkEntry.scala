@@ -64,6 +64,7 @@ object SparkEntry {
     "pipe_corpus_filter" -> (Pipeline.corpusFilter _),
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     "pipe_contamination" -> (Training.contamination _),
+    "pipe_contamination_bloom" -> (Training.contaminationBloom _),
     "pipe_pack_chunks" -> (Training.packChunks _),
     "pipe_manifest" -> (Pipeline.manifest _),
     "pipe_dq_report" -> (Pipeline.dqReport _),
@@ -122,6 +123,8 @@ object SparkEntry {
     "txt_pii_scrub" -> TextAnalysis.piiScrubOracle,
     "txt_repetition" -> TextAnalysis.repetitionOracle,
     "pipe_contamination" -> Training.contaminationOracle,
+    // bloom pre-filter changes the plan, not the answer: same oracle
+    "pipe_contamination_bloom" -> Training.contaminationOracle,
     "pipe_pack_chunks" -> Training.packChunksOracle,
     "pipe_manifest" -> Pipeline.manifestOracle,
     "pipe_dq_report" -> Pipeline.dqReportOracle,

@@ -52,6 +52,43 @@ object Training {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** [[contamination]] with a BLOOM-FILTER pre-join — the 100 TB form.
+    * The benchmark shingle set folds into one Bloom filter (Spark's own
+    * BloomFilterAggregate, exposed as `bloom_agg` via GraftExtensions);
+    * the corpus-side scan drops every shingle the filter rejects BEFORE
+    * the join, as a codegen'd scalar predicate on the scan side. False
+    * positives fall through to the exact join and die there, so the
+    * result is BIT-IDENTICAL to [[contamination]] (same oracle) — the
+    * bloom changes the cost, not the answer.
+    *
+    * Why it matters at scale: the exact join must shuffle (or at best
+    * build a broadcast hash of) every corpus shingle; the bloom rejects
+    * the overwhelming majority of them inside the scan stage at a few ns
+    * per probe, so join input shrinks from |corpus shingles| to
+    * |hits + false positives|. The filter itself is a one-row aggregate
+    * (scalar subquery) — no driver loop, no custom sketch code.
+    */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, dir)
+    sh.filter(col("doc_id") % 50 === 0)
+      .select(col("shingle"), col("doc_id").as("bench_id"))
+      .createOrReplaceTempView("graft_bloom_bench")
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .createOrReplaceTempView("graft_bloom_train")
+    spark.sql(
+      """WITH pruned AS (
+        |  SELECT t.doc_id, t.shingle FROM graft_bloom_train t
+        |  WHERE bloom_contains(
+        |    (SELECT bloom_agg(xxhash64(shingle)) FROM graft_bloom_bench),
+        |    xxhash64(t.shingle))
+        |)
+        |SELECT p.doc_id, count(*) AS n_hits,
+        |  count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM pruned p JOIN graft_bloom_bench b USING (shingle)
+        |GROUP BY p.doc_id
+        |ORDER BY p.doc_id""".stripMargin)
+  }
+
   // -------------------------------------------------------------------------
   // Sequence packing layout (concat-then-chunk)
   // -------------------------------------------------------------------------

@@ -490,6 +490,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got.map(_._2).distinct.length > 1, "clustering should use more than one cluster")
   }
 
+  test("bloom-prefiltered contamination: identical answer, bloom probe in the scan stage") {
+    import org.apache.spark.sql.SparkSession
+    // the shared test session has no GraftExtensions (bloom_agg /
+    // bloom_contains are injected, not builtin) — force a fresh session
+    // on the same SparkContext with the extensions applied
+    val prior = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new graft.core.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val exact = graft.operators.Training.contamination(s2, Sf0001)
+        .as[(Long, Long, Long)].collect().toSeq
+      val bloom = graft.operators.Training.contaminationBloom(s2, Sf0001)
+      val got = bloom.as[(Long, Long, Long)].collect().toSeq
+      assert(got === exact)
+      assert(exact.nonEmpty, "fixture should contain contaminated docs")
+      val plan = bloom.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_contains") || plan.contains("might_contain"),
+        s"bloom probe missing from plan:\n${plan.take(1000)}")
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+  }
+
   test("kmeans fit/apply: assignment against the persisted model equals the fit-time output") {
     import graft.operators.Clustering
     val s2 = spark.newSession()
