@@ -538,3 +538,86 @@ object OverWindowState {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(annotate)
   }
 }
+
+/** STREAMING FUNNEL — the continuous form of
+  * [[graft.operators.Relational.funnel]]: per user, the earliest view,
+  * the earliest click within the step window strictly after it, the
+  * earliest purchase within the window after that, maintained as events
+  * arrive out of order.
+  *
+  * Correctness argument: the batch funnel is a fold over the user's
+  * events in event-time order (each step takes the FIRST qualifying
+  * event — chained strict minima). Events at or below the watermark are
+  * FINAL (no earlier event can still arrive, that's the watermark
+  * contract), so folding exactly the finalized prefix in timestamp order
+  * gives the batch answer on that prefix; later-than-watermark arrivals
+  * for already-folded territory are ignored, the same emit-once contract
+  * as the streaming OVER window. Pending (not-yet-final) events buffer in
+  * state bounded by the user's event rate × watermark delay; the folded
+  * state itself is three longs. An event-time timeout re-fires the fold
+  * when the watermark passes the oldest pending event, so progress never
+  * depends on more events arriving for that user.
+  */
+object FunnelStream {
+  import graft.operators.Relational.FunnelStepGapMs
+
+  case class FunnelEvent(userId: Long, ts: java.sql.Timestamp, eventType: String)
+  case class FunnelState(pending: List[(Long, String)], foldedUpTo: Long,
+      tView: Long, tClick: Long, tPurchase: Long)
+  case class FunnelUpdate(user_id: Long, t_view: Option[Long],
+      t_click: Option[Long], t_purchase: Option[Long], funnel_depth: Int)
+
+  private def foldReady(st: FunnelState, wmMs: Long): FunnelState = {
+    val (ready, still) = st.pending.partition(_._1 <= wmMs)
+    var (tv, tc, tp) = (st.tView, st.tClick, st.tPurchase)
+    ready.sortBy(e => (e._1, e._2)).foreach { case (ts, tpe) =>
+      if (tv < 0) { if (tpe == "view") tv = ts }
+      else if (tc < 0) { if (tpe == "click" && ts > tv && ts <= tv + FunnelStepGapMs) tc = ts }
+      else if (tp < 0) { if (tpe == "purchase" && ts > tc && ts <= tc + FunnelStepGapMs) tp = ts }
+    }
+    FunnelState(still, math.max(st.foldedUpTo, wmMs), tv, tc, tp)
+  }
+
+  private def snapshot(userId: Long, st: FunnelState): FunnelUpdate = {
+    def opt(v: Long) = if (v >= 0) Some(v) else None
+    FunnelUpdate(userId, opt(st.tView), opt(st.tClick), opt(st.tPurchase),
+      if (st.tPurchase >= 0) 3 else if (st.tClick >= 0) 2 else if (st.tView >= 0) 1 else 0)
+  }
+
+  private def update(key: Long, rows: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelUpdate] = {
+    val prev = state.getOption.getOrElse(
+      FunnelState(Nil, Long.MinValue, -1L, -1L, -1L))
+    val wm = state.getCurrentWatermarkMs()
+    // drop beyond-watermark stragglers for territory already folded
+    // (emit-once: no retro-updates), buffer the rest
+    val fresh = rows.map(e => (e.ts.getTime, e.eventType))
+      .filter(_._1 > prev.foldedUpTo).toList
+    val st = foldReady(prev.copy(pending = fresh ::: prev.pending), wm)
+    if (st.pending.nonEmpty && st.pending.map(_._1).min > wm)
+      state.setTimeoutTimestamp(st.pending.map(_._1).min)
+    state.update(st)
+    val changed = (st.tView, st.tClick, st.tPurchase) !=
+      ((prev.tView, prev.tClick, prev.tPurchase)) || state.getOption.isEmpty
+    if (changed || fresh.nonEmpty) Iterator.single(snapshot(key, st)) else Iterator.empty
+  }
+
+  /** events stream (user_id, ts TIMESTAMP, event_type) -> per-user funnel
+    * snapshots in update mode; `delay` is the watermark bound.
+    */
+  def funnelStream(events: DataFrame, delay: String = "61 seconds"): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      // keep the watermarked ts column itself: event-time timeout requires
+      // the stateful op's input to carry the watermark column
+      .select(col("user_id").as("userId"), col("ts"),
+        col("event_type").as("eventType"))
+      .as[FunnelEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -535,4 +535,44 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cnts === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("streaming funnel converges to the batch funnel on the full event history") {
+    import graft.streaming.FunnelStream
+    val all = graft.core.Tables.load(spark, Sf0001, "events")
+      .select("user_id", "ts", "event_type")
+      .as[(Long, Timestamp, String)].collect().sortBy(_._2.getTime)
+    assert(all.nonEmpty)
+    // two arbitrary chunks (split mid-history, not on a clean boundary) +
+    // a far-future sentinel of a filtered-out type that only advances the
+    // watermark past every real event
+    val (first, second) = all.splitAt(all.length / 3)
+    val sentinel = (-1L,
+      new Timestamp(all.map(_._2.getTime).max + 10L * 60 * 1000 + 61000), "signup")
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val q = FunnelStream.funnelStream(
+      input.toDF().toDF("user_id", "ts", "event_type")).writeStream
+      .format("memory").queryName("funnel_stream").outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("fnck").toString)
+      .start()
+    try {
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+      input.addData(sentinel); q.processAllAvailable()
+    } finally q.stop()
+    // snapshots are monotone (each field is set once), so a user's final
+    // answer is the max-depth distinct row
+    val got = spark.table("funnel_stream").distinct()
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)].collect()
+      .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._5) }
+    val batch = graft.operators.Relational.funnel(spark, Sf0001)
+      .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+    assert(batch.nonEmpty)
+    batch.foreach { case (u, tv, tc, tp, depth) =>
+      val s = got(u)
+      assert((s._2, s._3, s._4, s._5) === ((Some(tv), tc, tp, depth)),
+        s"user $u: stream ${s} vs batch ${(tv, tc, tp, depth)}")
+    }
+    // no user with a view is missing from the stream, and depths split
+    assert(batch.map(_._5).distinct.length > 1)
+  }
 }
