@@ -99,10 +99,96 @@ object RollingHash {
   }
 }
 
+/** Content-anchored window fingerprints for sub-document dedup, fused
+  * into one kernel: tokenize (split on single space, trailing empties
+  * kept — java split(re, -1), exactly Spark SQL `split(text, ' ')`),
+  * md5 each token once to test the anchor condition, md5 each anchored
+  * W-token window. Replaces a filter+transform higher-order-function
+  * stack that Catalyst evaluates interpreted with a per-index lambda
+  * frame AND an md5 expression invocation per token — this is the
+  * substring family's entire map-stage cost. Returns
+  * array<struct<i INT, whash STRING>> (window start + hex digest), the
+  * shape both the detector (ignores i) and the scrub (explodes coverage
+  * from i) consume. Bit-identical to the HOF form by construction; the
+  * oracle and probe specs pin it.
+  */
+case class AnchoredWindowHashes(child: Expression, window: Int, anchorHex: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("whash", StringType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"AnchoredWindowHashes needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    AnchoredWindowHashes.compute(v.asInstanceOf[UTF8String], window, anchorHex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.AnchoredWindowHashes.compute($c, $window, "$anchorHex")""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AnchoredWindowHashes {
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private def md5hex(s: String): String = {
+    val md = digest.get()
+    md.reset()
+    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, w: Int, anchors: String): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    val n = toks.length
+    if (n < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // anchor test per token, each token hashed exactly once
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i <= n - w) {
+      if (anchors.indexOf(md5hex(toks(i)).charAt(0)) >= 0) {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < i + w) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          i, UTF8String.fromString(md5hex(sb.toString)))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Column-level entry points (Spark 4 classic Column <-> Expression bridge). */
 object FastFunctions {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   def float_dot(a: Column, b: Column): Column = column(FloatDotProduct(expression(a), expression(b)))
   def rolling_hash(c: Column): Column = column(RollingHash(expression(c)))
+  def anchored_window_hashes(c: Column, window: Int, anchorHex: String): Column =
+    column(AnchoredWindowHashes(expression(c), window, anchorHex))
 }

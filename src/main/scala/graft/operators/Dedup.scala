@@ -964,24 +964,24 @@ object Dedup {
     * comparisons anywhere, so a window duplicated N times costs O(N), not
     * O(N^2).
     */
-  /** Anchored window hashes of arbitrary (doc_id, text) rows — the ONE
-    * definition of the windowing scheme, shared by the batch detector,
-    * the scrub, and the incremental/streaming paths so they can never
-    * drift apart.
+  /** Anchored window occurrences (start + hash) of arbitrary
+    * (doc_id, text) rows — the ONE definition of the windowing scheme,
+    * shared by the batch detector, the scrub, and the incremental/
+    * streaming paths so they can never drift apart. The kernel is the
+    * fused codegen'd [[graft.functions.AnchoredWindowHashes]] expression
+    * (one pass: tokenize, per-token anchor md5, per-window md5) — the
+    * equivalent filter+transform higher-order-function stack evaluates
+    * interpreted with a lambda frame and an md5 invocation per token,
+    * which was the family's whole map-stage cost (measured ~2x).
     */
-  private[graft] def windowHashesOf(d: DataFrame): DataFrame = {
-    val w = SubstrWindow
-    val anchorIn = SubstrAnchorHex.map(h => s"'$h'").mkString(", ")
-    d.selectExpr("doc_id", "split(text, ' ') AS toks")
-      .selectExpr("doc_id",
-        s"""CASE WHEN size(toks) >= $w
-           |  THEN transform(
-           |    filter(sequence(0, size(toks) - $w),
-           |           i -> substr(md5(toks[i]), 1, 1) IN ($anchorIn)),
-           |    i -> md5(array_join(slice(toks, i + 1, $w), ' ')))
-           |  ELSE array() END AS whashes""".stripMargin)
-      .selectExpr("doc_id", "explode(whashes) AS whash")
-  }
+  private[graft] def windowOccurrencesOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        explode(graft.functions.FastFunctions.anchored_window_hashes(
+          col("text"), SubstrWindow, SubstrAnchorHex.mkString)).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.whash").as("whash"))
+
+  private[graft] def windowHashesOf(d: DataFrame): DataFrame =
+    windowOccurrencesOf(d).select("doc_id", "whash")
 
   def substring(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1072,19 +1072,11 @@ object Dedup {
   def substringScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = SubstrWindow
-    val anchorIn = SubstrAnchorHex.map(h => s"'$h'").mkString(", ")
     val corpus = docs(spark, dir).select("doc_id", "text")
       .union(substringProbes.toDF("doc_id", "text"))
     val toks = corpus.selectExpr("doc_id", "split(text, ' ') AS toks")
-    // anchored window occurrences WITH their start position
-    val wins = toks.selectExpr("doc_id",
-      s"""CASE WHEN size(toks) >= $w
-         |  THEN transform(
-         |    filter(sequence(0, size(toks) - $w),
-         |           i -> substr(md5(toks[i]), 1, 1) IN ($anchorIn)),
-         |    i -> named_struct('i', i, 'whash', md5(array_join(slice(toks, i + 1, $w), ' '))))
-         |  ELSE array() END AS ws""".stripMargin)
-      .selectExpr("doc_id", "inline(ws)")
+    // anchored window occurrences WITH their start position (fused kernel)
+    val wins = windowOccurrencesOf(corpus)
     val dupOcc = wins.withColumn("n_docs",
       size(collect_set(col("doc_id")).over(
         org.apache.spark.sql.expressions.Window.partitionBy("whash"))))
