@@ -646,6 +646,32 @@ class OperatorsSpec extends SparkSpec {
     }.forall(identity))
   }
 
+  test("fused window kernel is bit-identical to the higher-order-function formulation") {
+    import graft.operators.Dedup.{SubstrWindow => w, SubstrAnchorHex}
+    val anchorIn = SubstrAnchorHex.map(h => s"'$h'").mkString(", ")
+    // real corpus texts + adversarial shapes: empties, repeated spaces
+    // (empty tokens), exactly-window-length, sub-window
+    val texts = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("text").as[String].collect().take(50).toSeq ++ Seq(
+      "", " ", "a  b   c", ("tok " * w).trim, ("tok " * (w - 1)).trim,
+      (1 to 3 * w).map(i => s"t$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hof = df.selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        s"""CASE WHEN size(toks) >= $w
+           |  THEN transform(
+           |    filter(sequence(0, size(toks) - $w),
+           |           i -> substr(md5(toks[i]), 1, 1) IN ($anchorIn)),
+           |    i -> named_struct('i', i, 'whash', md5(array_join(slice(toks, i + 1, $w), ' '))))
+           |  ELSE array() END AS ws""".stripMargin)
+      .selectExpr("doc_id", "inline(ws)")
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    val fused = graft.operators.Dedup.windowOccurrencesOf(df)
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(fused === hof)
+    assert(fused.nonEmpty)
+  }
+
   test("substring dedup: probe docs pin exact-copy, offset-run, and sub-window cases") {
     val byId = Dedup.substring(spark, Sf0001)
       .select("doc_id", "n_windows", "n_dup_windows", "dup_ratio", "flag_dup")
