@@ -39,6 +39,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         RollingHash(exprs.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("anchored_window_hashes"),
+      new ExpressionInfo(classOf[graft.functions.AnchoredWindowHashes].getName,
+        "anchored_window_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "anchored_window_hashes",
+              "expectedNum" -> "3", "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val w = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case e => throw new IllegalArgumentException(s"window must be an int literal, got $e")
+        }
+        val anchors = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(s, _: org.apache.spark.sql.types.StringType) =>
+            s.toString
+          case e => throw new IllegalArgumentException(s"anchors must be a string literal, got $e")
+        }
+        graft.functions.AnchoredWindowHashes(exprs.head, w, anchors)
+      }))
     // Spark ships Bloom-filter expressions for its runtime join filters but
     // does not register them for SQL. Injecting them here gives the engine
     // an explicit semi-join pre-filter primitive (decontamination & co.)

@@ -1069,9 +1069,42 @@ object Dedup {
     * reassembly groups each doc's kept tokens with a bounded-by-doc-length
     * sort inside the aggregate.
     */
+  /** Shared scrub tail: given the tokenized docs and the duplicated
+    * window occurrences (doc_id, i), cut every covered token and emit
+    * counts + cleaned-text md5. Covered positions collapse to one array
+    * per affected doc BEFORE touching the token stream (see
+    * [[substringScrub]] for the shuffle-volume rationale).
+    */
+  private def scrubWithCoverage(toksDf: DataFrame, dupOcc: DataFrame): DataFrame = {
+    val w = SubstrWindow
+    val covered = dupOcc
+      .selectExpr("doc_id", s"explode(sequence(i, i + ${w - 1})) AS pos")
+      .groupBy("doc_id").agg(collect_set("pos").as("cov"))
+    toksDf.join(covered, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "size(toks) AS n_tokens",
+        "CASE WHEN cov IS NULL THEN toks ELSE filter(toks, (x, i) -> NOT array_contains(cov, i)) END AS clean")
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(size(clean) AS BIGINT) AS n_kept",
+        "CAST(n_tokens - size(clean) AS BIGINT) AS n_dropped",
+        "md5(array_join(clean, ' ')) AS clean_md5")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental scrub: cut from ARBITRARY new documents every span whose
+    * window hash exists in a corpus window relation (typically the
+    * persisted bucketed table from [[persistWindowTable]]) — the
+    * production "strip known boilerplate from incoming docs" pass. Only
+    * the batch tokenizes; the corpus side joins in place.
+    */
+  def substringScrubAgainst(newDocs: DataFrame, corpusWins: DataFrame): DataFrame =
+    scrubWithCoverage(
+      newDocs.selectExpr("doc_id", "split(text, ' ') AS toks"),
+      windowOccurrencesOf(newDocs)
+        .join(corpusWins.select("whash"), "whash")
+        .select("doc_id", "i"))
+
   def substringScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = SubstrWindow
     val corpus = docs(spark, dir).select("doc_id", "text")
       .union(substringProbes.toDF("doc_id", "text"))
     val toks = corpus.selectExpr("doc_id", "split(text, ' ') AS toks")
@@ -1091,17 +1124,7 @@ object Dedup {
     // doc's covered set — linear in |covered|, bounded by doc length,
     // fine for chunk-sized training docs; swap for a sorted-array binary
     // search expression if docs grow to book length.
-    val covered = dupOcc
-      .selectExpr("doc_id", s"explode(sequence(i, i + ${w - 1})) AS pos")
-      .groupBy("doc_id").agg(collect_set("pos").as("cov"))
-    toks.join(covered, Seq("doc_id"), "left")
-      .selectExpr("doc_id", "size(toks) AS n_tokens",
-        "CASE WHEN cov IS NULL THEN toks ELSE filter(toks, (x, i) -> NOT array_contains(cov, i)) END AS clean")
-      .selectExpr("doc_id", "n_tokens",
-        "CAST(size(clean) AS BIGINT) AS n_kept",
-        "CAST(n_tokens - size(clean) AS BIGINT) AS n_dropped",
-        "md5(array_join(clean, ' ')) AS clean_md5")
-      .orderBy("doc_id")
+    scrubWithCoverage(toks, dupOcc)
   }
 
   val substringScrubOracle: String = {

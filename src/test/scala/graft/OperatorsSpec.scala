@@ -236,6 +236,12 @@ class OperatorsSpec extends SparkSpec {
           |       rolling_hash('abc') AS h""".stripMargin).head()
       assert(r.getDouble(0) === 4.0)
       assert(r.getLong(1) === ((('a'.toInt * 31L + 'b'.toInt) % 1000000007L * 31 + 'c'.toInt) % 1000000007L))
+      // the fused window kernel is SQL-reachable too, same result as the
+      // HOF formulation on a two-window string
+      val win = s2.sql(
+        """SELECT anchored_window_hashes('a b c d e f g h i', 8, '0123456789abcdef') AS ws"""
+      ).selectExpr("inline(ws)").collect().map(x => (x.getInt(0), x.getString(1)))
+      assert(win.length === 2 && win.map(_._1).toSeq === Seq(0, 1))
     } finally {
       SparkSession.setDefaultSession(prior)
       SparkSession.setActiveSession(prior)

@@ -505,6 +505,43 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("incremental scrub cuts corpus-known spans from new docs, leaves novel text intact") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val s2 = spark.newSession()
+    Dedup.persistWindowTable(s2, Sf0001, "corpus_wins_x", buckets = 4)
+    try {
+      import s2.implicits._
+      // pick a corpus doc long enough to carry anchored windows
+      val corpusDoc = s2.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 < 8)
+        .select("doc_id", "text").as[(Long, String)].collect()
+        .filter(_._2.split(" ", -1).length >= 4 * Dedup.SubstrWindow)
+        .minBy(_._1)
+      val novel = (1 to 3 * Dedup.SubstrWindow).map(i => s"novelword$i%02d").mkString(" ")
+      val batch = Seq(
+        (900001L, corpusDoc._2),                    // verbatim corpus clone
+        (900002L, novel),                           // fully novel
+        (900003L, corpusDoc._2 + " " + novel))      // boilerplate + new tail
+        .toDF("doc_id", "text")
+      val got = Dedup.substringScrubAgainst(batch, s2.table("corpus_wins_x"))
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      // the clone loses every anchored-window-covered token
+      assert(got(900001L)._4 > 0, "clone must lose corpus-covered spans")
+      // the novel doc is byte-identical
+      val (_, n2, k2, d2, h2) = got(900002L)
+      assert(d2 === 0 && k2 === n2 && h2 === md5hex(novel))
+      // the mixed doc loses at least the clone's coverage but keeps a tail
+      assert(got(900003L)._4 >= got(900001L)._4 && got(900003L)._3 > 0)
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_wins_x"); ()
+    }
+  }
+
   test("window-table compaction folds per-append files to one per bucket, drops replay dups") {
     import graft.operators.Dedup
     import spark.implicits._
