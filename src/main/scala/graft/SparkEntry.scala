@@ -40,6 +40,7 @@ object SparkEntry {
     "txt_repetition" -> (TextAnalysis.repetition _),
     "txt_vocab_build" -> (TextAnalysis.vocabBuild _),
     "txt_oov_rate" -> (TextAnalysis.oovRate _),
+    "txt_norm_dedup" -> (TextAnalysis.normalizedDedup _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_near_key" -> (Dedup.nearKey _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "pipe_source_caps" -> Pipeline.sourceCapsOracle,
     "txt_vocab_build" -> TextAnalysis.vocabBuildOracle,
     "txt_oov_rate" -> TextAnalysis.oovRateOracle,
+    "txt_norm_dedup" -> TextAnalysis.normalizedDedupOracle,
     "mm_features" -> Multimodal.featuresOracle,
     "pipe_corpus_filter" -> Pipeline.corpusFilterOracle,
     "pipe_stratified_sample" -> Pipeline.stratifiedSampleOracle,

@@ -361,6 +361,58 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Probe docs for [[normalizedDedup]]: the corpus has no case/whitespace
+    * variants of the same text, so without them the collapse branch is
+    * dead and the hash match vacuous. 9200001/9200002/9200003 normalize
+    * to the same string; 9200004 differs in a real token.
+    */
+  private[graft] val normProbes: Seq[(Long, String)] = Seq(
+    9200001L -> "Hello   World  FOO bar",
+    9200002L -> "hello world foo bar",
+    9200003L -> " HELLO\tworld  Foo  BAR ",
+    9200004L -> "hello world foo baz")
+
+  /** NORMALIZATION-AWARE EXACT DEDUP — exact dedup after canonicalizing
+    * case and whitespace (the cheap first pass every pipeline runs before
+    * fuzzy dedup: trailing spaces, tabs, and casing are not "different
+    * documents"). Normal form: whitespace runs → one space, trim, ASCII
+    * lowercase. Emits the normal-form md5, the collapse-group size, and
+    * the canonical flag (min doc_id wins). Map-only normalization + one
+    * hash-partition window — same scale shape as plain exact dedup.
+    */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("norm_md5")
+    docs(spark, dir).select("doc_id", "text")
+      .union(normProbes.toDF("doc_id", "text"))
+      .selectExpr("doc_id",
+        "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS norm_md5")
+      .withColumn("n_variants", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === min("doc_id").over(w))
+      .orderBy("doc_id")
+  }
+
+  val normalizedDedupOracle: String = {
+    // raw control chars (the probe tab) embed directly in the SQL string
+    // literal; Verify's JSON escaping covers transport to the driver
+    val probeSql = normProbes.map { case (id, t) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$t' AS text"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL $probeSql
+       |),
+       |norm AS (
+       |  SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5
+       |  FROM corpus
+       |)
+       |SELECT doc_id, norm_md5,
+       |  CAST(count(*) OVER (PARTITION BY norm_md5) AS BIGINT) AS n_variants,
+       |  doc_id = min(doc_id) OVER (PARTITION BY norm_md5) AS is_canonical
+       |FROM norm ORDER BY doc_id""".stripMargin
+  }
+
   /** VOCABULARY APPLICATION / OOV RATE — score every document by how much
     * of it a fixed top-[[VocabSize]] vocabulary covers (the "will my
     * tokenizer shred this doc into unknowns" check run before training;

@@ -603,6 +603,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got.count(_._3) < got.length)
   }
 
+  test("normalized dedup: case/whitespace variants collapse, canonical is min id") {
+    val byId = TextAnalysis.normalizedDedup(spark, Sf0001)
+      .as[(Long, String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // the three probe variants share a group of 3; min id is canonical
+    val g = Seq(9200001L, 9200002L, 9200003L).map(byId)
+    assert(g.map(_._2).distinct.length === 1, "variants must share the normal form")
+    assert(g.forall(_._3 === 3L))
+    assert(byId(9200001L)._4 && !byId(9200002L)._4 && !byId(9200003L)._4)
+    // a genuinely different text stays alone
+    assert(byId(9200004L)._3 === 1L && byId(9200004L)._4)
+    assert(byId(9200004L)._2 !== byId(9200001L)._2)
+    // every group: exactly one canonical
+    val groups = byId.values.groupBy(_._2)
+    assert(groups.values.forall(rs => rs.count(_._4) === 1))
+  }
+
   test("oov rate: per-doc rates match a brute-force vocab membership count") {
     val docsRows = spark.read.parquet(s"$Sf0001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
