@@ -176,6 +176,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("source caps aggregate with bounded TopK, never a per-source window sort") {
+    val p = plan(graft.operators.Pipeline.sourceCaps(spark, Sf0001))
+    assert(p.contains("ObjectHashAggregate"),
+      s"TopK aggregate missing (udaf runs in ObjectHashAggregate):\n${p.take(800)}")
+    assert(!p.contains("Window"),
+      s"per-source cap must not materialize a window sort over the domain:\n${p.take(800)}")
+  }
+
+  test("funnel pushes every step's event_type filter into its scan") {
+    val p = plan(graft.operators.Relational.funnel(spark, Sf0001))
+    for (t <- Seq("view", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$t)"),
+        s"funnel does not push the $t filter:\n${p.take(800)}")
+  }
+
+  test("oov rate probes the vocab via broadcast after a TakeOrdered truncation") {
+    val p = plan(TextAnalysis.oovRate(spark, Sf0001))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab selection must truncate distributed, not globally sort:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab membership must broadcast, not shuffle the token stream:\n${p.take(800)}")
+  }
+
+  test("substring detector generates windows once: a single fused-kernel Generate") {
+    val df = graft.operators.Dedup.substring(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val nGenerate = "Generate ".r.findAllIn(p).length
+    assert(nGenerate === 1,
+      s"expected exactly one window-explode Generate, got $nGenerate:\n${p.take(1000)}")
+    assert(!p.contains("ArrayFilter") && !p.contains("ArrayTransform"),
+      "interpreted HOF stack crept back into the window pipeline")
+  }
+
   test("whole-stage codegen covers the taxi filter-project pipeline") {
     val df = TaxiQueries.q1Tumble(spark, Sf0001)
     df.collect() // AQE only materializes codegen'd stages in the FINAL plan
