@@ -70,16 +70,23 @@ object Training {
     */
   def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
     val sh = Dedup.shingles(spark, dir)
-    sh.filter(col("doc_id") % 50 === 0)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
       .select(col("shingle"), col("doc_id").as("bench_id"))
-      .createOrReplaceTempView("graft_bloom_bench")
+    bench.createOrReplaceTempView("graft_bloom_bench")
     sh.filter(col("doc_id") % 50 =!= 0)
       .createOrReplaceTempView("graft_bloom_train")
+    // size the filter to the MEASURED bench cardinality (one count job —
+    // a driver scalar, not row data): the default 1M-item/1MB filter made
+    // every corpus-shingle probe a cache miss and cost more than it
+    // saved. ~10 bits/item keeps FP ~1% with the bitmap cache-resident
+    // for eval-set-sized benches.
+    val nBench = math.max(1L, bench.select("shingle").distinct().count())
     spark.sql(
-      """WITH pruned AS (
+      s"""WITH pruned AS (
         |  SELECT t.doc_id, t.shingle FROM graft_bloom_train t
         |  WHERE bloom_contains(
-        |    (SELECT bloom_agg(xxhash64(shingle)) FROM graft_bloom_bench),
+        |    (SELECT bloom_agg(xxhash64(shingle), ${nBench}L, ${nBench * 10}L)
+        |     FROM graft_bloom_bench),
         |    xxhash64(t.shingle))
         |)
         |SELECT p.doc_id, count(*) AS n_hits,
