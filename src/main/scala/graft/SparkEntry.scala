@@ -98,6 +98,7 @@ object SparkEntry {
     "rel_full_outer" -> (Relational.fullOuterActivity _),
     "rel_funnel" -> (Relational.funnel _),
     "rel_retention" -> (Relational.retention _),
+    "rel_gapfill" -> (Relational.gapfill _),
     "skew_salted_agg" -> (Relational.saltedEventCount _),
     // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
     // algorithms differ across engines) -> driver's rows-only check; the
@@ -160,6 +161,7 @@ object SparkEntry {
     "rel_full_outer" -> Relational.fullOuterActivityOracle,
     "rel_funnel" -> Relational.funnelOracle,
     "rel_retention" -> Relational.retentionOracle,
+    "rel_gapfill" -> Relational.gapfillOracle,
     "sim_topk_bf" -> Similarity.topkBruteforceOracle,
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
     "sim_ivf_topk" -> Similarity.ivfTopkOracle,

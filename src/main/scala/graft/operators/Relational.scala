@@ -807,6 +807,47 @@ object Relational {
       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** TIME-BUCKET GAP-FILL — densify a sparse event series: hourly counts
+    * per event type INCLUDING empty hours as explicit zero rows over the
+    * observed global range (downstream window/trend math breaks on
+    * missing buckets). The dense grid is generated, not stored: one
+    * 1-row min/max aggregate cross-joined with the distinct type list
+    * and exploded via sequence() — grid size is |types| × hours, a
+    * metadata-scale frame regardless of event volume; the only
+    * data-proportional work is the counting aggregate itself. Integer
+    * epoch-hour buckets via DIV (exact on both engines).
+    */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600000L
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), expr(s"unix_millis(ts) DIV ${hourMs}L").as("hour_bucket"))
+    val counts = ev.groupBy("event_type", "hour_bucket").agg(count(lit(1)).as("n_events"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(ev.agg(min("hour_bucket").as("h0"), max("hour_bucket").as("h1"))))
+      .selectExpr("event_type", "explode(sequence(h0, h1)) AS hour_bucket")
+    grid.join(counts, Seq("event_type", "hour_bucket"), "left")
+      .selectExpr("event_type", "hour_bucket", "coalesce(n_events, 0L) AS n_events")
+      .orderBy("event_type", "hour_bucket")
+  }
+
+  val gapfillOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS hour_bucket FROM events
+      |),
+      |counts AS (
+      |  SELECT event_type, hour_bucket, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM ev GROUP BY 1, 2
+      |),
+      |bounds AS (SELECT min(hour_bucket) AS h0, max(hour_bucket) AS h1 FROM ev),
+      |grid AS (
+      |  SELECT t.event_type, g.hour_bucket
+      |  FROM (SELECT DISTINCT event_type FROM ev) t
+      |  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS hour_bucket FROM bounds) g
+      |)
+      |SELECT g.event_type, g.hour_bucket, coalesce(c.n_events, 0) AS n_events
+      |FROM grid g LEFT JOIN counts c USING (event_type, hour_bucket)
+      |ORDER BY g.event_type, g.hour_bucket""".stripMargin
+
   /** COHORT RETENTION — the other half of product analytics next to
     * [[funnel]]: users are grouped into weekly cohorts by their first
     * event, and each cohort's surviving distinct-user count is reported

@@ -567,6 +567,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._5 === 3) && got.exists(_._5 < 3), "fixture should split funnel depths")
   }
 
+  test("gapfill: dense grid covers the full range, zero rows where no events") {
+    val rows = graft.operators.Relational.gapfill(spark, Sf0001)
+      .as[(String, Long, Long)].collect()
+    val types = rows.map(_._1).distinct
+    val (h0, h1) = (rows.map(_._2).min, rows.map(_._2).max)
+    // every (type, hour) cell present exactly once
+    assert(rows.length === types.length * (h1 - h0 + 1))
+    assert(rows.groupBy(r => (r._1, r._2)).values.forall(_.length === 1))
+    // zero-filled cells must exist (sparse fixture) and totals must match
+    assert(rows.exists(_._3 === 0L), "no gaps filled — vacuous fixture")
+    val nEvents = graft.core.Tables.load(spark, Sf0001, "events").count()
+    assert(rows.map(_._3).sum === nEvents)
+  }
+
   test("retention: weekly cohort triangle matches a brute-force user scan") {
     val weekMs = 7L * 86400000L
     val ev = graft.core.Tables.load(spark, Sf0001, "events")
