@@ -77,6 +77,7 @@ object SparkEntry {
     "pipe_source_caps" -> (Pipeline.sourceCaps _),
     "emb_quantize" -> (Training.quantize _),
     "emb_kmeans" -> (Clustering.kmeans _),
+    "emb_dim_stats" -> (Clustering.dimStats _),
     // relational / analytics
     "rel_pricing" -> (Relational.pricingSummary _),
     "rel_revenue_nation" -> (Relational.revenueByNation _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "pipe_dq_report" -> Pipeline.dqReportOracle,
     "emb_quantize" -> Training.quantizeOracle,
     "emb_kmeans" -> Clustering.kmeansOracle,
+    "emb_dim_stats" -> Clustering.dimStatsOracle,
     "rel_interval_join" -> Relational.intervalJoinOracle,
     "rel_window_suite" -> Relational.windowSuiteOracle,
     "skew_salted_agg" -> Relational.saltedEventCountOracle,

@@ -133,6 +133,43 @@ object Clustering {
     assignOut(quantized(spark, dir), cents)
   }
 
+  /** PER-DIMENSION EMBEDDING STATISTICS — the QA pass run before any
+    * embedding-space work: per coordinate, min/max/mean (quantized
+    * integers, floor-mean) and the count of vectors where the coordinate
+    * is exactly the zero bucket. Dead dimensions (all zero), saturated
+    * ones (min == max), and scale outliers show up immediately. One
+    * posexplode + one aggregate whose map-side combine reduces every
+    * partition to dim cells — shuffle volume is dim × partitions rows
+    * regardless of corpus size.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
+      .select(posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        min("v").as("min_q"), max("v").as("max_q"),
+        sum("v").as("s"),
+        sum(when(col("v") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .selectExpr("dim", "n", "min_q", "max_q",
+        "CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_q", "n_zero")
+      .orderBy("dim")
+
+  val dimStatsOracle: String =
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |cells AS (
+       |  SELECT u.i - 1 AS dim, q[u.i] AS v FROM q,
+       |    (SELECT unnest(range(1, 65)) AS i) u
+       |)
+       |SELECT CAST(dim AS INTEGER) AS dim, CAST(count(*) AS BIGINT) AS n,
+       |  min(v) AS min_q, max(v) AS max_q,
+       |  CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS mean_q,
+       |  CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n_zero
+       |FROM cells GROUP BY dim ORDER BY dim""".stripMargin
+
   /** DuckDB unrolled Lloyd — same quantization, same integer arithmetic,
     * same (dist, cid) tie-break, same floor(sum/count) update, same
     * keep-previous-on-empty-cluster rule (via the left-join coalesce).

@@ -527,6 +527,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dim stats: every dimension covered, counts total, brute-force agreement") {
+    import graft.operators.Clustering.Scale
+    val vecs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(x => math.floor(x.toDouble * Scale).toLong))
+    val got = graft.operators.Clustering.dimStats(spark, Sf0001)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === (0 until 64))
+    got.foreach { case (dim, n, mn, mx, mean, nz) =>
+      val col = vecs.map(_(dim))
+      assert(n === vecs.length.toLong)
+      assert(mn === col.min && mx === col.max)
+      assert(mean === math.floor(col.sum.toDouble / col.length).toLong)
+      assert(nz === col.count(_ === 0L).toLong)
+    }
+  }
+
   test("kmeans fit/apply: assignment against the persisted model equals the fit-time output") {
     import graft.operators.Clustering
     val s2 = spark.newSession()
