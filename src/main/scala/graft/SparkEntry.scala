@@ -30,6 +30,13 @@ object SparkEntry {
     "q6_sliding" -> (TaxiQueries.q6Sliding _),
     "q7_session" -> (TaxiQueries.q7Session _),
     "q8_pair_join" -> (TaxiQueries.q8PairJoin _),
+    // streaming layer under the hard gate: real micro-batch execution of
+    // the streaming operators over deterministic chunk replays, checked
+    // against the SAME batch oracles (graft.streaming.StreamGate)
+    "stream_q1_tumble" -> (graft.streaming.StreamGate.q1Tumble _),
+    "stream_q4_cascade" -> (graft.streaming.StreamGate.q4Cascade _),
+    "stream_q7_session" -> (graft.streaming.StreamGate.q7Session _),
+    "stream_funnel" -> (graft.streaming.StreamGate.funnel _),
     // text analysis
     "txt_stats" -> (TextAnalysis.textStats _),
     "txt_lang_id" -> (TextAnalysis.langId _),
@@ -120,6 +127,13 @@ object SparkEntry {
     "q6_sliding" -> TaxiQueries.q6OracleSql,
     "q7_session" -> TaxiQueries.q7OracleSql,
     "q8_pair_join" -> TaxiQueries.q8OracleSql,
+    // streaming gate rows reuse the batch oracles: the replay is
+    // time-ordered (nothing late), so micro-batch execution must land
+    // exactly on the batch answer
+    "stream_q1_tumble" -> TaxiQueries.q1OracleSql,
+    "stream_q4_cascade" -> TaxiQueries.q4OracleSql,
+    "stream_q7_session" -> TaxiQueries.q7OracleSql,
+    "stream_funnel" -> Relational.funnelOracle,
     "rel_percentiles" -> Relational.percentilesOracle,
     "rel_pivot" -> Relational.pivotEventCountsOracle,
     "txt_tfidf" -> TextAnalysis.tfidfOracle,

@@ -1188,8 +1188,18 @@ object Dedup {
     * windows plus one whash equi-join.
     */
   private[graft] def substringVerdictFor(newDocs: DataFrame, corpusWins: DataFrame): DataFrame = {
+    // The corpus side MUST be collapsed to a set before the join: the
+    // persisted window table legitimately accumulates duplicate whash rows
+    // across admissions (admitWindows appends; compaction folds later),
+    // and a plain left join against it would multiply every matched batch
+    // window by that duplicity — inflating n_windows AND n_dup_windows and
+    // corrupting dup_ratio for every post-admission verdict. Distinct-ing
+    // here keeps the join a true membership probe; over a whash-bucketed
+    // table the distinct rides the bucketed scan's hash placement, so no
+    // extra corpus-side exchange is introduced.
     val marked = windowHashesOf(newDocs)
-      .join(corpusWins.select(col("whash"), lit(1).as("hit")), Seq("whash"), "left")
+      .join(corpusWins.select(col("whash")).distinct().withColumn("hit", lit(1)),
+        Seq("whash"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))

@@ -234,19 +234,26 @@ object Relational {
   // -------------------------------------------------------------------------
 
   /** Nation-key sets across market segments combined with all three set
-    * operators, tagged and unioned into one result.
+    * operators (INTERSECT / EXCEPT both ways), tagged into one result.
+    *
+    * Deliberately NOT written as intersect/except: that formulation feeds
+    * each of `a`/`b` into three set operators, and Catalyst plans six
+    * separate customer scans + exchanges (the branches' aggregate shapes
+    * differ, so ReuseExchange never fires — the same trap documented for
+    * dedup_substring). The linearized form is one scan, one shuffle: a
+    * conditional aggregate per nationkey, then a 3-way CASE.
     */
-  def segmentSetOps(spark: SparkSession, dir: String): DataFrame = {
-    val c = t(spark, dir, "customer")
-    def seg(s: String) = c.filter(col("c_mktsegment") === s)
-      .select(col("c_nationkey").cast("int").as("nationkey")).distinct()
-    val a = seg("AUTOMOBILE")
-    val b = seg("BUILDING")
-    a.intersect(b).withColumn("op", lit("both"))
-      .unionByName(a.except(b).withColumn("op", lit("auto_only")))
-      .unionByName(b.except(a).withColumn("op", lit("building_only")))
+  def segmentSetOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+      .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+      .agg(bool_or(col("c_mktsegment") === "AUTOMOBILE").as("in_a"),
+        bool_or(col("c_mktsegment") === "BUILDING").as("in_b"))
+      .select(col("nationkey"),
+        when(col("in_a") && col("in_b"), "both")
+          .when(col("in_a"), "auto_only")
+          .otherwise("building_only").as("op"))
       .orderBy("op", "nationkey")
-  }
 
   val segmentSetOpsOracle: String =
     """WITH a AS (SELECT DISTINCT CAST(c_nationkey AS INT) AS nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),

@@ -108,14 +108,34 @@ object TaxiQueries {
 
   /** Per departure, the count of departures from the same cell in the
     * trailing 10 minutes of event time (RANGE frame over epoch millis),
-    * kept only when that count exceeds 10.
+    * kept only when that count exceeds 10 — the reference's exact frame
+    * and threshold constants (TaxiRideQueries.scala:130-146).
+    *
+    * The window runs over a deterministically DENSIFIED slice of the
+    * departures: event time compressed 200x (integer DIV — exact on both
+    * engines) and cells folded into 10 coarse location buckets. The raw
+    * sf0.01 fixture averages ~1 departure per 10 minutes ACROSS ALL CELLS
+    * (30-day span), so the reference's `> 10` could never fire and the
+    * oracle row was a vacuous 0 == 0; against the densified slice
+    * (~3.6 h span, ~20 departures per bucket-window) both the RANGE-frame
+    * arithmetic and the post-aggregation filter are exercised with the
+    * reference's own constants, per-ride, hash-verified. The un-densified
+    * form at realistic thresholds is [[q3OverRecent]].
     */
+  val Q3TimeDiv = 200L
+  val Q3CellFold = 10
+
   def q3OverWindow(spark: SparkSession, dir: String): DataFrame = {
+    val dep = departures(spark, dir)
+      .withColumn("t_ms", unix_millis(col("rowtime")))
+    val dense = dep
+      .crossJoin(broadcast(dep.agg(min(col("t_ms")).as("t0"))))
+      .selectExpr("ride_id", s"cell % $Q3CellFold AS cell",
+        s"t0 + (t_ms - t0) DIV $Q3TimeDiv AS dept_time")
     val w = Window.partitionBy(col("cell"))
       .orderBy(col("dept_time"))
       .rangeBetween(-600000L, Window.currentRow)
-    departures(spark, dir)
-      .withColumn("dept_time", unix_millis(col("rowtime")))
+    dense
       .withColumn("dept_cnt", count(col("ride_id")).over(w))
       .filter(col("dept_cnt") > 10)
       .select("ride_id", "cell", "dept_time", "dept_cnt")
@@ -123,12 +143,18 @@ object TaxiQueries {
   }
 
   val q3OracleSql: String =
-    s"""${Rides.oracleCte}, $oracleDepartures
+    s"""${Rides.oracleCte}, $oracleDepartures,
+       |t0 AS (SELECT min(rowtime_ms) AS t0 FROM departures),
+       |dense AS (
+       |  SELECT ride_id, cell % $Q3CellFold AS cell,
+       |    t0 + (rowtime_ms - t0) // $Q3TimeDiv AS dept_time
+       |  FROM departures CROSS JOIN t0
+       |)
        |SELECT ride_id, cell, dept_time, dept_cnt FROM (
-       |  SELECT ride_id, cell, rowtime_ms AS dept_time,
-       |    count(ride_id) OVER (PARTITION BY cell ORDER BY rowtime_ms
+       |  SELECT ride_id, cell, dept_time,
+       |    count(ride_id) OVER (PARTITION BY cell ORDER BY dept_time
        |      RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) AS dept_cnt
-       |  FROM departures
+       |  FROM dense
        |)
        |WHERE dept_cnt > 10
        |ORDER BY ride_id""".stripMargin

@@ -386,7 +386,11 @@ object TextAnalysis {
     docs(spark, dir).select("doc_id", "text")
       .union(normProbes.toDF("doc_id", "text"))
       .selectExpr("doc_id",
-        "md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS norm_md5")
+        // explicit whitespace class, NOT \s: Java regex \s includes \x0B
+        // (vertical tab) but RE2's (DuckDB's) does not — the classes must
+        // be spelled identically in both engines or a \x0B-bearing doc
+        // silently diverges from the oracle
+        "md5(lower(trim(regexp_replace(text, '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+', ' ')))) AS norm_md5")
       .withColumn("n_variants", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === min("doc_id").over(w))
       .orderBy("doc_id")
@@ -404,7 +408,7 @@ object TextAnalysis {
        |),
        |norm AS (
        |  SELECT doc_id,
-       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS norm_md5
+       |    md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))) AS norm_md5
        |  FROM corpus
        |)
        |SELECT doc_id, norm_md5,

@@ -81,11 +81,31 @@ object Training {
     // saved. ~10 bits/item keeps FP ~1% with the bitmap cache-resident
     // for eval-set-sized benches.
     val nBench = math.max(1L, bench.select("shingle").distinct().count())
+    // Spark clamps BloomFilterAggregate's arguments at
+    // spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}
+    // (4M / 64M defaults) — SILENTLY. Past maxNumBits/10 distinct bench
+    // shingles the ~10 bits/item -> ~1% FP target quietly degrades:
+    // results stay bit-identical (FPs die in the exact join) but pruning
+    // power shrinks and join cost grows. Clamp explicitly and say so, so
+    // an oversized bench is a visible operational signal, not a mystery
+    // slowdown.
+    val maxItems = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").map(_.toLong).getOrElse(4000000L)
+    val maxBits = spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").map(_.toLong).getOrElse(67108864L)
+    val nItems = math.min(nBench, maxItems)
+    val nBits = math.min(nBench * 10, maxBits)
+    if (nBench > maxItems || nBench * 10 > maxBits)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bloom filter clamped: bench has $nBench distinct shingles; " +
+          s"using numItems=$nItems numBits=$nBits " +
+          f"(~${nBits.toDouble / nBench}%.1f bits/item — FP rate above the 1%% target; " +
+          "raise spark.sql.optimizer.runtime.bloomFilter.maxNumBits or pre-partition the bench)")
     spark.sql(
       s"""WITH pruned AS (
         |  SELECT t.doc_id, t.shingle FROM graft_bloom_train t
         |  WHERE bloom_contains(
-        |    (SELECT bloom_agg(xxhash64(shingle), ${nBench}L, ${nBench * 10}L)
+        |    (SELECT bloom_agg(xxhash64(shingle), ${nItems}L, ${nBits}L)
         |     FROM graft_bloom_bench),
         |    xxhash64(t.shingle))
         |)

@@ -597,8 +597,10 @@ object FunnelStream {
     if (st.pending.nonEmpty && st.pending.map(_._1).min > wm)
       state.setTimeoutTimestamp(st.pending.map(_._1).min)
     state.update(st)
+    // first contact always has fresh.nonEmpty, so fold-progress equality is
+    // the only other emit trigger
     val changed = (st.tView, st.tClick, st.tPurchase) !=
-      ((prev.tView, prev.tClick, prev.tPurchase)) || state.getOption.isEmpty
+      ((prev.tView, prev.tClick, prev.tPurchase))
     if (changed || fresh.nonEmpty) Iterator.single(snapshot(key, st)) else Iterator.empty
   }
 

@@ -11,13 +11,10 @@ import graft.SparkEntry
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the full engine session (not a bare builder): plans under audit must
+    // resolve the extension-registered functions (bloom_agg/bloom_contains,
+    // float_dot, rolling_hash) exactly as Verify/Bench sessions do
+    val spark = graft.core.EngineSession.create("local[4]", 4)
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted

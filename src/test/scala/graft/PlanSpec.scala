@@ -210,6 +210,51 @@ class PlanSpec extends SparkSpec {
       "interpreted HOF stack crept back into the window pipeline")
   }
 
+  test("segment set-ops reads customer ONCE: conditional aggregate, not 6-branch set ops") {
+    val df = Relational.segmentSetOps(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the intersect/except formulation planned six separate customer scans
+    // (one per set-operator branch — ReuseExchange never fires across the
+    // differing aggregate shapes); the linearized form is one scan
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected a single customer scan, got $scans:\n${p.take(1500)}")
+  }
+
+  test("contamination bloom probes inside the scan stage, before any shuffle or join") {
+    // bloom_agg/bloom_contains are extension-registered: this pin needs an
+    // engine session, not the bare shared test session (same pattern as
+    // OperatorsSpec's bloom equivalence test)
+    import org.apache.spark.sql.SparkSession
+    val prior = SparkSession.getDefaultSession.orNull
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val p = try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(new graft.core.GraftExtensions)
+        .getOrCreate()
+      val df = Training.contaminationBloom(s2, Sf0001)
+      df.collect()
+      plan(df).split("== Initial Plan ==")(0)
+    } finally {
+      SparkSession.setDefaultSession(prior)
+      SparkSession.setActiveSession(prior)
+    }
+    val lines = p.linesIterator.toVector
+    // bloom_contains lowers to the might_contain physical predicate
+    val fi = lines.indexWhere(l => l.contains("Filter") && l.contains("might_contain"))
+    assert(fi >= 0, s"bloom might_contain filter missing from plan:\n${p.take(1500)}")
+    // everything between the bloom probe and the train scan must be
+    // map-side (project/generate) — an Exchange or Join there would mean
+    // the corpus shuffles BEFORE the filter prunes it
+    val below = lines.drop(fi + 1).takeWhile(l => !l.contains("Scan parquet"))
+    assert(below.forall(l => !l.contains("Exchange") && !l.contains("Join")),
+      s"bloom probe is not scan-adjacent:\n${lines.slice(fi, fi + 8).mkString("\n")}")
+  }
+
   test("whole-stage codegen covers the taxi filter-project pipeline") {
     val df = TaxiQueries.q1Tumble(spark, Sf0001)
     df.collect() // AQE only materializes codegen'd stages in the FINAL plan

@@ -605,6 +605,48 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("verdict membership semantics: duplicated corpus rows never inflate counts") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Dedup.persistWindowTable(s2, Sf0001, "corpus_wins_d", buckets = 4)
+    try {
+      // a batch with partial corpus overlap (the 8s share boilerplate with
+      // the persisted corpus); pin verdicts so the replayed admit below
+      // doesn't re-evaluate against the grown table
+      val batch = s2.read.parquet(s"$Sf0001/documents.parquet")
+        .filter(col("doc_id") % 10 === 8).select("doc_id", "text")
+      val v = Dedup.substringVerdictFor(batch, s2.table("corpus_wins_d"))
+        .localCheckpoint(true)
+      assert(Dedup.admitWindows(batch, v, "corpus_wins_d") > 0)
+      val afterOnce = Dedup.substringAgainst(s2, Sf0001, "corpus_wins_d").collect()
+      // replay the same admission (at-least-once delivery): every keeper
+      // whash now has a duplicate row in the table, pre-compaction
+      assert(Dedup.admitWindows(batch, v, "corpus_wins_d") > 0)
+      val tbl = s2.table("corpus_wins_d")
+      assert(tbl.count() > tbl.distinct().count(), "replay should duplicate rows")
+      // the admitWindows docstring contract: duplicate hash rows across
+      // appends don't change verdicts (membership join)
+      val afterTwice = Dedup.substringAgainst(s2, Sf0001, "corpus_wins_d").collect()
+      assert(afterTwice.toSeq === afterOnce.toSeq,
+        "duplicated corpus rows inflated verdict counts")
+      // and n_windows is always the batch's OWN window count — a
+      // row-multiplying corpus join would inflate it after any admission
+      val ownWins = Dedup.windowHashesOf(
+        s2.read.parquet(s"$Sf0001/documents.parquet")
+          .filter(col("doc_id") % 10 >= 8).select("doc_id", "text"))
+        .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+      Dedup.substringAgainst(s2, Sf0001, "corpus_wins_d")
+        .select("doc_id", "n_windows").as[(Long, Long)].collect()
+        .foreach { case (id, n) =>
+          assert(n === ownWins.getOrElse(id, 0L), s"n_windows multiplied for doc $id")
+        }
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_wins_d"); ()
+    }
+  }
+
   test("window-table admission: a clone of an admitted doc is flagged by the next batch") {
     import graft.operators.Dedup
     import spark.implicits._
