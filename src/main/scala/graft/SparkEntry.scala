@@ -36,7 +36,9 @@ object SparkEntry {
     "stream_q1_tumble" -> (graft.streaming.StreamGate.q1Tumble _),
     "stream_q4_cascade" -> (graft.streaming.StreamGate.q4Cascade _),
     "stream_q7_session" -> (graft.streaming.StreamGate.q7Session _),
+    "stream_q3_over" -> (graft.streaming.StreamGate.q3Over _),
     "stream_funnel" -> (graft.streaming.StreamGate.funnel _),
+    "stream_substring_incr" -> (graft.streaming.StreamGate.substringIncr _),
     // text analysis
     "txt_stats" -> (TextAnalysis.textStats _),
     "txt_lang_id" -> (TextAnalysis.langId _),
@@ -133,7 +135,9 @@ object SparkEntry {
     "stream_q1_tumble" -> TaxiQueries.q1OracleSql,
     "stream_q4_cascade" -> TaxiQueries.q4OracleSql,
     "stream_q7_session" -> TaxiQueries.q7OracleSql,
+    "stream_q3_over" -> TaxiQueries.q3RecentOracleSql,
     "stream_funnel" -> Relational.funnelOracle,
+    "stream_substring_incr" -> Dedup.substringIncrementalOracle,
     "rel_percentiles" -> Relational.percentilesOracle,
     "rel_pivot" -> Relational.pivotEventCountsOracle,
     "txt_tfidf" -> TextAnalysis.tfidfOracle,

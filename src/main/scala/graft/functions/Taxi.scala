@@ -85,6 +85,15 @@ object Taxi {
   def toGeoPoint(coords: Column): Column =
     struct(coords.getField("_1").as("lon"), coords.getField("_2").as("lat"))
 
+  /** (lon, lat) column pair -> GeoPoint struct — the reference's
+    * (Float, Float) / (Double, Double) scalar overloads
+    * (ElasticUpsertTableSink.scala:151-153). Inputs compute in Double and
+    * truncate to Float exactly like the reference's promotion semantics.
+    */
+  def toGeoPoint(lon: Column, lat: Column): Column =
+    struct(lon.cast("double").cast("float").as("lon"),
+      lat.cast("double").cast("float").as("lat"))
+
   /** GeoPoint rendered as the "lat,lon" string the reference sink emits
     * (ElasticUpsertTableSink.scala:156-158).
     */
@@ -118,6 +127,13 @@ object Taxi {
     val lat = Nyc.LatNorth - yIndex * Nyc.DeltaLat - Nyc.DeltaLat / 2
     (lon.toFloat, lat.toFloat)
   }
+
+  /** Scalar forms of the reference's toGeoPoint overloads
+    * (ElasticUpsertTableSink.scala:151-153).
+    */
+  def toGeoPointScalar(lon: Float, lat: Float): GeoPoint = GeoPoint(lon, lat)
+  def toGeoPointScalar(lon: Double, lat: Double): GeoPoint =
+    GeoPoint(lon.toFloat, lat.toFloat)
 
   // ---- SQL registration (reference TaxiRideQueries.scala:39-43 parity) ----
 

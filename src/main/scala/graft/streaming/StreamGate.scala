@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path}
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.sinks.{MemoryUpsertSink, ParquetUpsertSink}
@@ -43,23 +43,23 @@ object StreamGate {
 
   private val runId = new AtomicInteger(0)
 
-  /** Split `df` into [[Chunks]] files by event-time range under a fresh
-    * temp dir and return a streaming DataFrame replaying them one file
-    * per micro-batch, oldest range first.
+  /** Split `df` into `chunks` files by range of the (monotone, long)
+    * `orderMs` expression under a fresh temp dir and return a streaming
+    * DataFrame replaying them one file per micro-batch, lowest range
+    * first. For event-time inputs pass `unix_millis(rowtime)`; for
+    * unordered corpora any stable key (e.g. doc_id) works.
     */
-  private def replay(df: DataFrame, timeCol: String, chunks: Int = Chunks): DataFrame = {
+  private def replay(df: DataFrame, orderMs: Column, chunks: Int = Chunks): DataFrame = {
     val spark = df.sparkSession
     val root = Files.createTempDirectory("graft-stream-gate")
     val staged = root.resolve("staged")
     val chunkDir = root.resolve("chunks")
     Files.createDirectories(chunkDir)
-    val bounds = df.agg(min(unix_millis(col(timeCol))).as("t0"),
-      max(unix_millis(col(timeCol))).as("t1")).head()
+    val bounds = df.agg(min(orderMs).as("t0"), max(orderMs).as("t1")).head()
     val (t0, span) = (bounds.getLong(0), math.max(1L, bounds.getLong(1) - bounds.getLong(0) + 1))
     // single-task write, one file per chunk dir (harness-only funnel —
     // bounded by the verify SF, not an operator shape)
-    df.withColumn("_chunk",
-        ((unix_millis(col(timeCol)) - t0) * chunks / span).cast("int"))
+    df.withColumn("_chunk", ((orderMs - t0) * chunks / span).cast("int"))
       .repartition(1)
       .write.partitionBy("_chunk").mode("overwrite").parquet(staged.toString)
     // flatten into the stream dir with strictly increasing mod times: the
@@ -98,7 +98,7 @@ object StreamGate {
     * Oracle: the batch q1 oracle.
     */
   def q1Tumble(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(StreamingQueries.q1Tumble(replay(Rides.fromEvents(spark, dir), "rowtime")),
+    runToMemory(StreamingQueries.q1Tumble(replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))),
         "complete")
       .orderBy("dept_time", "cell")
 
@@ -116,7 +116,7 @@ object StreamGate {
     // overhead, not data volume — cross-batch state accumulation is already
     // proven at 3 batches, and the histogram lake holds ~5 keys
     val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
-    val q = CascadeQ4.startToParquet(replay(Rides.fromEvents(spark, dir), "rowtime", chunks = 3),
+    val q = CascadeQ4.startToParquet(replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")), chunks = 3),
       sink, tmp.resolve("ck").toString)
     q.awaitTermination()
     sink.snapshot(spark).select(col("dept_cnt"), col("cnt_freq")).orderBy("dept_cnt")
@@ -139,7 +139,7 @@ object StreamGate {
       .toDF("rideId", "isStart", "startTime", "endTime",
         "startLon", "startLat", "endLon", "endLat", "passengerCnt")
       .withColumn("rowtime", col("startTime"))
-    runToMemory(StreamingQueries.q7Session(replay(rides.unionByName(sentinel), "rowtime")),
+    runToMemory(StreamingQueries.q7Session(replay(rides.unionByName(sentinel), unix_millis(col("rowtime")))),
         "append")
       .filter(col("sess_start") <= maxMs) // drop the sentinel's own session
       .orderBy("cell", "sess_start")
@@ -153,6 +153,46 @@ object StreamGate {
     * ≥1 view (its s1 base relation), so depth-0 snapshots are excluded.
     * Oracle: the batch rel_funnel oracle.
     */
+  /** Q3 OVER-window state through micro-batches: [[OverWindowState]] at
+    * the 7-day RANGE frame (q3_over_recent's constants — the 10-min frame
+    * is vacuous on this fixture, see TaxiQueries.q3OverWindow), with the
+    * batch query's `> 1` filter applied to the emitted append stream.
+    * With in-order replay the emit-once per-departure counts equal the
+    * batch RANGE frame exactly. Oracle: the batch q3_over_recent oracle.
+    */
+  def q3Over(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(OverWindowState.q3Streaming(
+          replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime"))),
+          windowMs = graft.operators.TaxiQueries.RecentFrameMs).toDF(),
+        "append")
+      .filter(col("dept_cnt") > 1)
+      .select("ride_id", "cell", "dept_time", "dept_cnt")
+      .orderBy("ride_id")
+
+  /** Incremental sub-document dedup through micro-batches: verdicts of
+    * doc-id-chunked incoming docs against the PERSISTED bucketed window
+    * table — the production substringAgainst/substringStream membership
+    * join under the hard gate. Oracle: the batch dedup_substring_incr
+    * oracle (same verdicts, corpus joined in place).
+    */
+  def substringIncr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val table = s"graft_gate_wins_${runId.incrementAndGet()}"
+    Dedup.persistWindowTable(spark, dir, table)
+    try {
+      val schema = Dedup.substringIncremental(spark, dir).schema // lazy: no job
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = Dedup.substringStream(
+        replay(Dedup.incomingDocs(spark, dir), col("doc_id"), chunks = 3), table) { v =>
+        buf.synchronized { buf ++= v.collect() }; ()
+      }
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+        .orderBy("doc_id")
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $table"); () }
+  }
+
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
@@ -162,7 +202,7 @@ object StreamGate {
       .toDF("user_id", "ts", "event_type")
     val sink = new MemoryUpsertSink(Seq("user_id"))
     val ck = Files.createTempDirectory("graft-gate-funnel-ck").toString
-    val q = FunnelStream.funnelStream(replay(ev.unionByName(sentinel), "ts")).toDF()
+    val q = FunnelStream.funnelStream(replay(ev.unionByName(sentinel), unix_millis(col("ts")))).toDF()
       .writeStream.outputMode("update")
       .option("checkpointLocation", ck)
       .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }

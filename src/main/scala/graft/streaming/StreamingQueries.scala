@@ -499,6 +499,14 @@ object OverWindowState {
     * the same emit-once contract as Flink's append OVER output.
     */
   def annotate(key: Int, rows: Iterator[Departure],
+               state: GroupState[CellBuffer]): Iterator[Annotated] =
+    annotateWith(WindowMs)(key, rows, state)
+
+  /** [[annotate]] with the trailing frame as a parameter — the same
+    * operator at any RANGE width (the q3_over_recent 7-day form runs
+    * through this in the stream gate).
+    */
+  def annotateWith(windowMs: Long)(key: Int, rows: Iterator[Departure],
                state: GroupState[CellBuffer]): Iterator[Annotated] = {
     val buf = state.getOption.getOrElse(CellBuffer(Nil, Long.MinValue))
     var times = buf.times
@@ -511,13 +519,13 @@ object OverWindowState {
       .flatMap { case (ts, peers) =>
         peers.foreach { _ => times = ts :: times }
         maxSeen = math.max(maxSeen, ts)
-        val cnt = times.count(t => t >= ts - WindowMs && t <= ts)
+        val cnt = times.count(t => t >= ts - windowMs && t <= ts)
         peers.sortBy(_.rideId).map(d => Annotated(d.rideId, key, ts, cnt))
       }
     // prune entries invisible to any future row: the earliest timestamp a
     // future row can carry is maxSeen - MaxLatenessMs, and it looks back
     // WindowMs further
-    val horizon = maxSeen - WindowMs - MaxLatenessMs
+    val horizon = maxSeen - windowMs - MaxLatenessMs
     state.update(CellBuffer(times.filter(_ >= horizon), maxSeen))
     out.iterator
   }
@@ -525,7 +533,7 @@ object OverWindowState {
   /** rides stream -> per-departure trailing-10-min counts (append stream,
     * one row per input row — the reference's Q3 output contract).
     */
-  def q3Streaming(rides: DataFrame): Dataset[Annotated] = {
+  def q3Streaming(rides: DataFrame, windowMs: Long = WindowMs): Dataset[Annotated] = {
     val spark = rides.sparkSession
     import spark.implicits._
     rides
@@ -535,7 +543,8 @@ object OverWindowState {
         unix_millis(col("rowtime")).as("deptTimeMs"))
       .as[Departure]
       .groupByKey(_.cell)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(annotate)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        annotateWith(windowMs))
   }
 }
 

@@ -81,6 +81,27 @@ class TaxiFunctionsSpec extends SparkSpec {
     assert(df.head().getLong(0) === 3723004L)
   }
 
+  test("toGeoPoint overloads: struct, (lon,lat) column pair, and scalars agree") {
+    import spark.implicits._
+    // reference overload set: Tuple2 (the one the queries use) plus
+    // (Float,Float)/(Double,Double) (ElasticUpsertTableSink.scala:150-154)
+    val cells = Seq(0, 1234, 250 * 400 - 1).toDF("cell")
+    cells.select(
+        Taxi.toGeoPoint(Taxi.toCoords(col("cell"))).as("fromStruct"),
+        Taxi.toGeoPoint(Taxi.cellLon(col("cell")), Taxi.cellLat(col("cell"))).as("fromPair"),
+        col("cell"))
+      .collect().foreach { r =>
+        assert(r.getStruct(0) === r.getStruct(1))
+        val (lon, lat) = Taxi.toCoordsScalar(r.getInt(2))
+        val gp = Taxi.toGeoPointScalar(lon, lat)
+        assert(r.getStruct(0).getFloat(0) === gp.lon && r.getStruct(0).getFloat(1) === gp.lat)
+        // Double overload truncates to Float exactly like the reference
+        assert(Taxi.toGeoPointScalar(lon.toDouble, lat.toDouble) === gp)
+        // "lat,lon" wire rendering (ElasticUpsertTableSink.scala:156-158)
+        assert(gp.toString === s"$lat,$lon")
+      }
+  }
+
   test("SQL-registered UDFs agree with native columns") {
     Taxi.registerAll(spark)
     val r = spark.sql(
