@@ -76,6 +76,7 @@ object SparkEntry {
     "pipe_contamination" -> (Training.contamination _),
     "pipe_contamination_bloom" -> (Training.contaminationBloom _),
     "pipe_pack_chunks" -> (Training.packChunks _),
+    "pipe_leakage_split" -> (Training.leakageSplit _),
     "pipe_manifest" -> (Pipeline.manifest _),
     "pipe_dq_report" -> (Pipeline.dqReport _),
     "pipe_zorder_layout" -> (Pipeline.zorderLayout _),
@@ -147,6 +148,7 @@ object SparkEntry {
     // bloom pre-filter changes the plan, not the answer: same oracle
     "pipe_contamination_bloom" -> Training.contaminationOracle,
     "pipe_pack_chunks" -> Training.packChunksOracle,
+    "pipe_leakage_split" -> Training.leakageSplitOracle,
     "pipe_manifest" -> Pipeline.manifestOracle,
     "pipe_dq_report" -> Pipeline.dqReportOracle,
     "emb_quantize" -> Training.quantizeOracle,

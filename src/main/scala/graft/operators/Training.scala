@@ -117,6 +117,59 @@ object Training {
   }
 
   // -------------------------------------------------------------------------
+  // Train/val split with an n-gram leakage guard
+  // -------------------------------------------------------------------------
+
+  /** LEAKAGE-GUARDED SPLIT — deterministic hash split into train/val
+    * (here doc_id % 5, in production a stable content hash), plus the
+    * guard every eval pipeline needs: for each TRAIN doc, how many of its
+    * distinct word-3-grams also appear anywhere in the VAL split
+    * (`n_leak`) and a `flag_leak` bit. A val set whose shingles survive
+    * in train is [[contamination]] you inflicted on yourself — this is
+    * the same membership check pointed INSIDE the corpus at split time,
+    * so leaky train docs can be dropped or re-assigned before training.
+    *
+    * Scale shape: one shingle explode + one LEFT SEMI membership join on
+    * shingle (duplicate-safe by construction — semi joins never multiply,
+    * the same discipline as the substring verdict path) + one per-doc
+    * count with map-side combine. The val side is the small split
+    * fraction, so AQE broadcasts it and the train shingles never move;
+    * past broadcast size the bloom pre-filter crossover documented for
+    * [[contaminationBloom]] applies unchanged.
+    */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingles(spark, dir) // distinct 3-gram shingles per doc
+    val valShingles = sh.filter(col("doc_id") % 5 === 0).select("shingle").distinct()
+    val leaks = sh.filter(col("doc_id") % 5 =!= 0)
+      .join(valShingles, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leak"))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, "val").otherwise("train").as("split"))
+      .join(leaks, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "split",
+        "coalesce(n_leak, 0L) AS n_leak",
+        "coalesce(n_leak, 0L) > 0 AS flag_leak")
+      .orderBy("doc_id")
+  }
+
+  val leakageSplitOracle: String =
+    s"""WITH ${Dedup.shinglesCte},
+       |val_set AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 5 = 0),
+       |leaks AS (
+       |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_leak
+       |  FROM (SELECT doc_id, shingle FROM shingles WHERE doc_id % 5 <> 0) s
+       |  JOIN val_set v USING (shingle)
+       |  GROUP BY s.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.doc_id % 5 = 0 THEN 'val' ELSE 'train' END AS split,
+       |  coalesce(n_leak, 0) AS n_leak,
+       |  coalesce(n_leak, 0) > 0 AS flag_leak
+       |FROM documents d LEFT JOIN leaks USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Sequence packing layout (concat-then-chunk)
   // -------------------------------------------------------------------------
 

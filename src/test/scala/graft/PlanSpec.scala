@@ -221,6 +221,16 @@ class PlanSpec extends SparkSpec {
     assert(scans === 1, s"expected a single customer scan, got $scans:\n${p.take(1500)}")
   }
 
+  test("leakage split guards via a semi join: membership, never a row-multiplying join") {
+    val df = Training.leakageSplit(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("LeftSemi"),
+      s"val-shingle membership must be a semi join (duplicate-safe):\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"leak guard must stay equi-join only:\n${p.take(1200)}")
+  }
+
   test("contamination bloom probes inside the scan stage, before any shuffle or join") {
     // bloom_agg/bloom_contains are extension-registered: this pin needs an
     // engine session, not the bare shared test session (same pattern as
