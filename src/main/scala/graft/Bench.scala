@@ -61,7 +61,7 @@ object Bench {
     // box's noise band is ~±25% (r5 vs r6 ran byte-identical code and
     // "moved" 1.22x), so per-query claims need n>=3; the reported
     // per-query value is the MEDIAN across repeats
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val runs: Seq[Seq[(String, Double)]] = (1 to repeat).map { r =>
@@ -87,7 +87,12 @@ object Bench {
     }
     def median(vs: Seq[Double]): Double = {
       val ok = vs.filter(_ >= 0).sorted
-      if (ok.isEmpty) -1.0 else ok(ok.length / 2)
+      if (ok.isEmpty) -1.0
+      // true median for even n (middle-pair mean), not the upper-middle
+      // order statistic — repeat=2 would otherwise always report the
+      // slower run
+      else if (ok.length % 2 == 1) ok(ok.length / 2)
+      else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2
     }
     val results = selected.map(_._1).map { name =>
       name -> median(runs.map(_.toMap.apply(name)))

@@ -29,6 +29,11 @@ import graft.sources.Rides
   * sentinel row advances it and is excluded from the returned table —
   * the same technique StreamingSpec uses.
   *
+  * Every gate returns a result MATERIALIZED into the driver (bounded by
+  * the verify-SF result size) and deletes its replay/checkpoint/lake temp
+  * dirs before returning — repeated bench runs must not accumulate staged
+  * table copies in /tmp or pin memory-sink tables for the session's life.
+  *
   * This object is verification scaffolding bounded by the verify SF
   * (single-file chunk writes, driver-side min/max scalars); the operators
   * it drives are the production ones in [[StreamingQueries]] /
@@ -43,13 +48,32 @@ object StreamGate {
 
   private val runId = new AtomicInteger(0)
 
+  private def rmrf(p: Path): Unit = {
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(x => Files.deleteIfExists(x))
+      finally walk.close()
+    }
+    ()
+  }
+
+  /** Pin a result into driver memory so it survives the deletion of the
+    * temp dirs / memory-sink tables it was computed from.
+    */
+  private def materialize(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(df.collect().toList.asJava, df.schema)
+  }
+
   /** Split `df` into `chunks` files by range of the (monotone, long)
     * `orderMs` expression under a fresh temp dir and return a streaming
     * DataFrame replaying them one file per micro-batch, lowest range
-    * first. For event-time inputs pass `unix_millis(rowtime)`; for
-    * unordered corpora any stable key (e.g. doc_id) works.
+    * first, plus the temp root the caller must delete after the run. For
+    * event-time inputs pass `unix_millis(rowtime)`; for unordered corpora
+    * any stable key (e.g. doc_id) works.
     */
-  private def replay(df: DataFrame, orderMs: Column, chunks: Int = Chunks): DataFrame = {
+  private def replay(df: DataFrame, orderMs: Column, chunks: Int = Chunks): (DataFrame, Path) = {
     val spark = df.sparkSession
     val root = Files.createTempDirectory("graft-stream-gate")
     val staged = root.resolve("staged")
@@ -71,25 +95,36 @@ object StreamGate {
       val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
       val dst = chunkDir.resolve(f"chunk-$i%04d.parquet")
       Files.move(part.toPath, dst)
-      dst.toFile.setLastModified((i + 1) * 60000L); ()
+      // mtime order is the SOLE replay-order mechanism — a filesystem that
+      // refuses it would replay chunks arbitrarily and fail the oracle
+      // with no hint of the root cause, so fail fast instead
+      if (!dst.toFile.setLastModified((i + 1) * 60000L))
+        throw new java.io.IOException(
+          s"cannot set mtime on $dst — chunk replay order would be undefined")
     }
-    spark.readStream.schema(df.schema)
+    rmrf(staged) // chunk files were moved out; drop the write leftovers
+    (spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(chunkDir.toString)
+      .parquet(chunkDir.toString), root)
   }
 
   /** Run a streaming output to a memory sink until all replayed chunks
     * (and any watermark-driven trailing batch) are processed; return the
-    * materialized table.
+    * result materialized, with the sink table dropped and the checkpoint
+    * deleted (a kept memory table would pin the full result for the
+    * session's lifetime).
     */
   private def runToMemory(out: DataFrame, mode: String): DataFrame = {
     val spark = out.sparkSession
     val name = s"graft_gate_${runId.incrementAndGet()}"
-    val ck = Files.createTempDirectory("graft-gate-ck").toString
+    val ck = Files.createTempDirectory("graft-gate-ck")
     val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", ck).start()
+      .outputMode(mode).option("checkpointLocation", ck.toString).start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val result = materialize(spark.table(name))
+    spark.catalog.dropTempView(name)
+    rmrf(ck)
+    result
   }
 
   /** Q1 tumbling-window agg through micro-batches (complete mode: state
@@ -97,10 +132,12 @@ object StreamGate {
     * batch-identical by construction, no finalization sentinel needed).
     * Oracle: the batch q1 oracle.
     */
-  def q1Tumble(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(StreamingQueries.q1Tumble(replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))),
-        "complete")
+  def q1Tumble(spark: SparkSession, dir: String): DataFrame = {
+    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    try runToMemory(StreamingQueries.q1Tumble(stream), "complete")
       .orderBy("dept_time", "cell")
+    finally rmrf(root)
+  }
 
   /** Q4 cascaded aggregate (the reference's retraction flagship) through
     * the full distributed CascadeQ4 path: level-1 update-mode changelog →
@@ -116,10 +153,14 @@ object StreamGate {
     // overhead, not data volume — cross-batch state accumulation is already
     // proven at 3 batches, and the histogram lake holds ~5 keys
     val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
-    val q = CascadeQ4.startToParquet(replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")), chunks = 3),
-      sink, tmp.resolve("ck").toString)
-    q.awaitTermination()
-    sink.snapshot(spark).select(col("dept_cnt"), col("cnt_freq")).orderBy("dept_cnt")
+    val (stream, root) = replay(Rides.fromEvents(spark, dir),
+      unix_millis(col("rowtime")), chunks = 3)
+    try {
+      val q = CascadeQ4.startToParquet(stream, sink, tmp.resolve("ck").toString)
+      q.awaitTermination()
+      materialize(sink.snapshot(spark).select(col("dept_cnt"), col("cnt_freq")))
+        .orderBy("dept_cnt")
+    } finally { rmrf(root); rmrf(tmp) }
   }
 
   /** Q7 session windows through micro-batches (append mode — sessions
@@ -139,20 +180,13 @@ object StreamGate {
       .toDF("rideId", "isStart", "startTime", "endTime",
         "startLon", "startLat", "endLon", "endLat", "passengerCnt")
       .withColumn("rowtime", col("startTime"))
-    runToMemory(StreamingQueries.q7Session(replay(rides.unionByName(sentinel), unix_millis(col("rowtime")))),
-        "append")
+    val (stream, root) = replay(rides.unionByName(sentinel), unix_millis(col("rowtime")))
+    try runToMemory(StreamingQueries.q7Session(stream), "append")
       .filter(col("sess_start") <= maxMs) // drop the sentinel's own session
       .orderBy("cell", "sess_start")
+    finally rmrf(root)
   }
 
-  /** Per-user funnel through micro-batches: [[FunnelStream]]'s update-mode
-    * snapshots keyed-upserted into a memory store; the final state per
-    * user is the answer. A far-future sentinel of a filtered-out event
-    * type advances the watermark so every pending event folds and the
-    * event-time timers fire. The batch funnel's population is users with
-    * ≥1 view (its s1 base relation), so depth-0 snapshots are excluded.
-    * Oracle: the batch rel_funnel oracle.
-    */
   /** Q3 OVER-window state through micro-batches: [[OverWindowState]] at
     * the 7-day RANGE frame (q3_over_recent's constants — the 10-min frame
     * is vacuous on this fixture, see TaxiQueries.q3OverWindow), with the
@@ -160,14 +194,16 @@ object StreamGate {
     * With in-order replay the emit-once per-departure counts equal the
     * batch RANGE frame exactly. Oracle: the batch q3_over_recent oracle.
     */
-  def q3Over(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(OverWindowState.q3Streaming(
-          replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime"))),
+  def q3Over(spark: SparkSession, dir: String): DataFrame = {
+    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    try runToMemory(OverWindowState.q3Streaming(stream,
           windowMs = graft.operators.TaxiQueries.RecentFrameMs).toDF(),
         "append")
       .filter(col("dept_cnt") > 1)
       .select("ride_id", "cell", "dept_time", "dept_cnt")
       .orderBy("ride_id")
+    finally rmrf(root)
+  }
 
   /** Incremental sub-document dedup through micro-batches: verdicts of
     * doc-id-chunked incoming docs against the PERSISTED bucketed window
@@ -179,20 +215,31 @@ object StreamGate {
     import graft.operators.Dedup
     val table = s"graft_gate_wins_${runId.incrementAndGet()}"
     Dedup.persistWindowTable(spark, dir, table)
+    val (stream, root) = replay(Dedup.incomingDocs(spark, dir), col("doc_id"), chunks = 3)
     try {
       val schema = Dedup.substringIncremental(spark, dir).schema // lazy: no job
       val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      val q = Dedup.substringStream(
-        replay(Dedup.incomingDocs(spark, dir), col("doc_id"), chunks = 3), table) { v =>
+      val q = Dedup.substringStream(stream, table) { v =>
         buf.synchronized { buf ++= v.collect() }; ()
       }
       try q.processAllAvailable() finally q.stop()
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
         .orderBy("doc_id")
-    } finally { spark.sql(s"DROP TABLE IF EXISTS $table"); () }
+    } finally {
+      rmrf(root)
+      spark.sql(s"DROP TABLE IF EXISTS $table"); ()
+    }
   }
 
+  /** Per-user funnel through micro-batches: [[FunnelStream]]'s update-mode
+    * snapshots keyed-upserted into a memory store; the final state per
+    * user is the answer. A far-future sentinel of a filtered-out event
+    * type advances the watermark so every pending event folds and the
+    * event-time timers fire. The batch funnel's population is users with
+    * ≥1 view (its s1 base relation), so depth-0 snapshots are excluded.
+    * Oracle: the batch rel_funnel oracle.
+    */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
@@ -201,17 +248,20 @@ object StreamGate {
     val sentinel = Seq((-1L, new Timestamp(maxMs + 600000L), "gate_sentinel"))
       .toDF("user_id", "ts", "event_type")
     val sink = new MemoryUpsertSink(Seq("user_id"))
-    val ck = Files.createTempDirectory("graft-gate-funnel-ck").toString
-    val q = FunnelStream.funnelStream(replay(ev.unionByName(sentinel), unix_millis(col("ts")))).toDF()
-      .writeStream.outputMode("update")
-      .option("checkpointLocation", ck)
-      .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
-        Encoders.product[FunnelStream.FunnelUpdate].schema)
-      .filter(col("t_view").isNotNull)
-      .orderBy("user_id")
+    val ck = Files.createTempDirectory("graft-gate-funnel-ck")
+    val (stream, root) = replay(ev.unionByName(sentinel), unix_millis(col("ts")))
+    try {
+      val q = FunnelStream.funnelStream(stream).toDF()
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
+          Encoders.product[FunnelStream.FunnelUpdate].schema)
+        .filter(col("t_view").isNotNull)
+        .orderBy("user_id")
+    } finally { rmrf(root); rmrf(ck) }
   }
 }
