@@ -77,6 +77,7 @@ object SparkEntry {
     "pipe_contamination_bloom" -> (Training.contaminationBloom _),
     "pipe_pack_chunks" -> (Training.packChunks _),
     "pipe_leakage_split" -> (Training.leakageSplit _),
+    "pipe_chunk_overlap" -> (Training.chunkOverlap _),
     "pipe_manifest" -> (Pipeline.manifest _),
     "pipe_dq_report" -> (Pipeline.dqReport _),
     "pipe_zorder_layout" -> (Pipeline.zorderLayout _),
@@ -149,6 +150,7 @@ object SparkEntry {
     "pipe_contamination_bloom" -> Training.contaminationOracle,
     "pipe_pack_chunks" -> Training.packChunksOracle,
     "pipe_leakage_split" -> Training.leakageSplitOracle,
+    "pipe_chunk_overlap" -> Training.chunkOverlapOracle,
     "pipe_manifest" -> Pipeline.manifestOracle,
     "pipe_dq_report" -> Pipeline.dqReportOracle,
     "emb_quantize" -> Training.quantizeOracle,

@@ -194,6 +194,63 @@ object Training {
       .orderBy("doc_id")
   }
 
+  // 32/24 (8-token overlap) rather than a production 512/384: the fixture's
+  // docs run 10-99 tokens (median 56), so these constants exercise BOTH the
+  // single-chunk and the multi-chunk/overlap paths non-vacuously — at
+  // production sizes every fixture doc would collapse to one chunk and the
+  // stride arithmetic would be dead code under the oracle
+  val ChunkLen = 32
+  val ChunkStride = 24
+
+  /** OVERLAPPING TOKEN-WINDOW CHUNKER — cut each document into
+    * [[ChunkLen]]-token windows advancing by [[ChunkStride]] (32-token
+    * overlap), the retrieval/RAG and long-context-pretraining chunking
+    * shape that [[packChunks]]' non-overlapping concat-then-chunk layout
+    * doesn't cover: overlap preserves context across chunk boundaries at
+    * the cost of (ChunkLen/ChunkStride)x duplication. Emits per chunk its
+    * index, token offset, length, and content md5 (the downstream dedup /
+    * embedding key). Chunk count is exact integer arithmetic
+    * ((n - L + S - 1) DIV S + 1), so the oracle matches bit-for-bit.
+    *
+    * Scale shape: map-only — one scan, a bounded explode (fan-out
+    * n_toks/stride), no shuffle before the output ordering; at 100 TB
+    * chunking parallelizes per input split with zero data movement.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "toks",
+        s"""explode(sequence(0,
+           |  CASE WHEN size(toks) <= $ChunkLen THEN 0
+           |    ELSE (size(toks) - $ChunkLen + $ChunkStride - 1) DIV $ChunkStride
+           |  END)) AS chunk_id""".stripMargin)
+      .selectExpr("doc_id", "CAST(chunk_id AS BIGINT) AS chunk_id",
+        s"CAST(chunk_id * $ChunkStride AS BIGINT) AS tok_start",
+        s"slice(toks, chunk_id * $ChunkStride + 1, $ChunkLen) AS chunk_toks")
+      .selectExpr("doc_id", "chunk_id", "tok_start",
+        "CAST(size(chunk_toks) AS BIGINT) AS n_chunk_toks",
+        "md5(array_join(chunk_toks, ' ')) AS chunk_md5")
+      .orderBy("doc_id", "chunk_id")
+
+  val chunkOverlapOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |base AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) <= $ChunkLen THEN 1
+       |      ELSE (len(toks) - $ChunkLen + $ChunkStride - 1) // $ChunkStride + 1
+       |    END AS n_chunks
+       |  FROM toks
+       |),
+       |chunks AS (
+       |  SELECT doc_id, unnest(range(0, n_chunks)) AS chunk_id, toks FROM base
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $ChunkStride AS BIGINT) AS tok_start,
+       |  CAST(len(toks[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen]) AS BIGINT) AS n_chunk_toks,
+       |  md5(array_to_string(toks[chunk_id * $ChunkStride + 1 : chunk_id * $ChunkStride + $ChunkLen], ' ')) AS chunk_md5
+       |FROM chunks
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val packChunksOracle: String =
     s"""SELECT doc_id, source, n_toks, tok_start,
        |  tok_start // $SeqLen AS seq_id, tok_start % $SeqLen AS seq_offset

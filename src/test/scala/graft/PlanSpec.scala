@@ -221,6 +221,15 @@ class PlanSpec extends SparkSpec {
     assert(scans === 1, s"expected a single customer scan, got $scans:\n${p.take(1500)}")
   }
 
+  test("overlap chunker is map-only: explode in the scan stage, no shuffle before the sort") {
+    val p = plan(Training.chunkOverlap(spark, Sf0001))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"chunking must not join or aggregate:\n${p.take(800)}")
+    // exactly one Exchange: the output orderBy's range partitioning
+    assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"chunker should be map-only up to the output sort:\n${p.take(800)}")
+  }
+
   test("leakage split guards via a semi join: membership, never a row-multiplying join") {
     val df = Training.leakageSplit(spark, Sf0001)
     df.collect()
