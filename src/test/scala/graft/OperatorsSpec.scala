@@ -752,4 +752,36 @@ class OperatorsSpec extends SparkSpec {
       flag === (ratio >= 0.5) && d <= n
     })
   }
+
+  test("overlap chunker invariants: contiguous ids, full coverage, exact stride overlap") {
+    import graft.operators.Training.{ChunkLen, ChunkStride}
+    import spark.implicits._
+    val docLens = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .as[(Long, Long)].collect().toMap
+    val chunks = graft.operators.Training.chunkOverlap(spark, Sf0001)
+      .select("doc_id", "chunk_id", "tok_start", "n_chunk_toks")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(chunks.keySet === docLens.keySet, "every doc must chunk")
+    // both branches must actually fire on the fixture (a vacuous
+    // 1-chunk-per-doc green would leave the stride arithmetic untested)
+    assert(chunks.values.exists(_.length > 1) && chunks.values.exists(_.length == 1))
+    chunks.foreach { case (id, cs) =>
+      val n = docLens(id)
+      assert(cs.map(_._2).toSeq === cs.indices.map(_.toLong), s"doc $id ids not contiguous")
+      assert(cs.head._3 === 0L, s"doc $id first chunk must start at 0")
+      assert(cs.last._3 + cs.last._4 === n, s"doc $id chunks must cover through the last token")
+      cs.foreach { case (_, i, start, len) =>
+        assert(start === i * ChunkStride && len <= ChunkLen && len > 0)
+      }
+      // only the last chunk may be short; consecutive chunks overlap by
+      // exactly ChunkLen - ChunkStride
+      cs.init.foreach { case (_, _, _, len) => assert(len === ChunkLen.toLong) }
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._4 - b._3 === (ChunkLen - ChunkStride).toLong)
+        case _ => ()
+      }
+    }
+  }
 }
