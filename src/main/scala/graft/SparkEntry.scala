@@ -50,6 +50,7 @@ object SparkEntry {
     "txt_vocab_build" -> (TextAnalysis.vocabBuild _),
     "txt_oov_rate" -> (TextAnalysis.oovRate _),
     "txt_norm_dedup" -> (TextAnalysis.normalizedDedup _),
+    "txt_boilerplate" -> (TextAnalysis.boilerplate _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_near_key" -> (Dedup.nearKey _),
@@ -196,6 +197,7 @@ object SparkEntry {
     "txt_vocab_build" -> TextAnalysis.vocabBuildOracle,
     "txt_oov_rate" -> TextAnalysis.oovRateOracle,
     "txt_norm_dedup" -> TextAnalysis.normalizedDedupOracle,
+    "txt_boilerplate" -> TextAnalysis.boilerplateOracle,
     "mm_features" -> Multimodal.featuresOracle,
     "pipe_corpus_filter" -> Pipeline.corpusFilterOracle,
     "pipe_stratified_sample" -> Pipeline.stratifiedSampleOracle,

@@ -417,6 +417,78 @@ object TextAnalysis {
        |FROM norm ORDER BY doc_id""".stripMargin
   }
 
+  /** Boilerplate bar: a shingle is source-boilerplate when it appears in
+    * >= [[BoilerMinDocs]] docs AND >= 5% of its source's docs (integer
+    * cross-multiply — exact on both engines).
+    */
+  val BoilerMinDocs = 2
+
+  /** CORPUS-BOILERPLATE DETECTION — per document, how much of it is made
+    * of 3-gram shingles shared across a large fraction of the SAME
+    * source's documents (site headers/footers, license blurbs, template
+    * chrome — the CCNet/RefinedWeb-style cleaning signal). Distinct from
+    * the dedup family: substring/minhash find spans duplicated between
+    * doc PAIRS; this finds spans common to a source's population, which
+    * pairwise dedup deliberately keeps. Emits per doc its shingle count,
+    * boilerplate-shingle count, and the ratio downstream cleaners
+    * threshold on.
+    *
+    * Scale shape: shingle work runs on distinct-per-doc shingles
+    * (vocabulary-bounded, the tf-idf discipline); the boilerplate set is
+    * found with one (source, shingle) count + a broadcast of the tiny
+    * per-source doc totals; membership back onto the shingle stream is a
+    * LEFT SEMI join (duplicate-safe); per-doc counts combine map-side.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source")
+    val sh = Dedup.shingles(spark, dir).join(d, "doc_id")
+    val nDocs = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val boiler = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs), "source")
+      .filter(col("df") >= BoilerMinDocs && col("df") * 20 >= col("n_docs"))
+      .select("source", "shingle")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val perBoiler = sh.join(boiler, Seq("source", "shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    d.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(perBoiler, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(n_shingles, 0L) AS n_shingles",
+        "coalesce(n_boiler, 0L) AS n_boiler",
+        """CASE WHEN coalesce(n_shingles, 0L) = 0 THEN CAST(0.0 AS DOUBLE)
+          |  ELSE CAST(coalesce(n_boiler, 0L) AS DOUBLE) / n_shingles
+          |END AS boiler_ratio""".stripMargin)
+      .orderBy("doc_id")
+  }
+
+  val boilerplateOracle: String =
+    s"""WITH ${Dedup.shinglesCte},
+       |src AS (SELECT doc_id, source FROM documents),
+       |sh AS (SELECT s.doc_id, s.shingle, d.source FROM shingles s JOIN src d USING (doc_id)),
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM src GROUP BY 1),
+       |df AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1, 2),
+       |boiler AS (
+       |  SELECT df.source, df.shingle FROM df JOIN nd USING (source)
+       |  WHERE df >= ${BoilerMinDocs} AND df * 20 >= n_docs
+       |),
+       |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1),
+       |per_boiler AS (
+       |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+       |  FROM sh SEMI JOIN boiler ON sh.source = boiler.source AND sh.shingle = boiler.shingle
+       |  GROUP BY 1
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(n_shingles, 0) AS n_shingles,
+       |  coalesce(n_boiler, 0) AS n_boiler,
+       |  CASE WHEN coalesce(n_shingles, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+       |    ELSE CAST(coalesce(n_boiler, 0) AS DOUBLE) / n_shingles
+       |  END AS boiler_ratio
+       |FROM src d
+       |LEFT JOIN per_doc USING (doc_id)
+       |LEFT JOIN per_boiler USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** VOCABULARY APPLICATION / OOV RATE — score every document by how much
     * of it a fixed top-[[VocabSize]] vocabulary covers (the "will my
     * tokenizer shred this doc into unknowns" check run before training;

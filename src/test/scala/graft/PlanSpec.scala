@@ -221,6 +221,18 @@ class PlanSpec extends SparkSpec {
     assert(scans === 1, s"expected a single customer scan, got $scans:\n${p.take(1500)}")
   }
 
+  test("boilerplate membership is a semi join with the per-source totals broadcast") {
+    val df = TextAnalysis.boilerplate(spark, Sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("LeftSemi"),
+      s"boiler-set membership must be a semi join (duplicate-safe):\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source doc totals must broadcast onto the df counts:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate detection must stay equi-join only:\n${p.take(1200)}")
+  }
+
   test("overlap chunker is map-only: explode in the scan stage, no shuffle before the sort") {
     val p = plan(Training.chunkOverlap(spark, Sf0001))
     assert(!p.contains("Join") && !p.contains("HashAggregate"),
