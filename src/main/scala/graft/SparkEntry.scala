@@ -113,9 +113,9 @@ object SparkEntry {
     "rel_retention" -> (Relational.retention _),
     "rel_gapfill" -> (Relational.gapfill _),
     "skew_salted_agg" -> (Relational.saltedEventCount _),
-    // sketch aggregates: deliberately NO oracle entry (HLL/quantile sketch
-    // algorithms differ across engines) -> driver's rows-only check; the
-    // error bound vs exact values is asserted in OperatorsSpec
+    // sketch aggregates, restated deterministically: exact counts + order
+    // statistics (oracle-matchable) plus per-sketch error-bound booleans
+    // the oracle asserts as literal TRUE
     "rel_approx_stats" -> (Relational.approxStats _),
   )
 
@@ -211,5 +211,6 @@ object SparkEntry {
     "rel_asof_attribution" -> Relational.asofAttributionOracle,
     "rel_shipping_priority" -> Relational.shippingPriorityOracle,
     "rel_segment_set_ops" -> Relational.segmentSetOpsOracle,
+    "rel_approx_stats" -> Relational.approxStatsOracle,
   )
 }

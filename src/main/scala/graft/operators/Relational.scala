@@ -332,15 +332,38 @@ object Relational {
 
   /** HyperLogLog++ distinct counts and approximate quantiles per segment —
     * the sketch family a 100 TB profiler runs instead of exact
-    * distinct/sort. No DuckDB oracle (sketch algorithms differ across
-    * engines); the hard in-repo signal is [[approxStatsAudit]], which rides
-    * each sketch next to its exact counterpart and is gated by
-    * OperatorsSpec at sf0.001 AND sf0.1 (5% relative error per family).
+    * distinct/sort — restated so the OUTPUT is deterministic and
+    * hash-checkable: sketch values themselves differ across engines, so the
+    * entry emits the EXACT counts/order-statistics (DuckDB computes those
+    * identically) plus one boolean per sketch asserting its 5% relative
+    * error bound; the oracle emits literal TRUE for the booleans, making
+    * the error bound itself the hash-gated claim. The raw sketch-next-to-
+    * exact columns stay visible via [[approxStatsAudit]], gated by
+    * OperatorsSpec at sf0.001 AND sf0.1.
     */
-  def approxStats(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders")
-    val c = t(spark, dir, "customer")
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    approxStatsRaw(spark, dir).select(
+      col("c_mktsegment"), col("n_orders"), col("exact_customers"),
+      col("exact_median_price"),
+      (abs(col("approx_customers") - col("exact_customers")) <=
+        col("exact_customers") * lit(0.05)).as("hll_ok"),
+      (abs(col("approx_median_price") - col("exact_median_price")) <=
+        col("exact_median_price") * lit(0.05)).as("quantile_ok"))
+      .orderBy("c_mktsegment")
+
+  /** Sketches and their exact counterparts side by side. The exact lower
+    * median (value at rank (n+1) DIV 2 ordered by price — deterministic
+    * even under price ties, since rank-k VALUE doesn't depend on tie
+    * order) is the audit cost the sketch exists to avoid at 100 TB; here
+    * it doubles as the oracle-matchable half of the gated entry. Its
+    * window partitions by the 5-value segment key, but carries only the
+    * price column, so the sort stays narrow.
+    */
+  private def approxStatsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").select("o_custkey", "o_totalprice")
+    val c = t(spark, dir, "customer").select("c_custkey", "c_mktsegment")
     val joined = o.join(c, col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_custkey", "o_totalprice")
     // The sketches and the exact distinct count run in SEPARATE aggregations
     // joined on the (5-row) group key. In one Aggregate, Spark's distinct
     // rewrite re-keys the partial phase by (group, distinct-key), so every
@@ -360,28 +383,50 @@ object Relational {
         count(lit(1)).as("n_orders"))
     val exact = joined.groupBy("c_mktsegment")
       .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    val bySeg = Window.partitionBy("c_mktsegment")
+    val median = joined
+      .select(col("c_mktsegment"), col("o_totalprice"),
+        row_number().over(bySeg.orderBy("o_totalprice")).as("rn"),
+        count(lit(1)).over(bySeg).as("n"))
+      .where(expr("rn = (n + 1) DIV 2"))
+      .select(col("c_mktsegment"), col("o_totalprice").as("exact_median_price"))
     sketches.join(exact, Seq("c_mktsegment"))
-      .select(col("c_mktsegment"), col("approx_customers"), col("exact_customers"),
-        col("approx_median_price"), col("n_orders"))
-      .orderBy("c_mktsegment")
+      .join(median, Seq("c_mktsegment"))
   }
 
-  /** [[approxStats]] plus the EXACT percentile — spec-only: exact
-    * percentile materializes every group's values, the very cost the
-    * sketch exists to avoid, so it stays off the benched surface (adding
-    * it there tripled the query's wall time at sf0.1) and exists purely
-    * as the error-bound gate the missing DuckDB oracle would otherwise
-    * provide.
+  /** [[approxStatsRaw]] for the spec: raw sketch values next to their
+    * exact counterparts, so OperatorsSpec can assert the 5% relative
+    * error at sf0.001 AND sf0.1 numerically (the gated entry only carries
+    * the boolean verdicts).
     */
   def approxStatsAudit(spark: SparkSession, dir: String): DataFrame =
-    approxStats(spark, dir)
-      .join(
-        t(spark, dir, "orders").join(t(spark, dir, "customer"),
-            col("o_custkey") === col("c_custkey"))
-          .groupBy("c_mktsegment")
-          .agg(expr("percentile(o_totalprice, 0.5)").as("exact_median_price")),
-        Seq("c_mktsegment"))
-      .orderBy("c_mktsegment")
+    approxStatsRaw(spark, dir).orderBy("c_mktsegment")
+
+  /** DuckDB computes the exact half identically and asserts the sketch
+    * booleans as literal TRUE — so a sketch drifting past its 5% bound
+    * hash-fails the row instead of being invisible to the gate.
+    */
+  val approxStatsOracle: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment, o_custkey, o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |),
+      |med AS (
+      |  SELECT c_mktsegment, o_totalprice AS exact_median_price
+      |  FROM (
+      |    SELECT c_mktsegment, o_totalprice,
+      |      row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice) AS rn,
+      |      count(*) OVER (PARTITION BY c_mktsegment) AS n
+      |    FROM j)
+      |  WHERE rn = (n + 1) // 2
+      |)
+      |SELECT j.c_mktsegment, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS exact_customers,
+      |  med.exact_median_price,
+      |  TRUE AS hll_ok, TRUE AS quantile_ok
+      |FROM j JOIN med USING (c_mktsegment)
+      |GROUP BY j.c_mktsegment, med.exact_median_price
+      |ORDER BY c_mktsegment""".stripMargin
 
   // -------------------------------------------------------------------------
   // Semi/anti join coverage
