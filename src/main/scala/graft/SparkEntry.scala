@@ -39,6 +39,8 @@ object SparkEntry {
     "stream_q3_over" -> (graft.streaming.StreamGate.q3Over _),
     "stream_funnel" -> (graft.streaming.StreamGate.funnel _),
     "stream_substring_incr" -> (graft.streaming.StreamGate.substringIncr _),
+    "stream_q8_pair" -> (graft.streaming.StreamGate.q8Pair _),
+    "stream_ingest_admit" -> (graft.streaming.StreamGate.ingestAdmit _),
     // text analysis
     "txt_stats" -> (TextAnalysis.textStats _),
     "txt_lang_id" -> (TextAnalysis.langId _),
@@ -141,6 +143,8 @@ object SparkEntry {
     "stream_q3_over" -> TaxiQueries.q3RecentOracleSql,
     "stream_funnel" -> Relational.funnelOracle,
     "stream_substring_incr" -> Dedup.substringIncrementalOracle,
+    "stream_q8_pair" -> TaxiQueries.q8OracleSql,
+    "stream_ingest_admit" -> Dedup.ingestAdmitOracle,
     "rel_percentiles" -> Relational.percentilesOracle,
     "rel_pivot" -> Relational.pivotEventCountsOracle,
     "txt_tfidf" -> TextAnalysis.tfidfOracle,

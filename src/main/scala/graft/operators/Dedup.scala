@@ -714,6 +714,104 @@ object Dedup {
        |WHERE d.doc_id % 10 >= 8
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The ingest-gate's augmented arrival stream: every incoming doc,
+    * followed by a RE-SUBMISSION of the same text under doc_id + offset
+    * (offset = max doc id + 1). The fixture's duplicate groups never put
+    * two copies in the incoming split with shared bands, so without the
+    * re-submissions the self-growing loop could not change a single
+    * verdict (a vacuous green); with them, every kept original's copy
+    * must match the ADMITTED band rows at sim 1.0. The offset exceeds
+    * the id range, so under the 3-chunk range split a copy provably
+    * lands ≥1 chunk after its original (chunk delta ≥ ⌊3·off/(off+R)⌋
+    * = 1 since off > R).
+    */
+  private[graft] def ingestArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val inc = incomingDocs(spark, dir)
+    val off = docs(spark, dir).agg(max(col("doc_id"))).head.getLong(0) + 1
+    inc.unionByName(inc.withColumn("doc_id", col("doc_id") + lit(off)))
+  }
+
+  /** Oracle for the SELF-GROWING ingest loop (StreamGate.ingestAdmit):
+    * the augmented arrivals ([[ingestArrivals]] — originals + offset
+    * re-submissions) land in 3 chunks (range-of-doc_id, the same integer
+    * formula the gate's chunk writer uses), and chunk k's verdicts are
+    * judged against the 80% corpus PLUS the keepers of chunks < k — the
+    * arrival-order semantics continuous dedup actually has. The
+    * induction is unrolled per chunk: eligible candidates grow by the
+    * previous levels' kept sets. Re-submissions share their original's
+    * signature, so sims are computed via the src mapping.
+    */
+  val ingestAdmitOracle: String = {
+    val levels = (0 until 3).map { k =>
+      val elig = ("c.is_corp" +:
+        (0 until k).map(j => s"c.corp_doc IN (SELECT doc_id FROM kept$j)"))
+        .mkString("(", " OR ", ")")
+      s"""e$k AS (
+         |  SELECT c.doc_id, c.corp_doc, c.est_sim FROM xsim c
+         |  JOIN chunked ci ON ci.doc_id = c.doc_id AND ci.chunk = $k
+         |  WHERE $elig
+         |),
+         |best$k AS (SELECT doc_id, max(est_sim) AS match_sim FROM e$k GROUP BY doc_id),
+         |bm$k AS (
+         |  SELECT b.doc_id, b.match_sim, min(x.corp_doc) AS match_doc
+         |  FROM best$k b JOIN e$k x ON x.doc_id = b.doc_id AND x.est_sim = b.match_sim
+         |  GROUP BY 1, 2
+         |),
+         |v$k AS (
+         |  SELECT ch.doc_id,
+         |    coalesce(bm$k.match_sim, CAST(0.0 AS DOUBLE)) < CAST($IncrDupSim AS DOUBLE) AS keep,
+         |    CAST(coalesce(bm$k.match_doc, -1) AS BIGINT) AS match_doc,
+         |    coalesce(bm$k.match_sim, CAST(0.0 AS DOUBLE)) AS match_sim
+         |  FROM chunked ch LEFT JOIN bm$k ON bm$k.doc_id = ch.doc_id
+         |  WHERE ch.chunk = $k
+         |),
+         |kept$k AS (SELECT doc_id FROM v$k WHERE keep)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $minhashSigBandsCte,
+       |inc AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8),
+       |voff AS (SELECT max(doc_id) + 1 AS o FROM documents),
+       |aug AS (
+       |  SELECT doc_id, doc_id AS src FROM inc
+       |  UNION ALL SELECT doc_id + o AS doc_id, doc_id AS src FROM inc, voff
+       |),
+       |bnd AS (SELECT min(doc_id) AS t0,
+       |               greatest(1, max(doc_id) - min(doc_id) + 1) AS span FROM aug),
+       |chunked AS (
+       |  SELECT doc_id, src, CAST((doc_id - t0) * 3 // span AS INT) AS chunk
+       |  FROM aug, bnd
+       |),
+       |xcands AS (
+       |  -- corpus candidates (always eligible) via band equality of srcs
+       |  SELECT DISTINCT ci.doc_id, ci.src AS isrc,
+       |    bc.doc_id AS corp_doc, bc.doc_id AS csrc, TRUE AS is_corp
+       |  FROM chunked ci
+       |  JOIN bands bi ON bi.doc_id = ci.src
+       |  JOIN bands bc ON bc.band = bi.band AND bc.band_sig = bi.band_sig
+       |  WHERE bc.doc_id % 10 < 8
+       |  UNION
+       |  -- earlier-chunk arrivals (eligible once kept/admitted)
+       |  SELECT DISTINCT ci.doc_id, ci.src AS isrc,
+       |    cj.doc_id AS corp_doc, cj.src AS csrc, FALSE AS is_corp
+       |  FROM chunked ci
+       |  JOIN bands bi ON bi.doc_id = ci.src
+       |  JOIN bands bc ON bc.band = bi.band AND bc.band_sig = bi.band_sig
+       |  JOIN chunked cj ON cj.src = bc.doc_id AND cj.chunk < ci.chunk
+       |),
+       |xsim AS (
+       |  SELECT x.doc_id, x.corp_doc, x.is_corp,
+       |    CAST(sum(CASE WHEN si.minh = sc.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+       |  FROM xcands x
+       |  JOIN sig si ON si.doc_id = x.isrc
+       |  JOIN sig sc ON sc.doc_id = x.csrc AND sc.p = si.p
+       |  GROUP BY x.doc_id, x.corp_doc, x.is_corp
+       |),
+       |$levels
+       |SELECT doc_id, keep, match_doc, match_sim FROM (
+       |  SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+       |)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Near-dup clusters (connected components) + canonical doc per cluster
   // -------------------------------------------------------------------------

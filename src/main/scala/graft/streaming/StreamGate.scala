@@ -74,27 +74,12 @@ object StreamGate {
     * any stable key (e.g. doc_id) works.
     */
   private def replay(df: DataFrame, orderMs: Column, chunks: Int = Chunks): (DataFrame, Path) = {
-    val spark = df.sparkSession
-    val root = Files.createTempDirectory("graft-stream-gate")
-    val staged = root.resolve("staged")
+    val (root, files) = stageChunkFiles(df, orderMs, chunks)
     val chunkDir = root.resolve("chunks")
     Files.createDirectories(chunkDir)
-    val bounds = df.agg(min(orderMs).as("t0"), max(orderMs).as("t1")).head()
-    val (t0, span) = (bounds.getLong(0), math.max(1L, bounds.getLong(1) - bounds.getLong(0) + 1))
-    // single-task write, one file per chunk dir (harness-only funnel —
-    // bounded by the verify SF, not an operator shape)
-    df.withColumn("_chunk", ((orderMs - t0) * chunks / span).cast("int"))
-      .repartition(1)
-      .write.partitionBy("_chunk").mode("overwrite").parquet(staged.toString)
-    // flatten into the stream dir with strictly increasing mod times: the
-    // file source replays oldest-modified first, one file per trigger
-    val dirs = new java.io.File(staged.toString).listFiles()
-      .filter(_.getName.startsWith("_chunk="))
-      .sortBy(_.getName.stripPrefix("_chunk=").toInt)
-    dirs.zipWithIndex.foreach { case (d, i) =>
-      val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = chunkDir.resolve(f"chunk-$i%04d.parquet")
-      Files.move(part.toPath, dst)
+    files.zipWithIndex.foreach { case (f, i) =>
+      val dst = chunkDir.resolve(f.getFileName)
+      Files.move(f, dst)
       // mtime order is the SOLE replay-order mechanism — a filesystem that
       // refuses it would replay chunks arbitrarily and fail the oracle
       // with no hint of the root cause, so fail fast instead
@@ -102,10 +87,41 @@ object StreamGate {
         throw new java.io.IOException(
           s"cannot set mtime on $dst — chunk replay order would be undefined")
     }
-    rmrf(staged) // chunk files were moved out; drop the write leftovers
-    (spark.readStream.schema(df.schema)
+    (df.sparkSession.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(chunkDir.toString), root)
+  }
+
+  /** Stage `df` into one parquet file per chunk (range of the monotone
+    * `orderMs` expression) under a fresh temp root, returned in chunk
+    * order but NOT yet visible to any stream — callers either move them
+    * all into a watched dir up front ([[replay]]) or feed them one at a
+    * time to interleave maintenance between micro-batches
+    * ([[ingestAdmit]]).
+    */
+  private def stageChunkFiles(df: DataFrame, orderMs: Column, chunks: Int): (Path, Seq[Path]) = {
+    val root = Files.createTempDirectory("graft-stream-gate")
+    val staged = root.resolve("staged")
+    val pending = root.resolve("pending")
+    Files.createDirectories(pending)
+    val bounds = df.agg(min(orderMs).as("t0"), max(orderMs).as("t1")).head()
+    val (t0, span) = (bounds.getLong(0), math.max(1L, bounds.getLong(1) - bounds.getLong(0) + 1))
+    // single-task write, one file per chunk dir (harness-only funnel —
+    // bounded by the verify SF, not an operator shape)
+    df.withColumn("_chunk", ((orderMs - t0) * chunks / span).cast("int"))
+      .repartition(1)
+      .write.partitionBy("_chunk").mode("overwrite").parquet(staged.toString)
+    val dirs = new java.io.File(staged.toString).listFiles()
+      .filter(_.getName.startsWith("_chunk="))
+      .sortBy(_.getName.stripPrefix("_chunk=").toInt)
+    val files = dirs.zipWithIndex.map { case (d, i) =>
+      val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = pending.resolve(f"chunk-$i%04d.parquet")
+      Files.move(part.toPath, dst)
+      dst
+    }.toSeq
+    rmrf(staged) // chunk files were moved out; drop the write leftovers
+    (root, files)
   }
 
   /** Run a streaming output to a memory sink until all replayed chunks
@@ -205,6 +221,22 @@ object StreamGate {
     finally rmrf(root)
   }
 
+  /** Q8 stream-stream pair join through micro-batches: the watermarked
+    * START/END inner join ([[StreamingQueries.pairStartEnd]] — the
+    * reference's core data model, TaxiRide.java:24-38) over chunk replay.
+    * Inner-join matches emit in the micro-batch both sides arrive, so no
+    * finalization sentinel is needed; the ±2 h time-range condition only
+    * bounds the join-state buffers, and covers every fixture gap (max
+    * observed ~37 min). Replay is time-ordered, so an END never arrives
+    * after the watermark evicted its START. Oracle: the batch q8 oracle.
+    */
+  def q8Pair(spark: SparkSession, dir: String): DataFrame = {
+    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    try runToMemory(StreamingQueries.pairStartEnd(stream), "append")
+      .orderBy("pair_id")
+    finally rmrf(root)
+  }
+
   /** Incremental sub-document dedup through micro-batches: verdicts of
     * doc-id-chunked incoming docs against the PERSISTED bucketed window
     * table — the production substringAgainst/substringStream membership
@@ -223,6 +255,60 @@ object StreamGate {
         buf.synchronized { buf ++= v.collect() }; ()
       }
       try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+        .orderBy("doc_id")
+    } finally {
+      rmrf(root)
+      spark.sql(s"DROP TABLE IF EXISTS $table"); ()
+    }
+  }
+
+  /** The SELF-GROWING ingest loop under the hard gate: admit → verdict →
+    * compact across 3 micro-batches. Each chunk of incoming docs is judged
+    * against the persisted corpus band table, its keepers are admitted
+    * ([[graft.operators.Dedup.incrementalStreamAdmitting]] — batch N+1
+    * dedups against everything batch 1..N kept), and
+    * [[graft.operators.Dedup.compactCorpusBands]] folds the append files
+    * BETWEEN micro-batches (the query is idle, honoring the single-writer
+    * contract) — so the gate also proves verdicts are invariant under
+    * compaction. Chunks are fed one file at a time so the maintenance pass
+    * really runs between batches, not after the stream.
+    *
+    * The replayed stream is [[graft.operators.Dedup.ingestArrivals]]:
+    * every incoming doc plus a later RE-SUBMISSION of the same text under
+    * an offset id — without the re-submissions no incoming doc shares a
+    * band with another (fixture property), and the self-growth could
+    * never change a verdict (a vacuous green). With them, each kept
+    * original's copy must match the admitted rows at sim 1.0.
+    *
+    * Oracle: [[graft.operators.Dedup.ingestAdmitOracle]] — the sequential
+    * semantics unrolled per chunk (chunk k's eligible corpus = the 80%
+    * split plus chunks < k's keepers), NOT the fixed-corpus batch oracle:
+    * arrival order is part of the claim.
+    */
+  def ingestAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val table = s"graft_gate_corpus_${runId.incrementAndGet()}"
+    Dedup.persistCorpusBands(spark, dir, table)
+    val incoming = Dedup.ingestArrivals(spark, dir)
+    val (root, files) = stageChunkFiles(incoming, col("doc_id"), chunks = 3)
+    val watched = root.resolve("watched")
+    Files.createDirectories(watched)
+    try {
+      val schema = Dedup.incremental(spark, dir).schema // lazy: no job
+      val stream = spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val q = Dedup.incrementalStreamAdmitting(stream, table,
+          Some(root.resolve("ck").toString)) { v =>
+        buf.synchronized { buf ++= v.collect() }; ()
+      }
+      try files.foreach { f =>
+        Files.move(f, watched.resolve(f.getFileName))
+        q.processAllAvailable()
+        Dedup.compactCorpusBands(spark, table)
+      } finally q.stop()
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
         .orderBy("doc_id")
