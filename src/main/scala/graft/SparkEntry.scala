@@ -53,6 +53,7 @@ object SparkEntry {
     "txt_oov_rate" -> (TextAnalysis.oovRate _),
     "txt_norm_dedup" -> (TextAnalysis.normalizedDedup _),
     "txt_boilerplate" -> (TextAnalysis.boilerplate _),
+    "txt_boilerplate_scrub" -> (TextAnalysis.boilerplateScrub _),
     // dedup
     "dedup_exact" -> (Dedup.exact _),
     "dedup_near_key" -> (Dedup.nearKey _),
@@ -202,6 +203,7 @@ object SparkEntry {
     "txt_oov_rate" -> TextAnalysis.oovRateOracle,
     "txt_norm_dedup" -> TextAnalysis.normalizedDedupOracle,
     "txt_boilerplate" -> TextAnalysis.boilerplateOracle,
+    "txt_boilerplate_scrub" -> TextAnalysis.boilerplateScrubOracle,
     "mm_features" -> Multimodal.featuresOracle,
     "pipe_corpus_filter" -> Pipeline.corpusFilterOracle,
     "pipe_stratified_sample" -> Pipeline.stratifiedSampleOracle,

@@ -1173,8 +1173,8 @@ object Dedup {
     * per affected doc BEFORE touching the token stream (see
     * [[substringScrub]] for the shuffle-volume rationale).
     */
-  private def scrubWithCoverage(toksDf: DataFrame, dupOcc: DataFrame): DataFrame = {
-    val w = SubstrWindow
+  private[operators] def scrubWithCoverage(toksDf: DataFrame, dupOcc: DataFrame,
+      w: Int = SubstrWindow): DataFrame = {
     val covered = dupOcc
       .selectExpr("doc_id", s"explode(sequence(i, i + ${w - 1})) AS pos")
       .groupBy("doc_id").agg(collect_set("pos").as("cov"))

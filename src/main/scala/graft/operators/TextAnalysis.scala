@@ -442,11 +442,7 @@ object TextAnalysis {
   def boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "source")
     val sh = Dedup.shingles(spark, dir).join(d, "doc_id")
-    val nDocs = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val boiler = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
-      .join(broadcast(nDocs), "source")
-      .filter(col("df") >= BoilerMinDocs && col("df") * 20 >= col("n_docs"))
-      .select("source", "shingle")
+    val boiler = boilerSetFrom(d, sh)
     val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val perBoiler = sh.join(boiler, Seq("source", "shingle"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
@@ -461,6 +457,98 @@ object TextAnalysis {
           |END AS boiler_ratio""".stripMargin)
       .orderBy("doc_id")
   }
+
+  /** The per-source boilerplate shingle set — the SINGLE definition the
+    * detector and the scrub share ([[BoilerMinDocs]] + the 5% integer
+    * cross-multiply bar). `d` is (doc_id, source); `sh` the distinct
+    * per-doc shingles joined with source.
+    */
+  private def boilerSetFrom(d: DataFrame, sh: DataFrame): DataFrame = {
+    val nDocs = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs), "source")
+      .filter(col("df") >= BoilerMinDocs && col("df") * 20 >= col("n_docs"))
+      .select("source", "shingle")
+  }
+
+  /** BOILERPLATE SCRUB — the REWRITE step the detector's signal feeds
+    * (the CCNet-style cleaner): every token covered by an occurrence of a
+    * source-boilerplate 3-gram shingle is cut, and the cleaned text is
+    * re-joined in token order — detect→scrub symmetry with the substring
+    * family ([[graft.operators.Dedup.substringScrub]]). Output carries
+    * counts plus md5 of the cleaned text; non-boilerplate docs survive
+    * byte-exact (pinned by spec).
+    *
+    * Scale shape: the boilerplate set is the detector's (population-level
+    * df + broadcast totals); occurrences come from ONE positional shingle
+    * explode of the tokenized docs, membership is a LEFT SEMI join, and
+    * the cut reuses the substring family's coverage tail (covered
+    * positions collapse to one array per affected doc before touching the
+    * token stream).
+    */
+  def boilerplateScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source")
+    val boiler = boilerSetFrom(d, Dedup.shingles(spark, dir).join(d, "doc_id"))
+    val toksDf = docs(spark, dir)
+      .selectExpr("doc_id", "source", "split(text, ' ') AS toks")
+    val occ = toksDf
+      .selectExpr("doc_id", "source",
+        """explode(CASE WHEN size(toks) >= 3
+             THEN transform(sequence(1, size(toks) - 2),
+               i -> struct(i - 1 AS pos, concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]) AS shingle))
+             ELSE CAST(array() AS ARRAY<STRUCT<pos: INT, shingle: STRING>>) END) AS ps""")
+      .select(col("doc_id"), col("source"), col("ps.pos").as("i"), col("ps.shingle").as("shingle"))
+      .join(boiler, Seq("source", "shingle"), "left_semi")
+      .select("doc_id", "i")
+    Dedup.scrubWithCoverage(toksDf.select("doc_id", "toks"), occ, w = 3)
+  }
+
+  val boilerplateScrubOracle: String =
+    s"""WITH src AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |    FOR i IN range(1, greatest(len(toks) - 1, 1))])) AS shingle
+       |  FROM src
+       |),
+       |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM src GROUP BY 1),
+       |df AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1, 2),
+       |boiler AS (
+       |  SELECT df.source, df.shingle FROM df JOIN nd USING (source)
+       |  WHERE df >= ${BoilerMinDocs} AND df * 20 >= n_docs
+       |),
+       |pos_sh AS (
+       |  SELECT doc_id, source, unnest(
+       |    CASE WHEN len(toks) >= 3
+       |      THEN list_transform(range(1, len(toks) - 1),
+       |        i -> {'i': i - 1, 'sh': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]})
+       |      ELSE [] END) AS u
+       |  FROM src
+       |),
+       |occ AS (
+       |  SELECT p.doc_id, p.u.i AS i FROM pos_sh p
+       |  SEMI JOIN boiler b ON p.source = b.source AND p.u.sh = b.shingle
+       |),
+       |covered AS (SELECT DISTINCT doc_id, unnest(range(i, i + 3)) AS pos FROM occ),
+       |tok_rows AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, u.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |      i -> {'i': i, 'tok': toks[i]})) AS u
+       |    FROM src
+       |  )
+       |),
+       |kept AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+       |  FROM tok_rows t ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT s.doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  coalesce(n_kept, 0) AS n_kept,
+       |  CAST(len(toks) AS BIGINT) - coalesce(n_kept, 0) AS n_dropped,
+       |  md5(coalesce(clean_text, '')) AS clean_md5
+       |FROM src s LEFT JOIN kept USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
 
   val boilerplateOracle: String =
     s"""WITH ${Dedup.shinglesCte},
