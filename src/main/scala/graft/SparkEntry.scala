@@ -70,6 +70,7 @@ object SparkEntry {
     "sim_topk_bf" -> (Similarity.topkBruteforce _),
     "sim_lsh_neardup" -> (Similarity.lshNearDup _),
     "sim_ivf_topk" -> (Similarity.ivfTopk _),
+    "sim_multiprobe_lsh" -> (Similarity.multiprobeTopk _),
     "dedup_semantic" -> (Similarity.semanticDedup _),
     // multimodal plumbing
     "mm_features" -> (Multimodal.features _),
@@ -195,6 +196,7 @@ object SparkEntry {
     "sim_topk_bf" -> Similarity.topkBruteforceOracle,
     "sim_lsh_neardup" -> Similarity.lshNearDupOracle,
     "sim_ivf_topk" -> Similarity.ivfTopkOracle,
+    "sim_multiprobe_lsh" -> Similarity.multiprobeTopkOracle,
     "dedup_semantic" -> Similarity.semanticDedupOracle,
     "pipe_dataset_diff" -> Pipeline.datasetDiffOracle,
     "pipe_quality_classify" -> Pipeline.qualityClassifyOracle,

@@ -165,11 +165,17 @@ object Similarity {
     * min-vec_id member of each label as its deterministic pivot (a data-
     * independent stand-in for trained centroids — k-means means would be
     * float-sum order-dependent and unverifiable against the oracle).
-    * Each query probes the NProbe labels whose pivots are closest by cosine
-    * and brute-forces only those partitions: the candidate set shrinks by
-    * ~nprobe/nlists, the IVF scaling argument.
+    * Each query probes the `nprobe` labels whose pivots are closest by
+    * cosine and brute-forces only those partitions: the candidate set
+    * shrinks by ~nprobe/nlists, the IVF scaling argument. `nprobe` is the
+    * recall knob — OperatorsSpec pins recall@k vs [[topkBruteforce]] as
+    * monotone in it, with full-probe recall exactly 1.0.
     */
-  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkProbe(spark, dir, NProbe)
+
+  /** [[ivfTopk]] with an explicit probe width. */
+  def ivfTopkProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(spark, dir)
     val pivotIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
@@ -184,7 +190,7 @@ object Similarity {
     val probed = q.crossJoin(broadcast(pivots))
       .withColumn("p_cos", dot(col("q_emb"), col("p_emb")) / (col("q_nrm") * col("p_nrm")))
       .withColumn("p_rank", row_number().over(probeW))
-      .filter(col("p_rank") <= NProbe)
+      .filter(col("p_rank") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p_label"))
     // brute-force only the probed partitions; bounded top-k agg as above
     val scored = probed.join(e, e("label") === probed("p_label") && col("vec_id") =!= col("q_id"))
@@ -228,6 +234,51 @@ object Similarity {
       .filter(col("p_rank") <= NProbe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p_label"))
     val scored = probed.join(e, e("label") === probed("p_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+    rankTopK(scored)
+  }
+
+  // -------------------------------------------------------------------------
+  // Multi-probe LSH top-k (the data-dependent recall path)
+  // -------------------------------------------------------------------------
+
+  /** Probe radius shipped as the entry's default (Hamming ≤ 2 of
+    * [[NumPlanes]] sign bits → 22 of 64 buckets).
+    */
+  val ProbeRadius = 2
+
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07, distilled): coarse lists
+    * are the deterministic hyperplane-sign buckets ([[sketched]] — the
+    * same sketch the near-dup family uses), and each query brute-forces
+    * every bucket within Hamming distance `h` of its own. This is the
+    * recall path [[ivfTopk]] cannot provide when the list column carries
+    * no cosine signal (the fixture's `label` is measured
+    * cosine-uncorrelated: label-probing recall ≈ the scanned corpus
+    * fraction, i.e. random sampling; the Hamming ball beats that fraction
+    * — pinned by OperatorsSpec, with radius-6 recall exactly 1.0).
+    *
+    * Scale shape: each query expands to its ≤ C(planes,≤h) probe buckets
+    * (a bounded literal-mask explode, map-only), then ONE equi-join on
+    * bucket against the corpus — over a bucket-partitioned corpus only
+    * queries move; the bounded top-k aggregate keeps ≤ k rows per query
+    * ahead of the final shuffle.
+    */
+  def multiprobeTopk(spark: SparkSession, dir: String): DataFrame =
+    multiprobeTopkRadius(spark, dir, ProbeRadius)
+
+  /** [[multiprobeTopk]] with an explicit Hamming probe radius. */
+  def multiprobeTopkRadius(spark: SparkSession, dir: String, h: Int): DataFrame = {
+    val s = sketched(spark, dir)
+    val masks = (0 until (1 << NumPlanes)).filter(m => Integer.bitCount(m) <= h)
+    val q = s.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
+      .withColumn("mask", explode(typedLit(masks)))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("q_bucket").bitwiseXOR(col("mask")).as("p_bucket"))
+    // each corpus vector matches exactly one mask per query (the XOR is a
+    // bijection), so the candidate stream needs no dedup
+    val scored = q.join(s, s("bucket") === q("p_bucket") && s("vec_id") =!= q("q_id"))
       .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
     rankTopK(scored)
   }
@@ -288,6 +339,30 @@ object Similarity {
        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE ${duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for [[multiprobeTopk]] — lives below [[duckSketchCte]] (val
+    * initialization order).
+    */
+  val multiprobeTopkOracle: String =
+    s"""WITH $duckSketchCte,
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+       |  FROM e WHERE vec_id % 20 = 0
+       |),
+       |masks AS (
+       |  SELECT CAST(unnest(list_filter(range(0, ${1 << NumPlanes}),
+       |    m -> list_sum(list_transform(range(0, $NumPlanes), i -> (m >> i) & 1)) <= $ProbeRadius)) AS INT) AS mask
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine FROM (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |    ${duckDot("e.embedding", "q.q_emb")} / (e.nrm * q.q_nrm) AS cosine,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${duckDot("e.embedding", "q.q_emb")} / (e.nrm * q.q_nrm) DESC, e.vec_id) AS rank
+       |  FROM q CROSS JOIN masks
+       |  JOIN e ON e.bucket = xor(q.q_bucket, masks.mask) AND e.vec_id <> q.q_id
+       |)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
 
   // -------------------------------------------------------------------------
   // Semantic dedup over embeddings (SemDeDup-style keep/drop verdicts)

@@ -95,6 +95,53 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("IVF recall vs brute force is controlled by nprobe, exact at full probe") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.topkBruteforce(spark, Sf0001))
+    def recall(nprobe: Int): Double = {
+      val got = topSets(Similarity.ivfTopkProbe(spark, Sf0001, nprobe))
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val (r1, r3, rAll) = (recall(1), recall(3), recall(10)) // fixture has 10 labels
+    // probing every list IS brute force — anything under 1.0 means the
+    // probe join or ranking drops candidates, not an approximation artifact
+    assert(rAll === 1.0)
+    // the recall knob must actually turn
+    assert(r1 < r3, s"recall not improved by wider probe: r1=$r1 r3=$r3")
+    // the fixture's labels are cosine-UNcorrelated (measured: same-label
+    // avg cosine == cross-label avg cosine ≈ 0), so label-IVF recall can
+    // only track the scanned corpus fraction (~0.3 at nprobe=3/10) — the
+    // floor documents that; the data-dependent recall path is
+    // multiprobeTopk, pinned below with a real margin over random
+    assert(r3 >= 0.3, s"recall@${Similarity.TopK} for nprobe=3 too low: $r3")
+  }
+
+  test("multi-probe LSH recall beats the scanned fraction and is exact at full radius") {
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.topkBruteforce(spark, Sf0001))
+    def recall(h: Int): Double = {
+      val got = topSets(Similarity.multiprobeTopkRadius(spark, Sf0001, h))
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val (r0, r2, rAll) = (recall(0), recall(2), recall(Similarity.NumPlanes))
+    // radius NumPlanes covers all 2^planes buckets — exactly brute force
+    assert(rAll === 1.0)
+    assert(r0 < r2, s"recall not improved by wider Hamming ball: r0=$r0 r2=$r2")
+    // radius 2 probes 22/64 buckets (~0.34 of a uniform corpus) — recall
+    // must clear that scanned fraction by a real margin, i.e. the sign
+    // buckets concentrate neighbors better than random sampling
+    // (measured 0.47 on the fixture)
+    assert(r2 >= 0.4, s"recall@${Similarity.TopK} at radius 2 too low: $r2")
+  }
+
   test("near-dup clusters: edges stay intra-cluster, labels are component minima") {
     val pairs = Dedup.minhashLsh(spark, Sf0001)
       .filter(col("est_sim") >= Dedup.ClusterMinSim)
