@@ -21,8 +21,8 @@ object Pipeline {
     * deterministic, key-stable across runs and engines, the property
     * random() sampling can't give a reproducible pipeline.
     */
-  private val docHash = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS LONG)"
-  private val duckDocHash = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+  private[operators] val docHash = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS LONG)"
+  private[operators] val duckDocHash = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
 
   // -------------------------------------------------------------------------
   // Quality + dedup corpus filter

@@ -120,32 +120,43 @@ object Training {
   // Train/val split with an n-gram leakage guard
   // -------------------------------------------------------------------------
 
-  /** LEAKAGE-GUARDED SPLIT — deterministic hash split into train/val
-    * (here doc_id % 5, in production a stable content hash), plus the
+  /** LEAKAGE-GUARDED SPLIT — deterministic CONTENT-HASH split into
+    * train/val (md5-of-text threshold, the [[Pipeline.stratifiedSample]]
+    * discipline — doc ids are NOT stable across re-ingestion, content is;
+    * an id-keyed split silently re-shuffles train/val when a loader
+    * reassigns ids, the classic eval-contamination accident), plus the
     * guard every eval pipeline needs: for each TRAIN doc, how many of its
     * distinct word-3-grams also appear anywhere in the VAL split
     * (`n_leak`) and a `flag_leak` bit. A val set whose shingles survive
     * in train is [[contamination]] you inflicted on yourself — this is
-    * the same membership check pointed INSIDE the corpus at split time,
-    * so leaky train docs can be dropped or re-assigned before training.
+    * the same membership check pointed INSIDE the corpus at split time;
+    * [[leakageApply]] is the action path that consumes the flag.
+    * Stability under id reassignment is pinned by spec.
     *
-    * Scale shape: one shingle explode + one LEFT SEMI membership join on
-    * shingle (duplicate-safe by construction — semi joins never multiply,
-    * the same discipline as the substring verdict path) + one per-doc
-    * count with map-side combine. The val side is the small split
-    * fraction, so AQE broadcasts it and the train shingles never move;
-    * past broadcast size the bloom pre-filter crossover documented for
-    * [[contaminationBloom]] applies unchanged.
+    * Scale shape: one shingle explode per split side + one LEFT SEMI
+    * membership join on shingle (duplicate-safe by construction — semi
+    * joins never multiply, the same discipline as the substring verdict
+    * path) + one per-doc count with map-side combine. The val side is the
+    * small split fraction, so AQE broadcasts it and the train shingles
+    * never move; past broadcast size the bloom pre-filter crossover
+    * documented for [[contaminationBloom]] applies unchanged.
     */
-  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Dedup.shingles(spark, dir) // distinct 3-gram shingles per doc
-    val valShingles = sh.filter(col("doc_id") % 5 === 0).select("shingle").distinct()
-    val leaks = sh.filter(col("doc_id") % 5 =!= 0)
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSplitDf(docs(spark, dir).select("doc_id", "text"))
+
+  /** [[leakageSplit]] over an arbitrary (doc_id, text) relation — the
+    * reassignment spec re-runs it with shifted ids to prove the split
+    * never moves.
+    */
+  private[graft] def leakageSplitDf(d: DataFrame): DataFrame = {
+    val withSplit = d.selectExpr("doc_id", "text",
+      s"CASE WHEN ${Pipeline.docHash} % 5 = 0 THEN 'val' ELSE 'train' END AS split")
+    val valShingles = Dedup.shinglesOf(withSplit.filter(col("split") === "val"))
+      .select("shingle").distinct()
+    val leaks = Dedup.shinglesOf(withSplit.filter(col("split") === "train"))
       .join(valShingles, Seq("shingle"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_leak"))
-    docs(spark, dir)
-      .select(col("doc_id"),
-        when(col("doc_id") % 5 === 0, "val").otherwise("train").as("split"))
+    withSplit.select("doc_id", "split")
       .join(leaks, Seq("doc_id"), "left")
       .selectExpr("doc_id", "split",
         "coalesce(n_leak, 0L) AS n_leak",
@@ -153,20 +164,55 @@ object Training {
       .orderBy("doc_id")
   }
 
-  val leakageSplitOracle: String =
-    s"""WITH ${Dedup.shinglesCte},
-       |val_set AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 5 = 0),
+  /** The ACTION path on the guard's flag: leaky train docs are DROPPED
+    * from the manifest (they would train on the val set's n-grams);
+    * val docs and clean train docs pass through. Emits the post-guard
+    * assignment a training job actually consumes.
+    */
+  def leakageApply(spark: SparkSession, dir: String): DataFrame =
+    leakageSplit(spark, dir)
+      .selectExpr("doc_id",
+        "CASE WHEN split = 'train' AND flag_leak THEN 'dropped' ELSE split END AS final_split",
+        "n_leak")
+      .orderBy("doc_id")
+
+  private val duckSplitCte: String =
+    s"""split AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${Pipeline.duckDocHash} % 5 = 0 THEN 'val' ELSE 'train' END AS split
+       |  FROM documents
+       |),
+       |val_set AS (
+       |  SELECT DISTINCT shingle FROM shingles JOIN split USING (doc_id)
+       |  WHERE split = 'val'
+       |),
        |leaks AS (
        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_leak
-       |  FROM (SELECT doc_id, shingle FROM shingles WHERE doc_id % 5 <> 0) s
+       |  FROM shingles s JOIN split sp USING (doc_id)
        |  JOIN val_set v USING (shingle)
+       |  WHERE sp.split = 'train'
        |  GROUP BY s.doc_id
-       |)
-       |SELECT d.doc_id,
-       |  CASE WHEN d.doc_id % 5 = 0 THEN 'val' ELSE 'train' END AS split,
+       |)""".stripMargin
+
+  val leakageSplitOracle: String =
+    s"""WITH ${Dedup.shinglesCte},
+       |$duckSplitCte
+       |SELECT d.doc_id, sp.split,
        |  coalesce(n_leak, 0) AS n_leak,
        |  coalesce(n_leak, 0) > 0 AS flag_leak
-       |FROM documents d LEFT JOIN leaks USING (doc_id)
+       |FROM documents d JOIN split sp USING (doc_id)
+       |LEFT JOIN leaks USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  val leakageApplyOracle: String =
+    s"""WITH ${Dedup.shinglesCte},
+       |$duckSplitCte
+       |SELECT d.doc_id,
+       |  CASE WHEN sp.split = 'train' AND coalesce(n_leak, 0) > 0
+       |    THEN 'dropped' ELSE sp.split END AS final_split,
+       |  coalesce(n_leak, 0) AS n_leak
+       |FROM documents d JOIN split sp USING (doc_id)
+       |LEFT JOIN leaks USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------------

@@ -142,6 +142,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r2 >= 0.4, s"recall@${Similarity.TopK} at radius 2 too low: $r2")
   }
 
+  test("leakage split is stable under doc_id reassignment (content-hash, not id)") {
+    val d = graft.core.Tables.load(spark, Sf0001, "documents").select("doc_id", "text")
+    val base = Training.leakageSplitDf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // a re-ingestion that reassigns every doc id must not move a single
+    // doc across the split or change its leak count
+    val shifted = Training.leakageSplitDf(
+        d.withColumn("doc_id", col("doc_id") + 1000000L)).collect()
+      .map(r => (r.getLong(0) - 1000000L) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(base.size === shifted.size)
+    base.foreach { case (id, v) =>
+      assert(shifted(id) === v, s"doc $id moved or changed leak count on reassignment")
+    }
+    // non-vacuous: both splits populated, guard fires, action path drops
+    // exactly the flagged train docs
+    val splits = base.values.map(_._1).toSet
+    assert(splits === Set("train", "val"))
+    assert(base.values.exists { case (s, n) => s == "train" && n > 0 })
+    val dropped = Training.leakageApply(spark, Sf0001)
+      .filter(col("final_split") === "dropped").count()
+    assert(dropped === base.values.count { case (s, n) => s == "train" && n > 0 })
+  }
+
   test("near-dup clusters: edges stay intra-cluster, labels are component minima") {
     val pairs = Dedup.minhashLsh(spark, Sf0001)
       .filter(col("est_sim") >= Dedup.ClusterMinSim)
