@@ -143,6 +143,23 @@ object StreamGate {
     result
   }
 
+  /** Run `body` with the session's shuffle parallelism temporarily sized
+    * to the gate workload. The cascade's micro-batches move a ~5-key
+    * histogram through ~6 fixed actions per batch; at the session default
+    * of 32 every one of them pays 32 shuffle tasks AND 32 state-store
+    * instances per stateful operator — pure per-task overhead at verify
+    * SF. Sizing shuffle partitions to the data is exactly what a real
+    * deployment does (the operators are partition-count agnostic:
+    * hash-agg/join results don't depend on it); the default is restored
+    * even on failure so other queries in the same session are untouched.
+    */
+  private def withGateParallelism[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prior)
+  }
+
   /** Q1 tumbling-window agg through micro-batches (complete mode: state
     * accumulates across chunks, the final table is the full history —
     * batch-identical by construction, no finalization sentinel needed).
@@ -163,15 +180,16 @@ object StreamGate {
     */
   def q4Cascade(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-gate-q4")
-    // 3 chunks and a narrow lake: each cascade micro-batch pays ~10 fixed
-    // Spark actions (pre-image join, bucket rewrites, marker IO, level-2
-    // recompute), so the gate's cost is batches x buckets of per-job
+    // 3 chunks and a narrow lake: each cascade micro-batch pays ~6 fixed
+    // Spark actions (pre-image join, one-job lake merges, marker IO,
+    // level-2 recompute), so the gate's cost is batches x per-action
     // overhead, not data volume — cross-batch state accumulation is already
-    // proven at 3 batches, and the histogram lake holds ~5 keys
+    // proven at 3 batches, and the histogram lake holds ~5 keys. Shuffle
+    // parallelism is sized to that workload (see withGateParallelism).
     val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
     val (stream, root) = replay(Rides.fromEvents(spark, dir),
       unix_millis(col("rowtime")), chunks = 3)
-    try {
+    try withGateParallelism(spark, 4) {
       val q = CascadeQ4.startToParquet(stream, sink, tmp.resolve("ck").toString)
       q.awaitTermination()
       materialize(sink.snapshot(spark).select(col("dept_cnt"), col("cnt_freq")))
