@@ -61,7 +61,15 @@ object Bench {
     // box's noise band is ~±25% (r5 vs r6 ran byte-identical code and
     // "moved" 1.22x), so per-query claims need n>=3; the reported
     // per-query value is the MEDIAN across repeats
-    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
+    // tolerant parse: a typo'd value must not abort the whole bench before
+    // a single query runs (per-query failures are carefully non-fatal; the
+    // config parse shouldn't be the one fragile spot)
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map { s =>
+      s.toIntOption.getOrElse {
+        System.err.println(s"[bench] SPARK_GRAFT_REPEAT='$s' is not a number; using 1")
+        1
+      }
+    }.getOrElse(1))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val runs: Seq[Seq[(String, Double)]] = (1 to repeat).map { r =>
@@ -100,6 +108,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // a query that failed in SOME repeats still reports the median of its
+    // successful runs — surface the partial failures explicitly, or a
+    // flaky query reads as a clean (and possibly faster) number
+    val failedRuns = selected.map(_._1).map { name =>
+      name -> runs.count(_.toMap.apply(name) < 0)
+    }.filter(_._2 > 0)
+    val failedJson = failedRuns.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // durable full artifact: every query x every run, written to a file
     // the round can commit — the driver's log-tail capture truncates the
     // first ~10 (alphabetical) queries of the stdout line, which silently
@@ -114,7 +130,7 @@ object Bench {
           .mkString("{", ",", "}")
       }.mkString(",")
       java.nio.file.Files.writeString(f.toPath,
-        s"""{"sf":"$sfDir","repeat":$repeat,"median":$qs,"total_median_sec":$total,$runsJson}""")
+        s"""{"sf":"$sfDir","repeat":$repeat,"median":$qs,"total_median_sec":$total,"failed_runs":$failedJson,$runsJson}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed ($outPath): ${e.getMessage}")
     }
@@ -126,7 +142,7 @@ object Bench {
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_runs":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

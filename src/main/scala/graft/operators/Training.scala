@@ -249,8 +249,9 @@ object Training {
   val ChunkStride = 24
 
   /** OVERLAPPING TOKEN-WINDOW CHUNKER — cut each document into
-    * [[ChunkLen]]-token windows advancing by [[ChunkStride]] (32-token
-    * overlap), the retrieval/RAG and long-context-pretraining chunking
+    * [[ChunkLen]]-token windows advancing by [[ChunkStride]]
+    * (ChunkLen - ChunkStride = 8-token overlap), the
+    * retrieval/RAG and long-context-pretraining chunking
     * shape that [[packChunks]]' non-overlapping concat-then-chunk layout
     * doesn't cover: overlap preserves context across chunk boundaries at
     * the cost of (ChunkLen/ChunkStride)x duplication. Emits per chunk its

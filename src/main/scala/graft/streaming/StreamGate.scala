@@ -75,21 +75,25 @@ object StreamGate {
     */
   private def replay(df: DataFrame, orderMs: Column, chunks: Int = Chunks): (DataFrame, Path) = {
     val (root, files) = stageChunkFiles(df, orderMs, chunks)
-    val chunkDir = root.resolve("chunks")
-    Files.createDirectories(chunkDir)
-    files.zipWithIndex.foreach { case (f, i) =>
-      val dst = chunkDir.resolve(f.getFileName)
-      Files.move(f, dst)
-      // mtime order is the SOLE replay-order mechanism — a filesystem that
-      // refuses it would replay chunks arbitrarily and fail the oracle
-      // with no hint of the root cause, so fail fast instead
-      if (!dst.toFile.setLastModified((i + 1) * 60000L))
-        throw new java.io.IOException(
-          s"cannot set mtime on $dst — chunk replay order would be undefined")
-    }
-    (df.sparkSession.readStream.schema(df.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(chunkDir.toString), root)
+    // callers rmrf the root only after replay RETURNS — clean it ourselves
+    // if anything below throws, per the object's no-accumulation contract
+    try {
+      val chunkDir = root.resolve("chunks")
+      Files.createDirectories(chunkDir)
+      files.zipWithIndex.foreach { case (f, i) =>
+        val dst = chunkDir.resolve(f.getFileName)
+        Files.move(f, dst)
+        // mtime order is the SOLE replay-order mechanism — a filesystem that
+        // refuses it would replay chunks arbitrarily and fail the oracle
+        // with no hint of the root cause, so fail fast instead
+        if (!dst.toFile.setLastModified((i + 1) * 60000L))
+          throw new java.io.IOException(
+            s"cannot set mtime on $dst — chunk replay order would be undefined")
+      }
+      (df.sparkSession.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunkDir.toString), root)
+    } catch { case e: Throwable => rmrf(root); throw e }
   }
 
   /** Stage `df` into one parquet file per chunk (range of the monotone
@@ -101,27 +105,31 @@ object StreamGate {
     */
   private def stageChunkFiles(df: DataFrame, orderMs: Column, chunks: Int): (Path, Seq[Path]) = {
     val root = Files.createTempDirectory("graft-stream-gate")
-    val staged = root.resolve("staged")
-    val pending = root.resolve("pending")
-    Files.createDirectories(pending)
-    val bounds = df.agg(min(orderMs).as("t0"), max(orderMs).as("t1")).head()
-    val (t0, span) = (bounds.getLong(0), math.max(1L, bounds.getLong(1) - bounds.getLong(0) + 1))
-    // single-task write, one file per chunk dir (harness-only funnel —
-    // bounded by the verify SF, not an operator shape)
-    df.withColumn("_chunk", ((orderMs - t0) * chunks / span).cast("int"))
-      .repartition(1)
-      .write.partitionBy("_chunk").mode("overwrite").parquet(staged.toString)
-    val dirs = new java.io.File(staged.toString).listFiles()
-      .filter(_.getName.startsWith("_chunk="))
-      .sortBy(_.getName.stripPrefix("_chunk=").toInt)
-    val files = dirs.zipWithIndex.map { case (d, i) =>
-      val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = pending.resolve(f"chunk-$i%04d.parquet")
-      Files.move(part.toPath, dst)
-      dst
-    }.toSeq
-    rmrf(staged) // chunk files were moved out; drop the write leftovers
-    (root, files)
+    // a failure mid-staging (bounds agg, chunk write, moves) must not leak
+    // the just-created root — no caller holds it yet
+    try {
+      val staged = root.resolve("staged")
+      val pending = root.resolve("pending")
+      Files.createDirectories(pending)
+      val bounds = df.agg(min(orderMs).as("t0"), max(orderMs).as("t1")).head()
+      val (t0, span) = (bounds.getLong(0), math.max(1L, bounds.getLong(1) - bounds.getLong(0) + 1))
+      // single-task write, one file per chunk dir (harness-only funnel —
+      // bounded by the verify SF, not an operator shape)
+      df.withColumn("_chunk", ((orderMs - t0) * chunks / span).cast("int"))
+        .repartition(1)
+        .write.partitionBy("_chunk").mode("overwrite").parquet(staged.toString)
+      val dirs = new java.io.File(staged.toString).listFiles()
+        .filter(_.getName.startsWith("_chunk="))
+        .sortBy(_.getName.stripPrefix("_chunk=").toInt)
+      val files = dirs.zipWithIndex.map { case (d, i) =>
+        val part = d.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = pending.resolve(f"chunk-$i%04d.parquet")
+        Files.move(part.toPath, dst)
+        dst
+      }.toSeq
+      rmrf(staged) // chunk files were moved out; drop the write leftovers
+      (root, files)
+    } catch { case e: Throwable => rmrf(root); throw e }
   }
 
   /** Run a streaming output to a memory sink until all replayed chunks
@@ -134,13 +142,18 @@ object StreamGate {
     val spark = out.sparkSession
     val name = s"graft_gate_${runId.incrementAndGet()}"
     val ck = Files.createTempDirectory("graft-gate-ck")
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode(mode).option("checkpointLocation", ck.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val result = materialize(spark.table(name))
-    spark.catalog.dropTempView(name)
-    rmrf(ck)
-    result
+    // view drop + checkpoint removal must run on FAILURE paths too (a
+    // failed processAllAvailable would otherwise pin the memory table for
+    // the session's life and accumulate checkpoints across bench runs)
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).option("checkpointLocation", ck.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      materialize(spark.table(name))
+    } finally {
+      spark.catalog.dropTempView(name)
+      rmrf(ck)
+    }
   }
 
   /** Run `body` with the session's shuffle parallelism temporarily sized
