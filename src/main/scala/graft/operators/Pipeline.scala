@@ -21,8 +21,8 @@ object Pipeline {
     * deterministic, key-stable across runs and engines, the property
     * random() sampling can't give a reproducible pipeline.
     */
-  private[operators] val docHash = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS LONG)"
-  private[operators] val duckDocHash = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
+  private[operators] val docHash = DocHash.spark
+  private[operators] val duckDocHash = DocHash.duck
 
   // -------------------------------------------------------------------------
   // Quality + dedup corpus filter
@@ -567,4 +567,17 @@ object Pipeline {
        |  FROM documents
        |)
        |ORDER BY doc_id""".stripMargin
+}
+
+/** The stable content-hash expressions (Spark and DuckDB renderings),
+  * hoisted to a leaf object with NO references to the operator objects:
+  * Pipeline and Training both consume it, and Pipeline.manifestOracle in
+  * turn reads Training.SeqLen — if Training referenced Pipeline at
+  * init time instead, whichever object initialized second would observe
+  * the other's not-yet-assigned vals (a Training-first init once baked
+  * SeqLen = 0 into the manifest oracle as a division by zero).
+  */
+private[operators] object DocHash {
+  val spark = "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS LONG)"
+  val duck = "CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)"
 }

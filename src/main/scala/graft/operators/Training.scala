@@ -150,7 +150,7 @@ object Training {
     */
   private[graft] def leakageSplitDf(d: DataFrame): DataFrame = {
     val withSplit = d.selectExpr("doc_id", "text",
-      s"CASE WHEN ${Pipeline.docHash} % 5 = 0 THEN 'val' ELSE 'train' END AS split")
+      s"CASE WHEN ${DocHash.spark} % 5 = 0 THEN 'val' ELSE 'train' END AS split")
     val valShingles = Dedup.shinglesOf(withSplit.filter(col("split") === "val"))
       .select("shingle").distinct()
     val leaks = Dedup.shinglesOf(withSplit.filter(col("split") === "train"))
@@ -179,7 +179,7 @@ object Training {
   private val duckSplitCte: String =
     s"""split AS (
        |  SELECT doc_id,
-       |    CASE WHEN ${Pipeline.duckDocHash} % 5 = 0 THEN 'val' ELSE 'train' END AS split
+       |    CASE WHEN ${DocHash.duck} % 5 = 0 THEN 'val' ELSE 'train' END AS split
        |  FROM documents
        |),
        |val_set AS (
