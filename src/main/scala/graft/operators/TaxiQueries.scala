@@ -362,7 +362,14 @@ object TaxiQueries {
     * float coordinate truncation) against the oracle CTE.
     */
   def srcRides(spark: SparkSession, dir: String): DataFrame =
-    Rides.fromEvents(spark, dir)
+    srcRidesProjection(Rides.fromEvents(spark, dir))
+
+  /** The oracle-facing snake_case/epoch-millis projection of a rides
+    * relation — shared with the streaming dedup gate, whose output must
+    * hash-match the same oracle.
+    */
+  private[graft] def srcRidesProjection(rides: DataFrame): DataFrame =
+    rides
       .select(
         col("rideId").as("ride_id"),
         col("isStart").as("is_start"),

@@ -295,6 +295,23 @@ object StreamGate {
     }
   }
 
+  /** Streaming exact dedup through micro-batches: every ride event is
+    * delivered TWICE (the at-least-once redelivery a replayed source
+    * actually produces — duplicates land in the same chunk, well inside
+    * the watermark horizon), and
+    * [[StreamingQueries.dedupEvents]] (`dropDuplicatesWithinWatermark` on
+    * (rideId, isStart)) must reduce the doubled stream to exactly the
+    * source table. Oracle: the batch src_rides oracle — any surviving
+    * duplicate or over-dropped event hash-fails.
+    */
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    val rides = Rides.fromEvents(spark, dir)
+    val (stream, root) = replay(rides.unionByName(rides), unix_millis(col("rowtime")))
+    try graft.operators.TaxiQueries.srcRidesProjection(
+      runToMemory(StreamingQueries.dedupEvents(stream), "append"))
+    finally rmrf(root)
+  }
+
   /** The SELF-GROWING ingest loop under the hard gate: admit → verdict →
     * compact across 3 micro-batches. Each chunk of incoming docs is judged
     * against the persisted corpus band table, its keepers are admitted
