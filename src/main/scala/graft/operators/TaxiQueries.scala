@@ -215,6 +215,16 @@ object TaxiQueries {
        |GROUP BY dept_cnt
        |ORDER BY dept_cnt""".stripMargin
 
+  /** Per-cell departure counts — the batch truth of the continuous keyed
+    * agg (q4's level 1); the streaming retract-encoding gate folds its
+    * (isAdd, row) records and must land exactly here.
+    */
+  val q4Level1OracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures
+       |SELECT cell, count(ride_id) AS dept_cnt
+       |FROM departures GROUP BY cell
+       |ORDER BY cell""".stripMargin
+
   // -------------------------------------------------------------------------
   // Q6: sliding (hopping) window — beyond the reference's Tumble/Over pair
   // -------------------------------------------------------------------------

@@ -366,6 +366,48 @@ object StreamGate {
     }
   }
 
+  /** The retract-stream ENCODING under the hard gate: q4's level-1
+    * update-mode changelog runs through [[RetractStream]] (Flink's
+    * toRetractStream analogue — every update first retracts the exact
+    * previously-emitted row), and the gate folds the (isAdd, row) records
+    * as a MULTISET. The fold must end with every multiplicity exactly 1
+    * (a missed or wrong retraction leaves a stale row at 1, a double
+    * retraction goes negative — both fail loudly), and the surviving rows
+    * must hash-match the batch per-cell counts. Oracle: q4Level1OracleSql.
+    */
+  def q4Retract(spark: SparkSession, dir: String): DataFrame = {
+    val retr = new RetractStream(Seq("cell"))
+    val counts = scala.collection.mutable.Map.empty[Row, Int]
+    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    val ck = Files.createTempDirectory("graft-gate-retract-ck")
+    try {
+      val schema = StreamingQueries.q4Level1(Rides.fromEvents(spark, dir)).schema
+      withGateParallelism(spark, 4) {
+        val q = StreamingQueries.q4Level1(stream).writeStream
+          .outputMode("update").option("checkpointLocation", ck.toString)
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            retr.onBatch(b.toDF()).foreach { case (isAdd, row) =>
+              counts.synchronized {
+                val n = counts.getOrElse(row, 0) + (if (isAdd) 1 else -1)
+                if (n == 0) counts.remove(row) else counts.update(row, n)
+                ()
+              }
+            }; ()
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val rows = counts.synchronized {
+        val bad = counts.filter(_._2 != 1)
+        require(bad.isEmpty, s"retract fold left non-unit multiplicities: $bad")
+        counts.keys.toList
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema)
+        .select(col("cell"), col("dept_cnt"))
+        .orderBy("cell")
+    } finally { rmrf(root); rmrf(ck) }
+  }
+
   /** Per-user funnel through micro-batches: [[FunnelStream]]'s update-mode
     * snapshots keyed-upserted into a memory store; the final state per
     * user is the answer. A far-future sentinel of a filtered-out event
