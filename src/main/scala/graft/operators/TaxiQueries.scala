@@ -225,6 +225,73 @@ object TaxiQueries {
        |FROM departures GROUP BY cell
        |ORDER BY cell""".stripMargin
 
+  /** Oracle for the TTL continuous count gate (StreamGate.ttlCount):
+    * replays Spark's exact idle-state semantics over the 6-chunk replay.
+    * A key's count RESTARTS between its data-batches p → q only when a
+    * strictly-between batch existed (q − p ≥ 2 — Spark fires a key's
+    * timeout only in triggers where the key has NO data) AND the
+    * watermark at batch q−1 (the running max of DEPARTURE rowtimes
+    * through batch q−2, minus the 61 s delay — the watermark is declared
+    * after the NYC-start filter, so only departures advance it) passed
+    * that key's last event + TTL. The final stored value per cell is the
+    * sum of its last reset-free segment. All window functions — no
+    * per-chunk unrolling. Non-vacuous on the sf0.01 fixture: 160 cells
+    * accumulate across ≥2 batches, 354 reset at least once, measured.
+    */
+  /** TTL used by the gate — 1 h, the reference's idle-state retention
+    * minimum (TaxiRideQueries.scala:97-99). Declared BEFORE the oracle
+    * val that interpolates it: a later-declared val reads as 0 at init.
+    */
+  val TtlGateMs: Long = 3600L * 1000
+
+  val ttlCountOracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures,
+       |bnd AS (SELECT min(rowtime_ms) AS t0,
+       |               greatest(1, max(rowtime_ms) - min(rowtime_ms) + 1) AS span FROM rides),
+       |allch AS (SELECT CAST((rowtime_ms - t0) * 6 // span AS INT) AS chunk FROM rides, bnd),
+       |ords AS (SELECT chunk, row_number() OVER (ORDER BY chunk) AS ord
+       |         FROM (SELECT DISTINCT chunk FROM allch)),
+       |dep AS (
+       |  SELECT cell, rowtime_ms, o.ord
+       |  FROM (SELECT cell, rowtime_ms, CAST((rowtime_ms - t0) * 6 // span AS INT) AS chunk
+       |        FROM departures, bnd) d
+       |  JOIN ords o USING (chunk)
+       |),
+       |wm AS (
+       |  SELECT o.ord,
+       |    max(dm.depmax) OVER (ORDER BY o.ord
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm_max
+       |  FROM ords o LEFT JOIN
+       |    (SELECT ord, max(rowtime_ms) AS depmax FROM dep GROUP BY ord) dm
+       |    USING (ord)
+       |),
+       |percell AS (
+       |  SELECT cell, ord, count(*) AS n, max(rowtime_ms) AS tmax
+       |  FROM dep GROUP BY 1, 2
+       |),
+       |lagged AS (
+       |  SELECT cell, ord, n, tmax,
+       |    lag(ord) OVER (PARTITION BY cell ORDER BY ord) AS prev_ord,
+       |    lag(tmax) OVER (PARTITION BY cell ORDER BY ord) AS prev_tmax
+       |  FROM percell
+       |),
+       |flagged AS (
+       |  SELECT l.cell, l.ord, l.n,
+       |    CASE WHEN l.prev_ord IS NOT NULL AND l.ord - l.prev_ord >= 2
+       |              AND w.wm_max - 61000 > l.prev_tmax + ${TtlGateMs} THEN 1 ELSE 0 END AS reset
+       |  FROM lagged l LEFT JOIN wm w ON w.ord = l.ord - 2
+       |),
+       |seg AS (
+       |  SELECT cell, ord, n,
+       |    sum(reset) OVER (PARTITION BY cell ORDER BY ord) AS s
+       |  FROM flagged
+       |),
+       |last_seg AS (SELECT cell, max(s) AS ms FROM seg GROUP BY cell)
+       |SELECT s.cell, CAST(sum(s.n) AS BIGINT) AS dept_cnt
+       |FROM seg s JOIN last_seg ls ON s.cell = ls.cell AND s.s = ls.ms
+       |GROUP BY s.cell
+       |ORDER BY s.cell""".stripMargin
+
   // -------------------------------------------------------------------------
   // Q6: sliding (hopping) window — beyond the reference's Tumble/Over pair
   // -------------------------------------------------------------------------

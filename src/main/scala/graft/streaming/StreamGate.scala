@@ -366,6 +366,39 @@ object StreamGate {
     }
   }
 
+  /** The idle-state TTL continuous count under the hard gate:
+    * [[TtlContinuousCount]] (flatMapGroupsWithState + EventTimeTimeout —
+    * the reference's withIdleStateRetentionTime, SURVEY A6) over chunk
+    * replay, its update-style changelog keyed-upserted into a memory
+    * store; the final value per cell must match
+    * [[graft.operators.TaxiQueries.ttlCountOracleSql]], which replays
+    * Spark's exact eviction semantics (timeouts fire only in triggers
+    * where the key has no data; the watermark advances on departures
+    * only) as window functions over the deterministic chunk assignment.
+    * Non-vacuous on the fixture: cells that accumulate across batches,
+    * cells that evict and restart, and single-batch cells all occur.
+    */
+  def ttlCount(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TaxiQueries
+    val sink = new MemoryUpsertSink(Seq("cell"))
+    val ck = Files.createTempDirectory("graft-gate-ttl-ck")
+    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    try {
+      withGateParallelism(spark, 4) {
+        val q = TtlContinuousCount.query(stream, ttlMs = TaxiQueries.TtlGateMs).toDF()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ck.toString)
+          .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
+          Encoders.product[TtlContinuousCount.CellCount].schema)
+        .orderBy("cell")
+    } finally { rmrf(root); rmrf(ck) }
+  }
+
   /** The retract-stream ENCODING under the hard gate: q4's level-1
     * update-mode changelog runs through [[RetractStream]] (Flink's
     * toRetractStream analogue — every update first retracts the exact
