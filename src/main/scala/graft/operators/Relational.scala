@@ -936,4 +936,82 @@ object Relational {
       |)
       |GROUP BY cohort_wk, week_offset
       |ORDER BY cohort_wk, week_offset""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Co-located fact-fact join over BUCKETED tables (the 100 TB join layout)
+  // -------------------------------------------------------------------------
+
+  /** Bucket count for the persisted layout. Small here because the verify
+    * SF is small; at 100 TB you size this so one bucket's lineitem slice
+    * fits an executor's sort buffer (thousands of buckets), and the ratio
+    * between the two tables' counts must stay 1:1 (or an exact multiple)
+    * for the co-located read to kick in.
+    */
+  val JoinBuckets = 8
+
+  /** Persist orders and lineitem BUCKETED (and sorted) by the join key —
+    * the write-side half of the co-located join: both tables hash-land
+    * rows of one orderkey in the same bucket file, so the join below
+    * never shuffles either fact table. This is the layout decision that
+    * dominates fact-fact join cost at 100 TB — the shuffle it deletes is
+    * the full lineitem table's worth of network — and it is exactly the
+    * discipline [[graft.operators.Similarity.persistIvfIndex]] applies to
+    * the ANN corpus (reference has no analogue; it delegates all joins to
+    * flink-table's shuffle).
+    */
+  def persistBucketedFacts(spark: SparkSession, dir: String): Unit = {
+    // a fresh session's in-memory catalog does not know tables a PREVIOUS
+    // session wrote, and CTAS refuses to reuse their orphaned warehouse
+    // directories (LOCATION_ALREADY_EXISTS) — clear both layers first
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { tb =>
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, tb), true)
+    }
+    t(spark, dir, "orders")
+      .write.mode("overwrite")
+      .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    t(spark, dir, "lineitem")
+      .write.mode("overwrite")
+      .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+  }
+
+  /** Revenue-by-priority over the bucketed layout: the orders⋈lineitem
+    * join is a sort-merge join with ZERO exchanges below it (PlanSpec
+    * pins this) — each task reads bucket i of both tables and merges in
+    * place. The MERGE hint keeps the demonstration honest at verify SF,
+    * where the default planner would broadcast the small side (a choice
+    * that does not exist for two 100 TB facts). The only shuffle in the
+    * whole query is the final 5-group rollup — which carries 5 rows per
+    * partition after partial aggregation.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    persistBucketedFacts(spark, dir)
+    val o = spark.table("graft_bkt_orders")
+    val li = spark.table("graft_bkt_lineitem")
+    o.hint("merge").join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)")).as("rev_d"))
+      .select(col("o_orderpriority"), col("n_orders"), col("n_items"),
+        col("rev_d").cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinOracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

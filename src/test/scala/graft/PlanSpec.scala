@@ -286,6 +286,24 @@ class PlanSpec extends SparkSpec {
       s"bloom probe is not scan-adjacent:\n${lines.slice(fi, fi + 8).mkString("\n")}")
   }
 
+  test("bucketed fact-fact join reads both sides in place: zero exchanges below the join") {
+    val df = Relational.bucketedJoin(spark, Sf0001)
+    df.collect() // AQE: inspect the FINAL plan, not the static guess
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed join must stay a sort-merge join (merge hint lost?):\n${p.take(900)}")
+    // the ONLY legal exchanges are the 5-group rollup and the output sort;
+    // an exchange on the orderkey means the bucketed layout was ignored
+    // and the full fact tables reshuffled — the exact cost the layout
+    // exists to delete
+    assert(!p.contains("hashpartitioning(o_orderkey") &&
+        !p.contains("hashpartitioning(l_orderkey"),
+      s"join re-shuffled a bucketed fact table on the join key:\n${p.take(1200)}")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"expected at most rollup+sort exchanges, got $exchanges:\n${p.take(1200)}")
+  }
+
   test("whole-stage codegen covers the taxi filter-project pipeline") {
     val df = TaxiQueries.q1Tumble(spark, Sf0001)
     df.collect() // AQE only materializes codegen'd stages in the FINAL plan
