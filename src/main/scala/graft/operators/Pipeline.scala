@@ -518,6 +518,112 @@ object Pipeline {
       |)
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Trained Naive-Bayes classifier (distributed training + scoring)
+  // -------------------------------------------------------------------------
+
+  /** TRAINED multinomial Naive-Bayes language classifier —
+    * [[qualityClassify]]'s complement: that operator scores a FROZEN
+    * model; this one LEARNS the model from the corpus in one distributed
+    * pass (Laplace-smoothed token-class counts) and then scores every
+    * document against every class, predicting the argmax.
+    *
+    * Determinism: weights are integer-quantized natural logs —
+    * `L(k) = round(ln(k)·1e6)` applied to INTEGER counts only — so every
+    * score is a sum of BIGINTs: order-independent, overflow-free (≤1e10
+    * per doc), and engine-exact. Doubles never cross an aggregation
+    * boundary; the only cross-engine float coupling is `ln` of the same
+    * integer, where a last-ulp divergence would have to land within
+    * ~1e-10 of a rounding boundary to flip a weight.
+    *
+    * Score(d,c) = Σ_t n_t·L(cnt(t,c)+1) − n_d·L(N_c+V) + L(D_c) − L(D);
+    * absent (token, class) pairs contribute L(1) = 0, which is what lets
+    * the hit term be a plain inner join + sum.
+    *
+    * Scale shape: training is one (token, class) shuffle; scoring joins
+    * doc-token counts with the model ON TOKEN — the model shards with
+    * the shuffle, never collected or broadcast, so a web-scale
+    * vocabulary is fine — multiplying rows only by the ≤C classes that
+    * contain the token. The per-class base terms are a C-row broadcast
+    * grid. Measured on the fixture: the langs share one vocabulary and
+    * differ only in frequencies, so accuracy 0.47 vs 0.44 majority
+    * prior at sf0.01 — the operator's value is the trained-model
+    * MACHINERY (`OperatorsSpec` pins accuracy > prior).
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    def L(e: String) = s"CAST(round(ln($e) * 1000000.0) AS BIGINT)"
+    val toks = docs(spark, dir)
+      .selectExpr("doc_id", "lang", "explode(split(text, ' ')) AS token")
+    val model = toks.groupBy(col("token"), col("lang").as("cls"))
+      .agg(count(lit(1)).as("cnt"))
+      .selectExpr("token", "cls", s"${L("cnt + 1")} AS w")
+    val vocab = toks.agg(countDistinct("token").as("v"))
+    val classTotals = toks.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_c"), countDistinct("doc_id").as("d_c"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("d"))
+    val base = classTotals.crossJoin(vocab).crossJoin(nDocs)
+      .selectExpr("cls", s"${L("n_c + v")} AS l_denom",
+        s"${L("d_c")} - ${L("d")} AS l_prior")
+    val docTok = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("n_t"))
+    val docLen = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_d"), max("lang").as("lang"))
+    val hits = docTok.join(model, "token")
+      .groupBy("doc_id", "cls").agg(sum(col("n_t") * col("w")).as("hit"))
+    val scored = docLen.crossJoin(broadcast(base))
+      .join(hits, Seq("doc_id", "cls"), "left")
+      .selectExpr("doc_id", "lang", "cls",
+        "coalesce(hit, 0L) - n_d * l_denom + l_prior AS score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("cls"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .selectExpr("doc_id", "cls AS pred_lang", "lang", "score",
+        "cls = lang AS hit")
+      .orderBy("doc_id")
+  }
+
+  val nbClassifyOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+      |),
+      |model AS (
+      |  SELECT token, lang AS cls,
+      |    CAST(round(ln(count(*) + 1) * 1000000.0) AS BIGINT) AS w
+      |  FROM toks GROUP BY 1, 2
+      |),
+      |vocab AS (SELECT count(DISTINCT token) AS v FROM toks),
+      |cls_tot AS (
+      |  SELECT lang AS cls, count(*) AS n_c, count(DISTINCT doc_id) AS d_c
+      |  FROM toks GROUP BY 1
+      |),
+      |nd AS (SELECT count(*) AS d FROM documents),
+      |base AS (
+      |  SELECT cls,
+      |    CAST(round(ln(n_c + v) * 1000000.0) AS BIGINT) AS l_denom,
+      |    CAST(round(ln(d_c) * 1000000.0) AS BIGINT) -
+      |      CAST(round(ln(d) * 1000000.0) AS BIGINT) AS l_prior
+      |  FROM cls_tot, vocab, nd
+      |),
+      |doc_tok AS (SELECT doc_id, token, count(*) AS n_t FROM toks GROUP BY 1, 2),
+      |doc_len AS (SELECT doc_id, max(lang) AS lang, count(*) AS n_d FROM toks GROUP BY 1),
+      |hits AS (
+      |  SELECT doc_id, cls, sum(n_t * w) AS hit
+      |  FROM doc_tok JOIN model USING (token) GROUP BY 1, 2
+      |),
+      |scored AS (
+      |  SELECT dl.doc_id, dl.lang, b.cls,
+      |    coalesce(h.hit, 0) - dl.n_d * b.l_denom + b.l_prior AS score
+      |  FROM doc_len dl CROSS JOIN base b
+      |  LEFT JOIN hits h ON h.doc_id = dl.doc_id AND h.cls = b.cls
+      |),
+      |ranked AS (
+      |  SELECT doc_id, lang, cls, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+      |  FROM scored
+      |)
+      |SELECT doc_id, cls AS pred_lang, lang, CAST(score AS BIGINT) AS score, cls = lang AS hit
+      |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   def zorderWrite(spark: SparkSession, dir: String, out: String, numFiles: Int): Long = {
     zorderLayout(spark, dir)
       .repartitionByRange(numFiles, col("zval"), col("doc_id"))

@@ -854,4 +854,22 @@ class OperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("trained NB classifier beats the majority-class prior on the fixture") {
+    import org.apache.spark.sql.functions._
+    val out = Pipeline.nbClassify(spark, Sf0001).cache()
+    try {
+      val n = out.count().toDouble
+      val acc = out.filter(col("hit")).count() / n
+      val prior = out.groupBy("lang").count()
+        .agg(max("count")).head.getLong(0) / n
+      // the fixture langs share one vocabulary and differ only in token
+      // frequencies (measured: acc 0.438 vs prior 0.386 at this SF) — the
+      // learned frequency signal must still beat always-guess-majority,
+      // else training learned nothing
+      assert(acc > prior, f"NB accuracy $acc%.3f <= majority prior $prior%.3f")
+      // every document is scored and predicted exactly once
+      assert(n === out.select("doc_id").distinct().count().toDouble)
+    } finally { out.unpersist(); () }
+  }
 }
