@@ -630,4 +630,109 @@ object TextAnalysis {
        |    / total_tf AS coverage
        |FROM top CROSS JOIN total
        |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // BPE merge learning (distributed, over the word-frequency table)
+  // -------------------------------------------------------------------------
+
+  /** Number of merge rounds learned by [[bpeLearn]]. The fixture vocab
+    * (31 distinct alpha words, ≤8 chars) supports ~100+ merges before
+    * pair depletion; 8 keeps the unrolled oracle readable.
+    */
+  val BpeMerges = 8
+
+  /** DISTRIBUTED BPE MERGE LEARNING — the train-the-tokenizer step
+    * [[vocabBuild]] (frequency vocab) and `txt_token_count` (apply a
+    * BPE-ish regex) bracket but neither learns. Classic Sennrich BPE:
+    * start from characters, repeatedly merge the most frequent adjacent
+    * symbol pair; the merge list IS the tokenizer model.
+    *
+    * The 100 TB shape is the classic trick: learning runs over the
+    * WORD-FREQUENCY table, not the corpus — one corpus-wide shuffle
+    * compresses everything to vocab scale, after which each round is a
+    * pair-count aggregation over that small table plus a 1-row argmax to
+    * the driver (a model parameter, exactly like the k-means centroid
+    * pull). At web scale you would batch the top-k non-interfering
+    * merges per round to cut round count; one merge per round keeps
+    * parity with the reference algorithm.
+    *
+    * Cross-engine exactness: a word's segmentation is a delimited string
+    * — every symbol wrapped as `|sym|`, so the pair (a,b) occurs iff
+    * `|a||b|` occurs as a substring, and applying the merge is
+    * `replace(s, '|a||b|', '|ab|')`. Both engines' `replace` scans
+    * leftmost non-overlapping, which is EXACTLY greedy BPE application
+    * ([a,a,a] -> [aa,a]); counts are BIGINT sums and the argmax
+    * tie-break is (count DESC, pair ASC), so every round is
+    * deterministic in both engines.
+    */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = docs(spark, dir)
+      .selectExpr("explode(split(text, ' ')) AS word")
+      // alpha-only guard: '|' is the segmentation delimiter and must not
+      // occur inside a symbol
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .selectExpr("freq", "regexp_replace(word, '(.)', '|$1|') AS s")
+      .cache()
+    var it = words.select("freq", "s")
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (i <- 1 to BpeMerges) {
+      val best = it
+        .selectExpr("freq", "split(trim(BOTH '|' FROM s), '\\\\|\\\\|') AS syms")
+        .filter("size(syms) >= 2")
+        .selectExpr("freq",
+          "explode(transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(syms[i-1] AS l, syms[i] AS r))) AS pr")
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i.toLong, l, r, c))
+        it = it.selectExpr("freq", s"replace(s, '|$l||$r|', '|$l$r|') AS s")
+      }
+    }
+    words.unpersist()
+    merges.result().toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
+      .orderBy("merge_rank")
+  }
+
+  /** The oracle unrolls the same [[BpeMerges]] rounds as CTE levels —
+    * pair counts, 1-row argmax, merge application — generated by the
+    * same loop shape the Spark side runs.
+    */
+  val bpeLearnOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """it0 AS (
+      |  SELECT count(*) AS freq,
+      |    regexp_replace(word, '(.)', '|\1|', 'g') AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word ~ '^[a-z]+$' GROUP BY word
+      |)""".stripMargin
+    for (i <- 1 to BpeMerges) {
+      val p = i - 1
+      ctes += s"""pc$i AS (
+        |  SELECT pr[1] AS l, pr[2] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT freq, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS pr
+        |    FROM (SELECT freq, string_split(trim(s, '|'), '||') AS syms FROM it$p)
+        |  ) GROUP BY 1, 2
+        |)""".stripMargin
+      ctes += s"""m$i AS (
+        |  SELECT $i AS merge_rank, l, r, cnt FROM pc$i
+        |  ORDER BY cnt DESC, l, r LIMIT 1
+        |)""".stripMargin
+      ctes += s"""it$i AS (
+        |  SELECT freq, replace(s, '|' || l || '||' || r || '|', '|' || l || r || '|') AS s
+        |  FROM it$p, m$i
+        |)""".stripMargin
+    }
+    val union = (1 to BpeMerges).map(i =>
+      s"SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l AS left_sym, " +
+        s"r AS right_sym, cnt AS pair_cnt FROM m$i").mkString("\nUNION ALL\n")
+    "WITH " + ctes.result().mkString(",\n") + "\n" + union + "\nORDER BY merge_rank"
+  }
 }

@@ -855,6 +855,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("BPE learning: ranks dense, counts non-increasing, merge chaining fires") {
+    val m = TextAnalysis.bpeLearn(spark, Sf0001)
+      .as[(Long, String, String, Long)].collect()
+    assert(m.length === TextAnalysis.BpeMerges)
+    assert(m.map(_._1).toSeq === (1L to TextAnalysis.BpeMerges).toSeq)
+    // a merged symbol's new pairs can never outnumber the pair just
+    // merged, and surviving pairs only lose occurrences — so the learned
+    // counts are monotone non-increasing (a broken apply step breaks this)
+    m.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 >= b._4,
+        s"pair count increased: rank ${a._1}=${a._4} -> rank ${b._1}=${b._4}")
+      case _ => ()
+    }
+    assert(m.forall(_._4 > 0))
+    // chaining: at least one merge consumes a previously-learned symbol
+    // (multi-char side) — proves merges apply to segmentations, not just
+    // raw characters (fires on the fixture: rank 8 is p+ar)
+    assert(m.exists(x => x._2.length > 1 || x._3.length > 1),
+      s"no multi-char merge in ${m.mkString(";")}")
+  }
+
   test("trained NB classifier beats the majority-class prior on the fixture") {
     import org.apache.spark.sql.functions._
     val out = Pipeline.nbClassify(spark, Sf0001).cache()
