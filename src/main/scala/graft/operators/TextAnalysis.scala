@@ -735,4 +735,62 @@ object TextAnalysis {
         s"r AS right_sym, cnt AS pair_cnt FROM m$i").mkString("\nUNION ALL\n")
     "WITH " + ctes.result().mkString(",\n") + "\n" + union + "\nORDER BY merge_rank"
   }
+
+  /** APPLY the learned BPE model to the corpus — [[bpeLearn]]'s other
+    * half (the detect->scrub symmetry of the tokenizer family): every
+    * document's alpha words are segmented by replaying the merge list in
+    * rank order, and the per-doc token accounting (words, chars, BPE
+    * tokens) is emitted — the sizing pass a packing/chunking stage runs
+    * before sequence assembly.
+    *
+    * Scale shape: the learned merges come back from [[bpeLearn]] as 8
+    * literal pairs COMPILED INTO THE PLAN — the scoring pass is scan +
+    * project (a chain of 8 codegen'd `replace` calls), no shuffle, no
+    * join, no broadcast; the corpus never moves. Training cost is paid
+    * once per model, exactly like [[graft.operators.Clustering]]'s
+    * fit/apply split.
+    */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeLearn(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val seg = merges.foldLeft("regexp_replace(word, '(.)', '|$1|')") {
+      case (acc, (l, r)) => s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    docs(spark, dir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .filter(col("word").rlike("^[a-z]+$"))
+      .selectExpr("doc_id", "word",
+        s"size(split(trim(BOTH '|' FROM $seg), '\\\\|\\\\|')) AS n_syms")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_alpha_chars"),
+        sum("n_syms").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle reuses [[bpeLearnOracle]]'s CTE chain for the model and
+    * applies the same nested-replace segmentation per word.
+    */
+  val bpeApplyOracle: String = {
+    val learnWith = bpeLearnOracle.substring(0, bpeLearnOracle.indexOf("\nSELECT CAST(merge_rank"))
+    val seg = (1 to BpeMerges).foldLeft("regexp_replace(word, '(.)', '|\\1|', 'g')") {
+      case (acc, i) =>
+        s"replace($acc, '|' || m$i.l || '||' || m$i.r || '|', '|' || m$i.l || m$i.r || '|')"
+    }
+    val learnCtes = learnWith.stripPrefix("WITH ").trim.stripSuffix(",")
+    s"""WITH $learnCtes,
+       |dw AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |),
+       |segged AS (
+       |  SELECT doc_id, word,
+       |    len(string_split(trim($seg, '|'), '||')) AS n_syms
+       |  FROM dw, ${(1 to BpeMerges).map("m" + _).mkString(", ")}
+       |  WHERE word ~ '^[a-z]+$$'
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(word)) AS BIGINT) AS n_alpha_chars,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM segged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -876,6 +876,20 @@ class OperatorsSpec extends SparkSpec {
       s"no multi-char merge in ${m.mkString(";")}")
   }
 
+  test("BPE apply: per-doc token counts bounded by words and chars, and merges compress") {
+    val a = TextAnalysis.bpeApply(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(a.nonEmpty)
+    a.foreach { case (id, nWords, nChars, nBpe) =>
+      // every word is >= 1 symbol and <= its character count
+      assert(nBpe >= nWords && nBpe <= nChars,
+        s"doc $id: n_bpe=$nBpe outside [$nWords, $nChars]")
+    }
+    // learned merges must actually fire corpus-wide: strictly fewer BPE
+    // tokens than characters
+    assert(a.map(_._4).sum < a.map(_._3).sum)
+  }
+
   test("trained NB classifier beats the majority-class prior on the fixture") {
     import org.apache.spark.sql.functions._
     val out = Pipeline.nbClassify(spark, Sf0001).cache()
