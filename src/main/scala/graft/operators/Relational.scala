@@ -960,12 +960,24 @@ object Relational {
     * flink-table's shuffle).
     */
   def persistBucketedFacts(spark: SparkSession, dir: String): Unit = {
+    val tables = Seq("graft_bkt_orders", "graft_bkt_lineitem")
+    // the layout is built ONCE per source and amortized over every join
+    // against it — that amortization is the entire point at 100 TB, so
+    // skip the rebuild when this session already persisted these sources
+    // (keyed on the source dir via a table property; the fixture dirs are
+    // immutable, so dir identity == data identity)
+    def current(tb: String): Boolean =
+      spark.catalog.tableExists(tb) &&
+        (try spark.sql(s"SHOW TBLPROPERTIES $tb ('graft.src')")
+          .collect().headOption.exists(_.getString(1) == dir)
+        catch { case _: Exception => false })
+    if (tables.forall(current)) return
     // a fresh session's in-memory catalog does not know tables a PREVIOUS
     // session wrote, and CTAS refuses to reuse their orphaned warehouse
     // directories (LOCATION_ALREADY_EXISTS) — clear both layers first
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("graft_bkt_orders", "graft_bkt_lineitem").foreach { tb =>
+    tables.foreach { tb =>
       spark.sql(s"DROP TABLE IF EXISTS $tb")
       fs.delete(new org.apache.hadoop.fs.Path(wh, tb), true)
     }
@@ -977,6 +989,8 @@ object Relational {
       .write.mode("overwrite")
       .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_bkt_lineitem")
+    tables.foreach(tb =>
+      spark.sql(s"ALTER TABLE $tb SET TBLPROPERTIES ('graft.src' = '$dir')"))
   }
 
   /** Revenue-by-priority over the bucketed layout: the orders⋈lineitem
