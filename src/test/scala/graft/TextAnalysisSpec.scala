@@ -63,4 +63,56 @@ class TextAnalysisSpec extends SparkSpec {
     // ...and the cut branch must actually fire on the fixture (non-vacuous)
     assert(joined.exists(_.getAs[Long]("n_dropped") > 0L))
   }
+
+  test("BPE delimited-string encoding == greedy adjacent merge (property)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // reference semantics: one left-to-right pass, merge non-overlapping
+    // adjacent (l, r) occurrences, no rescan of merged output (Sennrich
+    // BPE's apply step)
+    def greedy(syms: List[String], l: String, r: String): List[String] = {
+      val out = List.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    // the engine encoding: every symbol wrapped |s|, merge = literal
+    // leftmost-nonoverlapping replace (Java String.replace here; Spark's
+    // StringReplace and DuckDB's replace scan identically — the oracle
+    // hash match pins THAT equality, this pins the encoding's semantics)
+    def viaString(word: String, merges: List[(String, String)]): List[String] = {
+      val s0 = word.map(c => s"|$c|").mkString
+      val sN = merges.foldLeft(s0) { case (s, (l, r)) =>
+        s.replace(s"|$l||$r|", s"|$l$r|")
+      }
+      sN.stripPrefix("|").stripSuffix("|").split("\\|\\|").toList
+    }
+    // adversarial: 2-letter alphabet maximizes overlap runs (aaaa, abab);
+    // merge list grows its own symbol set so later merges can consume
+    // earlier ones (multi-char chaining)
+    val word = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val mergeCount = Gen.choose(1, 4)
+    def genMerges(n: Int): Gen[List[(String, String)]] = {
+      def step(acc: List[(String, String)], syms: Vector[String], k: Int): Gen[List[(String, String)]] =
+        if (k == 0) Gen.const(acc.reverse)
+        else for {
+          l <- Gen.oneOf(syms)
+          r <- Gen.oneOf(syms)
+          rest <- step((l, r) :: acc, syms :+ (l + r), k - 1)
+        } yield rest
+      step(Nil, Vector("a", "b"), n)
+    }
+    val prop = Prop.forAll(word, mergeCount.flatMap(genMerges)) { (w, merges) =>
+      val viaList = merges.foldLeft(w.toList.map(_.toString)) {
+        case (syms, (l, r)) => greedy(syms, l, r)
+      }
+      viaString(w, merges) == viaList
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(5000), prop)
+    assert(res.passed, s"BPE encoding falsified: ${res.status}")
+  }
 }
