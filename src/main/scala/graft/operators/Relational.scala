@@ -989,8 +989,11 @@ object Relational {
       .write.mode("overwrite")
       .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_bkt_lineitem")
+    // single quotes in dir would break the literal (the staleness check
+    // above compares the RAW dir, so escaping only the write side is safe)
+    val dirLit = dir.replace("'", "''")
     tables.foreach(tb =>
-      spark.sql(s"ALTER TABLE $tb SET TBLPROPERTIES ('graft.src' = '$dir')"))
+      spark.sql(s"ALTER TABLE $tb SET TBLPROPERTIES ('graft.src' = '$dirLit')"))
   }
 
   /** Revenue-by-priority over the bucketed layout: the orders⋈lineitem

@@ -652,9 +652,10 @@ object TextAnalysis {
     * compresses everything to vocab scale, after which each round is a
     * pair-count aggregation over that small table plus a 1-row argmax to
     * the driver (a model parameter, exactly like the k-means centroid
-    * pull). At web scale you would batch the top-k non-interfering
-    * merges per round to cut round count; one merge per round keeps
-    * parity with the reference algorithm.
+    * pull). [[bpeLearnBatched]] is the web-scale variant: it batches the
+    * top-k non-interfering merges per round to cut round count while
+    * provably learning the identical merge list; one merge per round
+    * here keeps parity with the reference algorithm.
     *
     * Cross-engine exactness: a word's segmentation is a delimited string
     * — every symbol wrapped as `|sym|`, so the pair (a,b) occurs iff
@@ -665,29 +666,38 @@ object TextAnalysis {
     * tie-break is (count DESC, pair ASC), so every round is
     * deterministic in both engines.
     */
-  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val words = docs(spark, dir)
+  /** The word-frequency table with each word pre-segmented to characters
+    * — the ONE corpus-scale shuffle the whole BPE family pays.
+    */
+  private def bpeWordFreqs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .selectExpr("explode(split(text, ' ')) AS word")
       // alpha-only guard: '|' is the segmentation delimiter and must not
       // occur inside a symbol
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .selectExpr("freq", "regexp_replace(word, '(.)', '|$1|') AS s")
-      .cache()
+
+  /** Adjacent-pair counts over a (freq, s) segmentation table, ranked by
+    * the deterministic (count DESC, pair ASC) argmax order.
+    */
+  private def bpePairCounts(it: DataFrame): DataFrame =
+    it.selectExpr("freq", "split(trim(BOTH '|' FROM s), '\\\\|\\\\|') AS syms")
+      .filter("size(syms) >= 2")
+      .selectExpr("freq",
+        "explode(transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i-1] AS l, syms[i] AS r))) AS pr")
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("l"), col("r"))
+
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = bpeWordFreqs(spark, dir).cache()
     var it = words.select("freq", "s")
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (i <- 1 to BpeMerges) {
-      val best = it
-        .selectExpr("freq", "split(trim(BOTH '|' FROM s), '\\\\|\\\\|') AS syms")
-        .filter("size(syms) >= 2")
-        .selectExpr("freq",
-          "explode(transform(sequence(1, size(syms) - 1), " +
-            "i -> struct(syms[i-1] AS l, syms[i] AS r))) AS pr")
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
+      val best = bpePairCounts(it).limit(1).collect()
       if (best.nonEmpty) {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
@@ -696,8 +706,100 @@ object TextAnalysis {
       }
     }
     words.unpersist()
-    merges.result().toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
+    val learned = merges.result()
+    // pair depletion before BpeMerges would silently zero out the unrolled
+    // oracle's cross-joined m$i levels — fail loudly at the source instead
+    require(learned.size == BpeMerges,
+      s"BPE pair depletion: learned ${learned.size} of $BpeMerges merges; " +
+        "shrink BpeMerges or grow the corpus")
+    learned.toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
       .orderBy("merge_rank")
+  }
+
+  /** Merges accepted per batched round, see [[bpeLearnBatched]]. */
+  val BpeBatchK = 4
+
+  /** BATCHED BPE LEARNING — the web-scale round-count cut the sequential
+    * scaladoc promises. Per round, ONE pair-count aggregation is pulled
+    * to the driver (top `k`+1 rows only) and a provably-safe batch of
+    * merges is applied in one pass, so a 30k-merge tokenizer costs
+    * O(30k/k) Spark jobs instead of 30k.
+    *
+    * The batch rule guarantees the merge list EQUALS sequential
+    * [[bpeLearn]]'s — always, not just on a lucky fixture: accept the
+    * longest PREFIX of the (cnt DESC, l, r)-ranked pair list that is
+    * pairwise symbol-disjoint (a self-pair (a,a) closes the batch after
+    * itself), then shrink it until the last accepted count strictly
+    * exceeds the best rejected count. Why that is sufficient: applying
+    * accepted merge j can only (a) leave pairs disjoint from it
+    * unchanged — so accepted merges j+1..m keep their exact counts,
+    * (b) decrease pairs sharing a symbol — all ranked below the prefix,
+    * hence ≤ the best rejected count, and (c) create pairs containing a
+    * merged symbol, each of whose occurrences crosses a merge boundary
+    * and therefore was counted under some symbol-sharing original pair —
+    * for l≠r that original is necessarily rejected (an accepted pair
+    * can't share its symbols), hence ≤ best-rejected; for l=r the bound
+    * is the self-pair's own count, which is why it must close the batch.
+    * With the strict-excess truncation every later accepted pair strictly
+    * dominates all of (b) and (c), so the sequential argmax at step j is
+    * exactly accepted pair j, tie-break included.
+    */
+  def bpeLearnBatched(spark: SparkSession, dir: String, k: Int = BpeBatchK): DataFrame =
+    bpeLearnBatchedRounds(spark, dir, k)._1
+
+  /** [[bpeLearnBatched]] exposing the number of rounds actually run —
+    * the spec pins rounds < merges to prove batching is non-vacuous.
+    */
+  def bpeLearnBatchedRounds(spark: SparkSession, dir: String, k: Int = BpeBatchK): (DataFrame, Int) = {
+    import spark.implicits._
+    val words = bpeWordFreqs(spark, dir).cache()
+    var it = words.select("freq", "s")
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var learned = 0
+    var rounds = 0
+    var depleted = false
+    while (learned < BpeMerges && !depleted) {
+      val want = math.min(k, BpeMerges - learned)
+      val top = bpePairCounts(it).limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) depleted = true
+      else {
+        rounds += 1
+        // longest pairwise-disjoint prefix, capped at `want`; a SELF-pair
+        // (a,a) ends the batch after itself — its merge creates pairs
+        // (aa,a)/(a,aa)/(aa,aa) bounded only by its OWN count, so nothing
+        // committed after it could be defended against them
+        val used = scala.collection.mutable.Set.empty[String]
+        val buf = Vector.newBuilder[(String, String, Long)]
+        var open = true
+        top.take(want).foreach { case (l, r, c) =>
+          if (open && !used(l) && !used(r)) {
+            buf += ((l, r, c)); used += l; used += r
+            if (l == r) open = false
+          } else open = false
+        }
+        var batch = buf.result()
+        // strict-excess truncation: the last accepted count must beat the
+        // best pair left behind (rank batch.size is the first non-accepted)
+        while (batch.size >= 2 && top.size > batch.size &&
+            batch.last._3 <= top(batch.size)._3)
+          batch = batch.init
+        batch.foreach { case (l, r, c) =>
+          learned += 1
+          merges += ((learned.toLong, l, r, c))
+        }
+        val seg = batch.foldLeft("s") { case (acc, (l, r, _)) =>
+          s"replace($acc, '|$l||$r|', '|$l$r|')"
+        }
+        it = it.selectExpr("freq", s"$seg AS s")
+      }
+    }
+    words.unpersist()
+    val out = merges.result()
+    require(out.size == BpeMerges,
+      s"BPE pair depletion: learned ${out.size} of $BpeMerges merges")
+    (out.toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
+      .orderBy("merge_rank"), rounds)
   }
 
   /** The oracle unrolls the same [[BpeMerges]] rounds as CTE levels —
@@ -743,16 +845,26 @@ object TextAnalysis {
     * tokens) is emitted — the sizing pass a packing/chunking stage runs
     * before sequence assembly.
     *
-    * Scale shape: the learned merges come back from [[bpeLearn]] as 8
-    * literal pairs COMPILED INTO THE PLAN — the scoring pass is scan +
-    * project (a chain of 8 codegen'd `replace` calls), no shuffle, no
-    * join, no broadcast; the corpus never moves. Training cost is paid
-    * once per model, exactly like [[graft.operators.Clustering]]'s
-    * fit/apply split.
+    * Scale shape: the learned merges are 8 literal pairs COMPILED INTO
+    * THE PLAN — the scoring pass is scan + project (a chain of 8
+    * codegen'd `replace` calls), no shuffle, no join, no broadcast; the
+    * corpus never moves. This entry learns inline for the oracle row;
+    * the production path is [[persistBpeModel]] + [[bpeApplyAgainst]]
+    * (`txt_bpe_apply_indexed`), which pays training once per model,
+    * exactly like [[graft.operators.Clustering]]'s fit/apply split.
     */
   def bpeApply(spark: SparkSession, dir: String): DataFrame = {
     val merges = bpeLearn(spark, dir).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeSegmentCounts(spark, dir, merges)
+  }
+
+  /** The apply plan shared by the inline and persisted-model paths:
+    * per-doc token accounting with the merge list baked in as literal
+    * `replace` calls.
+    */
+  private def bpeSegmentCounts(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)]): DataFrame = {
     val seg = merges.foldLeft("regexp_replace(word, '(.)', '|$1|')") {
       case (acc, (l, r)) => s"replace($acc, '|$l||$r|', '|$l$r|')"
     }
@@ -766,6 +878,63 @@ object TextAnalysis {
         sum(length(col("word"))).as("n_alpha_chars"),
         sum("n_syms").as("n_bpe_tokens"))
       .orderBy("doc_id")
+  }
+
+  /** The session table [[bpeApplyIndexed]] persists the model under. */
+  val BpeModelTable = "graft_bpe_model"
+
+  /** Persist the learned merge list — the BPE family's FIT/APPLY seam
+    * (the tokenizer-model analogue of
+    * [[graft.operators.Clustering.persistCentroids]]). Training is paid
+    * once per (source, model) pair: a rebuild is skipped when the stored
+    * table already carries this source dir in its `graft.src` property,
+    * so every later apply — batch or streaming — compiles the stored
+    * merges into a scan+project plan without re-running a single
+    * learning round. At a real merge count (30k+) this is the difference
+    * between 0 and 30k Spark jobs per apply.
+    */
+  def persistBpeModel(spark: SparkSession, dir: String, table: String = BpeModelTable): Unit = {
+    def current: Boolean =
+      spark.catalog.tableExists(table) &&
+        (try spark.sql(s"SHOW TBLPROPERTIES $table ('graft.src')")
+          .collect().headOption.exists(_.getString(1) == dir)
+        catch { case _: Exception => false })
+    if (current) return
+    // clear both catalog layers first — a fresh session's in-memory
+    // catalog doesn't know a previous session's table, and saveAsTable
+    // refuses its orphaned warehouse dir (LOCATION_ALREADY_EXISTS)
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    fs.delete(new org.apache.hadoop.fs.Path(wh, table), true)
+    bpeLearn(spark, dir).write.mode("overwrite").saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('graft.src' = '${dir.replace("'", "''")}')")
+    ()
+  }
+
+  /** Apply against a persisted model: the merge list (8 rows — a model
+    * parameter, bounded by construction) is the ONLY thing pulled to the
+    * driver; the corpus-side plan is identical to [[bpeApply]]'s scan +
+    * project + per-doc aggregate, with zero learning jobs.
+    */
+  def bpeApplyAgainst(spark: SparkSession, dir: String, table: String): DataFrame = {
+    // rank order matters (merges chain); sort the 8 rows driver-side so
+    // the pull is ONE collect job, not a sample+shuffle sort
+    val merges = spark.table(table)
+      .select("merge_rank", "left_sym", "right_sym").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeSegmentCounts(spark, dir, merges)
+  }
+
+  /** The gated fit-once/apply-many entry: persist (or reuse) the model
+    * table, then apply against it. Same result as [[bpeApply]] — the
+    * oracle is shared — but amortized across invocations.
+    */
+  def bpeApplyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    persistBpeModel(spark, dir)
+    bpeApplyAgainst(spark, dir, BpeModelTable)
   }
 
   /** The oracle reuses [[bpeLearnOracle]]'s CTE chain for the model and

@@ -890,6 +890,43 @@ class OperatorsSpec extends SparkSpec {
     assert(a.map(_._4).sum < a.map(_._3).sum)
   }
 
+  test("BPE fit/apply: indexed apply equals inline apply with zero learning rounds") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val s2 = spark.newSession()
+    TextAnalysis.persistBpeModel(s2, Sf0001, "bpe_model_t")
+    try {
+      assert(s2.table("bpe_model_t").count() === TextAnalysis.BpeMerges.toLong)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (applied, jobsBeforeAction) = try {
+        // re-persist must be a no-op (graft.src is current), and building
+        // the apply plan pulls ONLY the 8-row model — never the
+        // 1 + BpeMerges jobs the inline learning path pays
+        TextAnalysis.persistBpeModel(s2, Sf0001, "bpe_model_t")
+        val df = TextAnalysis.bpeApplyAgainst(s2, Sf0001, "bpe_model_t")
+        Thread.sleep(1500) // listener bus is async; let it drain
+        val n = jobs.get() // snapshot BEFORE the action runs its own jobs
+        (df.collect(), n)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(jobsBeforeAction <= 2,
+        s"apply-after-persist ran $jobsBeforeAction jobs before any action — learning leaked in")
+      val inline = TextAnalysis.bpeApply(s2, Sf0001).collect()
+      assert(applied.toSeq === inline.toSeq)
+    } finally { s2.sql("DROP TABLE IF EXISTS bpe_model_t"); () }
+  }
+
+  test("BPE batched learning: merge list equals sequential, in fewer rounds") {
+    val seqMerges = TextAnalysis.bpeLearn(spark, Sf0001)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val (batched, rounds) = TextAnalysis.bpeLearnBatchedRounds(spark, Sf0001)
+    assert(batched.as[(Long, String, String, Long)].collect().toSeq === seqMerges)
+    assert(rounds < TextAnalysis.BpeMerges,
+      s"batching was vacuous: $rounds rounds for ${TextAnalysis.BpeMerges} merges")
+  }
+
   test("trained NB classifier beats the majority-class prior on the fixture") {
     import org.apache.spark.sql.functions._
     val out = Pipeline.nbClassify(spark, Sf0001).cache()
