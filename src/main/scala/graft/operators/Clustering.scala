@@ -27,8 +27,7 @@ object Clustering {
 
   /** Quantized vectors: q[i] = floor(double(embedding[i]) * Scale). */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir).selectExpr("vec_id",
-      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q")
+    emb(spark, dir).selectExpr("vec_id", quantizeSql)
 
   /** Centroid set rendered as a literal SQL array of structs — the
     * broadcast-to-every-row form: assignment is then a map-only
@@ -43,14 +42,27 @@ object Clustering {
     * (dist, cid) tie-break via struct array_min.
     */
   private def assign(qDF: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame =
-    qDF.selectExpr("vec_id", "q",
+    withAssignment(qDF, cents)
+      .selectExpr("vec_id", "q",
+        "best.cid AS cluster_id", "best.dist AS sq_dist")
+
+  /** Attach the argmin-centroid struct (`best.cid`/`best.dist`) to ANY
+    * frame carrying a quantized `q` column — the map-only assignment
+    * seam the IVF composition ([[Similarity]]) probes through.
+    */
+  private[graft] def withAssignment(df: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame =
+    df.withColumn("best", expr(
       s"""array_min(transform(${centroidExpr(cents)},
          |  s -> named_struct(
          |    'dist', aggregate(zip_with(q, s.c, (a, b) -> (a - b) * (a - b)),
          |                      0L, (acc, x) -> acc + x),
-         |    'cid', s.cid))) AS best""".stripMargin)
-      .selectExpr("vec_id", "q",
-        "best.cid AS cluster_id", "best.dist AS sq_dist")
+         |    'cid', s.cid)))""".stripMargin))
+
+  /** The quantization expression shared with [[Similarity]]'s IVF probe
+    * (queries must quantize exactly like the fit did).
+    */
+  private[graft] val quantizeSql: String =
+    s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q"
 
   /** K-MEANS (exact integer Lloyd): [[Iters]] assignment rounds over
     * [[K]] centroids seeded from the K vectors with the smallest
@@ -173,8 +185,11 @@ object Clustering {
   /** DuckDB unrolled Lloyd — same quantization, same integer arithmetic,
     * same (dist, cid) tie-break, same floor(sum/count) update, same
     * keep-previous-on-empty-cluster rule (via the left-join coalesce).
+    * The CTE chain (q, seeds, a1..a3, c2..c3) is exposed separately so
+    * [[graft.operators.Similarity]]'s IVF-over-kmeans oracle can build
+    * its probe on the identical model (c3) and lists (a3).
     */
-  val kmeansOracle: String = {
+  private[graft] val kmeansOracleCtes: String = {
     val dim = 64
     // one assignment CTE against a centroid CTE named $c, producing (vec_id, cluster_id, sq_dist)
     def assignSql(c: String): String =
@@ -197,7 +212,7 @@ object Clustering {
          |    GROUP BY a.cluster_id, t.i
          |  ) GROUP BY cluster_id
          |) u ON u.cid = p.cid""".stripMargin
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
        |  FROM embeddings
@@ -210,9 +225,12 @@ object Clustering {
        |c2 AS (${updateSql("a1", "seeds")}),
        |a2 AS (${assignSql("c2")}),
        |c3 AS (${updateSql("a2", "c2")}),
-       |a3 AS (${assignSql("c3")})
+       |a3 AS (${assignSql("c3")})""".stripMargin
+  }
+
+  val kmeansOracle: String =
+    s"""WITH $kmeansOracleCtes
        |SELECT vec_id, CAST(cluster_id AS INTEGER) AS cluster_id,
        |  CAST(sq_dist AS BIGINT) AS sq_dist
        |FROM a3 ORDER BY vec_id""".stripMargin
-  }
 }

@@ -239,6 +239,105 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------------
+  // IVF over LEARNED k-means centroids (the trained-quantizer recall path)
+  // -------------------------------------------------------------------------
+
+  /** IVF whose coarse lists are the [[graft.operators.Clustering]]
+    * integer-Lloyd clusters instead of the data-independent `label`
+    * column — the composition a production ANN index runs (FAISS
+    * IVF-Flat: train k-means, assign lists, probe nearest centroids).
+    * The label-IVF ([[ivfTopk]]) documents its recall floor: labels
+    * carry no cosine signal, so probing them ≈ random sampling. Learned
+    * centroids partition the actual vector geometry, so the nprobe
+    * nearest lists concentrate the true neighbors — the recall spec pins
+    * the margin over the scanned fraction.
+    *
+    * Determinism: centroids, assignments, and the query→centroid probe
+    * ranking all live in the same quantized-integer space as the k-means
+    * oracle (exact BIGINT distances, (dist, cid) tie-break), and the
+    * final scoring is the family's shared float_dot cosine — so the row
+    * set hash-matches an oracle that replays Lloyd's and the probe in
+    * SQL.
+    *
+    * Scale shape: ONE map-only pass attaches quantization, norm, and
+    * nearest-centroid list id to the corpus (centroids travel as a
+    * K-struct literal — no join); queries rank the same K-struct
+    * broadcast and explode to nprobe rows; then ONE equi-join on
+    * cluster_id brute-forces only the probed lists. Over a corpus
+    * bucketed by cluster_id (the [[persistIvfIndex]] discipline) only
+    * queries move.
+    */
+  def ivfKmeansTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfKmeansTopkProbe(spark, dir, NProbe)
+
+  /** [[ivfKmeansTopk]] with an explicit probe width. */
+  def ivfKmeansTopkProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cents = Clustering.fitCentroids(spark, dir)
+    val e = Clustering.withAssignment(
+        withNorm(spark, dir).selectExpr("vec_id", "embedding", "nrm", Clustering.quantizeSql),
+        cents)
+      .selectExpr("vec_id", "embedding", "nrm", "q", "best.cid AS cluster_id")
+    val centDF = cents.sortBy(_._1).toDF("cid", "c")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("q").as("q_q"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("p_dist"), col("cid"))
+    val probed = q.crossJoin(broadcast(centDF))
+      .withColumn("p_dist", expr(
+        "aggregate(zip_with(q_q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"))
+    val scored = probed
+      .join(e, e("cluster_id") === probed("cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+    rankTopK(scored)
+  }
+
+  /** The oracle replays the k-means fit (shared CTE chain — identical
+    * model c3 and lists a3), ranks centroids per query by the same exact
+    * integer distance, and brute-forces the probed lists.
+    */
+  val ivfKmeansOracle: String =
+    s"""WITH ${Clustering.kmeansOracleCtes},
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |),
+       |qv AS (
+       |  SELECT q.vec_id AS q_id, q.q AS q_q, e.embedding AS q_emb, e.nrm AS q_nrm
+       |  FROM q JOIN e ON e.vec_id = q.vec_id WHERE q.vec_id % 20 = 0
+       |),
+       |probe AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT qv.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY qv.q_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(qv.q_q, c.c),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT), c.cid) AS rn
+       |    FROM qv CROSS JOIN c3 c
+       |  ) WHERE rn <= $NProbe
+       |),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |    ${duckDot("e.embedding", "qv.q_emb")} / (e.nrm * qv.q_nrm) AS cosine
+       |  FROM probe p
+       |  JOIN a3 a ON a.cluster_id = p.cid
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN qv ON qv.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine FROM (
+       |  SELECT q_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Multi-probe LSH top-k (the data-dependent recall path)
   // -------------------------------------------------------------------------
 

@@ -120,6 +120,45 @@ class OperatorsSpec extends SparkSpec {
     assert(r3 >= 0.3, s"recall@${Similarity.TopK} for nprobe=3 too low: $r3")
   }
 
+  test("IVF over learned centroids: recall beats the scanned fraction, exact at full probe") {
+    import graft.operators.Clustering
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.topkBruteforce(spark, Sf0001))
+    def recall(nprobe: Int): Double = {
+      val got = topSets(Similarity.ivfKmeansTopkProbe(spark, Sf0001, nprobe))
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    val (r1, r3, rAll) = (recall(1), recall(3), recall(Clustering.K))
+    assert(rAll === 1.0) // probing every list IS brute force
+    assert(r1 < r3, s"recall not improved by wider probe: r1=$r1 r3=$r3")
+    // the 3 nearest of 8 near-balanced clusters scan ~0.375 of the corpus;
+    // label-IVF recall sits AT that fraction (labels are cosine-noise —
+    // see the spec above), while the trained quantizer concentrates true
+    // neighbors in nearby cells (measured 0.60 on the fixture). Pin a
+    // real margin over the scanned fraction, and pin fixing the floor:
+    // learned-centroid recall must beat label recall at the same probe
+    val scanned = {
+      val sizes = Clustering.kmeans(spark, Sf0001).collect()
+        .groupBy(_.getInt(1)).view.mapValues(_.length.toDouble).toMap
+      // upper bound: 3 largest clusters / corpus — the most IVF could scan
+      sizes.values.toSeq.sorted.takeRight(3).sum / sizes.values.sum
+    }
+    assert(r3 >= scanned + 0.1,
+      s"learned-centroid IVF recall $r3 does not clear the scanned fraction $scanned")
+    val labelR3 = {
+      val got = topSets(Similarity.ivfTopkProbe(spark, Sf0001, 3))
+      val per = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    assert(r3 > labelR3,
+      s"k-means lists ($r3) must beat the cosine-uncorrelated label lists ($labelR3)")
+  }
+
   test("multi-probe LSH recall beats the scanned fraction and is exact at full radius") {
     def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.select("q_id", "neighbor_id").as[(Long, Long)].collect()
