@@ -293,6 +293,54 @@ object TaxiQueries {
        |ORDER BY s.cell""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Stream-static dimension join (zone enrichment)
+  // -------------------------------------------------------------------------
+
+  /** Zone-dimension cardinality for [[zoneDim]]. */
+  val ZoneCount = 20
+
+  /** A deterministic zone dimension derived from the data itself (no
+    * external zone table in the sandbox): the [[ZoneCount]] busiest
+    * departure cells, labeled by rank. The single-partition rank window
+    * runs over distinct CELLS (bounded at 100k by the grid, ~500 at
+    * verify SF) — dim-build cost, paid once, not a per-row pattern.
+    */
+  def zoneDim(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("cell"))
+    departures(spark, dir)
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= ZoneCount)
+      .select(col("cell"), concat(lit("zone_"), col("rnk")).as("zone"))
+  }
+
+  /** Enrich a rides frame (stream or batch) with the zone dimension — the
+    * reference demo's enrichment shape. The dim side is `broadcast()`:
+    * in a streaming query this is the stream-static join (static side
+    * re-planned per micro-batch, no state), and at 100 TB the stream
+    * never shuffles — only the dim moves.
+    */
+  def zoneEnrich(rides: DataFrame, dim: DataFrame): DataFrame =
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .select(col("rideId").as("ride_id"),
+        Taxi.toCellId(col("startLon"), col("startLat")).as("cell"))
+      .join(broadcast(dim.select("cell", "zone")), Seq("cell"), "left")
+      .select("ride_id", "cell", "zone")
+
+  val staticJoinOracleSql: String =
+    s"""${Rides.oracleCte}, $oracleDepartures,
+       |dimc AS (SELECT cell, count(*) AS cnt FROM departures GROUP BY cell),
+       |dim AS (
+       |  SELECT cell, 'zone_' || CAST(rnk AS VARCHAR) AS zone FROM (
+       |    SELECT cell, row_number() OVER (ORDER BY cnt DESC, cell) AS rnk FROM dimc
+       |  ) WHERE rnk <= $ZoneCount
+       |)
+       |SELECT d.ride_id, d.cell, m.zone
+       |FROM departures d LEFT JOIN dim m USING (cell)
+       |ORDER BY d.ride_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Q6: sliding (hopping) window — beyond the reference's Tumble/Over pair
   // -------------------------------------------------------------------------
 

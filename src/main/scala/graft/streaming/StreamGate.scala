@@ -165,6 +165,13 @@ object StreamGate {
     * deployment does (the operators are partition-count agnostic:
     * hash-agg/join results don't depend on it); the default is restored
     * even on failure so other queries in the same session are untouched.
+    *
+    * SINGLE-QUERY ASSUMPTION: the mutation is session-global for the
+    * body's duration. Verify/Bench run gates strictly sequentially, which
+    * is what makes this safe — a concurrently executing query in the same
+    * session would silently run at the gate's parallelism (and nested
+    * bodies would restore the inner value). If gates are ever
+    * parallelized, give each its own `spark.newSession()`.
     */
   private def withGateParallelism[T](spark: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -396,6 +403,75 @@ object StreamGate {
       spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
           Encoders.product[TtlContinuousCount.CellCount].schema)
         .orderBy("cell")
+    } finally { rmrf(root); rmrf(ck) }
+  }
+
+  /** The idle-state TTL count again, but through Spark 4's
+    * `transformWithState` ([[TtlContinuousCountV2]], RocksDB-backed) —
+    * gated against the SAME eviction-semantics oracle as the
+    * flatMapGroupsWithState form, proving the modern stateful API
+    * preserves the V1 semantics before future state work migrates to it.
+    */
+  def ttlCountV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TaxiQueries
+    val sink = new MemoryUpsertSink(Seq("cell"))
+    val ck = Files.createTempDirectory("graft-gate-ttlv2-ck")
+    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    try {
+      // transformWithState requires the RocksDB provider; scoped to this
+      // gate and restored, like the parallelism override below
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      withGateParallelism(spark, 4) {
+        val q = TtlContinuousCountV2.query(stream, ttlMs = TaxiQueries.TtlGateMs).toDF()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ck.toString)
+          .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
+          Encoders.product[TtlContinuousCount.CellCount].schema)
+        .orderBy("cell")
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      rmrf(root); rmrf(ck)
+    }
+  }
+
+  /** The stream-static dimension join under the hard gate: the ride
+    * stream enriched per micro-batch against the batch-built zone dim
+    * ([[graft.operators.TaxiQueries.zoneEnrich]] — broadcast static side,
+    * no state, append mode). Every NYC start ride must come out exactly
+    * once with its zone label (NULL off the top-[[graft.operators
+    * .TaxiQueries.ZoneCount]] cells — the left-join branch both ways).
+    * Oracle: the same enrichment as one batch SQL.
+    */
+  def staticJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TaxiQueries
+    val dim = TaxiQueries.zoneDim(spark, dir)
+    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    val ck = Files.createTempDirectory("graft-gate-szj-ck")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val out = TaxiQueries.zoneEnrich(stream, dim)
+      val schema = out.schema
+      val q = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          buf.synchronized { buf ++= b.collect() }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+        .orderBy("ride_id")
     } finally { rmrf(root); rmrf(ck) }
   }
 
