@@ -893,25 +893,10 @@ object TextAnalysis {
     * learning round. At a real merge count (30k+) this is the difference
     * between 0 and 30k Spark jobs per apply.
     */
-  def persistBpeModel(spark: SparkSession, dir: String, table: String = BpeModelTable): Unit = {
-    def current: Boolean =
-      spark.catalog.tableExists(table) &&
-        (try spark.sql(s"SHOW TBLPROPERTIES $table ('graft.src')")
-          .collect().headOption.exists(_.getString(1) == dir)
-        catch { case _: Exception => false })
-    if (current) return
-    // clear both catalog layers first — a fresh session's in-memory
-    // catalog doesn't know a previous session's table, and saveAsTable
-    // refuses its orphaned warehouse dir (LOCATION_ALREADY_EXISTS)
-    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    fs.delete(new org.apache.hadoop.fs.Path(wh, table), true)
-    bpeLearn(spark, dir).write.mode("overwrite").saveAsTable(table)
-    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('graft.src' = '${dir.replace("'", "''")}')")
-    ()
-  }
+  def persistBpeModel(spark: SparkSession, dir: String, table: String = BpeModelTable): Unit =
+    graft.core.ModelTables.persistIfStale(spark, dir, table) {
+      bpeLearn(spark, dir).write.mode("overwrite").saveAsTable(table)
+    }
 
   /** Apply against a persisted model: the merge list (8 rows — a model
     * parameter, bounded by construction) is the ONLY thing pulled to the
