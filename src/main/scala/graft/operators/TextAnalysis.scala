@@ -894,7 +894,7 @@ object TextAnalysis {
     * between 0 and 30k Spark jobs per apply.
     */
   def persistBpeModel(spark: SparkSession, dir: String, table: String = BpeModelTable): Unit =
-    graft.core.ModelTables.persistIfStale(spark, dir, table) {
+    graft.core.ModelTables.persistIfStale(spark, dir, table, s"bpe.v1;merges=$BpeMerges") {
       bpeLearn(spark, dir).write.mode("overwrite").saveAsTable(table)
     }
 

@@ -458,19 +458,24 @@ object StreamGate {
     val dim = TaxiQueries.zoneDim(spark, dir)
     val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
     val ck = Files.createTempDirectory("graft-gate-szj-ck")
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    // keyed by ride_id, not appended: foreachBatch is at-least-once, so a
+    // retried micro-batch must overwrite its own rows, not duplicate them
+    // (the idempotence MemoryUpsertSink gives the update-mode gates)
+    val buf = scala.collection.mutable.LinkedHashMap.empty[Any, Row]
     try {
       val out = TaxiQueries.zoneEnrich(stream, dim)
       val schema = out.schema
+      val keyIdx = schema.fieldIndex("ride_id")
       val q = out.writeStream.outputMode("append")
         .option("checkpointLocation", ck.toString)
         .foreachBatch { (b: Dataset[Row], _: Long) =>
-          buf.synchronized { buf ++= b.collect() }; ()
+          val rows = b.collect()
+          buf.synchronized { rows.foreach(r => buf.update(r.get(keyIdx), r)) }; ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
       import scala.jdk.CollectionConverters._
-      spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      spark.createDataFrame(buf.synchronized(buf.values.toList).asJava, schema)
         .orderBy("ride_id")
     } finally { rmrf(root); rmrf(ck) }
   }

@@ -946,7 +946,9 @@ class OperatorsSpec extends SparkSpec {
         // 1 + BpeMerges jobs the inline learning path pays
         TextAnalysis.persistBpeModel(s2, Sf0001, "bpe_model_t")
         val df = TextAnalysis.bpeApplyAgainst(s2, Sf0001, "bpe_model_t")
-        Thread.sleep(1500) // listener bus is async; let it drain
+        // deterministic drain: waitUntilEmpty blocks until every queued
+        // event is delivered (a fixed sleep could undercount on a slow bus)
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 30000)
         val n = jobs.get() // snapshot BEFORE the action runs its own jobs
         (df.collect(), n)
       } finally spark.sparkContext.removeSparkListener(listener)
