@@ -16,10 +16,13 @@ object ModelTables {
     * (hyperparameters + learner version). Changing either against an
     * existing warehouse forces a rebuild — a param-only change would
     * otherwise silently reuse the stale table until the oracle gate
-    * caught it.
+    * caught it. The dir is length-prefixed so the encoding is injective:
+    * a bare `dir#params` join would let a dir literally containing '#'
+    * collide with a different (dir, params) pair and spuriously report
+    * the table as current.
     */
   private def srcKey(dir: String, params: String): String =
-    if (params.isEmpty) dir else s"$dir#$params"
+    s"${dir.length}:$dir#$params"
 
   /** Managed tables live at <warehouse>/<table>; that equation only holds
     * for simple lowercase names in the default database, so the writers

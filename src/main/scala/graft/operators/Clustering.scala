@@ -124,26 +124,48 @@ object Clustering {
   def kmeans(spark: SparkSession, dir: String): DataFrame =
     assignOut(quantized(spark, dir), fitCentroids(spark, dir))
 
+  /** The session table the centroid model persists under by default (the
+    * learned-centroid IVF in [[Similarity]] fits against it once per
+    * source dir).
+    */
+  val KmeansModelTable = "graft_kmeans_model"
+
+  /** Hyperparameter fingerprint for the persisted model — part of the
+    * `graft.src` staleness key, so changing K/Iters/Scale (or the learner
+    * itself, via the version tag) forces a refit instead of silently
+    * reusing centroids trained under different parameters.
+    */
+  private[graft] val KmeansFingerprint = s"kmeans.v1;k=$K;iters=$Iters;scale=$Scale"
+
   /** Persist the fitted model — K rows of (cid, centroid). The FIT/APPLY
     * seam: training corpora are clustered once; later (or streaming)
     * vectors are assigned against the stored centroids without refitting.
+    * Goes through [[graft.core.ModelTables.persistIfStale]]: a re-call
+    * with the same (dir, fingerprint) is a metadata probe, zero fit jobs.
     */
-  def persistCentroids(spark: SparkSession, dir: String, table: String): Unit = {
+  def persistCentroids(spark: SparkSession, dir: String,
+      table: String = KmeansModelTable): Unit = {
     import spark.implicits._
-    fitCentroids(spark, dir).toDF("cid", "c")
-      .write.mode("overwrite").saveAsTable(table)
+    graft.core.ModelTables.persistIfStale(spark, dir, table, KmeansFingerprint) {
+      fitCentroids(spark, dir).toDF("cid", "c")
+        .write.mode("overwrite").saveAsTable(table)
+    }
   }
+
+  /** Load the persisted centroid set — ONE collect job over K rows
+    * (bounded by construction), the model half of every apply path.
+    */
+  private[graft] def loadCentroids(spark: SparkSession, table: String): Seq[(Int, Seq[Long])] =
+    spark.table(table).select("cid", "c").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toSeq
 
   /** Map-only assignment of a vector table against a persisted centroid
     * model: the K model rows collect to the driver (bounded by
     * construction) and travel to the data as the same broadcast-literal
     * the fit uses — identical plan shape, no join, no shuffle.
     */
-  def kmeansAgainst(spark: SparkSession, dir: String, table: String): DataFrame = {
-    val cents = spark.table(table).select("cid", "c").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toSeq
-    assignOut(quantized(spark, dir), cents)
-  }
+  def kmeansAgainst(spark: SparkSession, dir: String, table: String): DataFrame =
+    assignOut(quantized(spark, dir), loadCentroids(spark, table))
 
   /** PER-DIMENSION EMBEDDING STATISTICS — the QA pass run before any
     * embedding-space work: per coordinate, min/max/mean (quantized

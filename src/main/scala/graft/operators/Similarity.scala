@@ -270,11 +270,39 @@ object Similarity {
   def ivfKmeansTopk(spark: SparkSession, dir: String): DataFrame =
     ivfKmeansTopkProbe(spark, dir, NProbe)
 
-  /** [[ivfKmeansTopk]] with an explicit probe width. */
+  /** [[ivfKmeansTopk]] with an explicit probe width. Fit-once/apply-many:
+    * the k-means model is persisted through
+    * [[Clustering.persistCentroids]] (a no-op when already current for
+    * this (dir, hyperparameter) pair) and the search composes over the
+    * stored table — repeated probes (a recall sweep, a query-batch loop)
+    * pay the iterative Lloyd fit exactly once, not per invocation.
+    */
   def ivfKmeansTopkProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    Clustering.persistCentroids(spark, dir)
+    ivfKmeansTopkAgainst(spark, dir, Clustering.KmeansModelTable, nprobe)
+  }
+
+  /** [[ivfKmeansTopk]] against an explicit persisted centroid table — the
+    * apply path ([[ivfTopkAgainst]]'s trained-quantizer sibling): the K
+    * model rows are the ONLY thing pulled to the driver (one collect
+    * job), and the plan is identical to the fit-time search.
+    */
+  def ivfKmeansTopkAgainst(spark: SparkSession, dir: String, table: String,
+      nprobe: Int = NProbe): DataFrame =
+    ivfKmeansTopkWith(spark, dir, nprobe, Clustering.loadCentroids(spark, table))
+
+  /** The fit-inline form — the spec's reference point for fit/apply
+    * equality; production paths go through the persisted model.
+    */
+  private[graft] def ivfKmeansTopkInline(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame =
+    ivfKmeansTopkWith(spark, dir, nprobe, Clustering.fitCentroids(spark, dir))
+
+  /** The shared search plan over an in-hand centroid set. */
+  private def ivfKmeansTopkWith(spark: SparkSession, dir: String, nprobe: Int,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
-    val cents = Clustering.fitCentroids(spark, dir)
     val e = Clustering.withAssignment(
         withNorm(spark, dir).selectExpr("vec_id", "embedding", "nrm", Clustering.quantizeSql),
         cents)

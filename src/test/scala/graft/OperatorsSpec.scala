@@ -985,4 +985,66 @@ class OperatorsSpec extends SparkSpec {
       assert(n === out.select("doc_id").distinct().count().toDouble)
     } finally { out.unpersist(); () }
   }
+
+  test("IVF-kmeans fit/apply: search against persisted centroids equals inline fit, zero fit jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import graft.operators.Clustering
+    val s2 = spark.newSession()
+    Clustering.persistCentroids(s2, Sf0001, "ivfkm_model_t")
+    try {
+      assert(s2.table("ivfkm_model_t").count() === Clustering.K.toLong)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val (applied, jobsBeforeAction) = try {
+        // re-persist must be a metadata no-op (graft.src current), and
+        // building the apply plan pulls ONLY the K-row model — never the
+        // seed + update jobs the iterative Lloyd fit pays
+        Clustering.persistCentroids(s2, Sf0001, "ivfkm_model_t")
+        val df = Similarity.ivfKmeansTopkAgainst(s2, Sf0001, "ivfkm_model_t")
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 30000)
+        val n = jobs.get() // snapshot BEFORE the action runs its own jobs
+        (df.collect(), n)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      assert(jobsBeforeAction <= 2,
+        s"apply-after-persist ran $jobsBeforeAction jobs before any action — the fit leaked in")
+      val inline = Similarity.ivfKmeansTopkInline(s2, Sf0001, Similarity.NProbe).collect()
+      assert(applied.toSeq === inline.toSeq)
+    } finally { s2.sql("DROP TABLE IF EXISTS ivfkm_model_t"); () }
+  }
+
+  test("NB fit/apply: classify against the persisted model equals inline training; re-persist is free") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val s2 = spark.newSession()
+    Pipeline.persistNbModel(s2, Sf0001, "nb_model_t", "nb_base_t")
+    try {
+      assert(s2.table("nb_base_t").count() > 0)
+      assert(s2.table("nb_model_t").count() > 0)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // both tables current -> both persist calls are metadata probes
+        Pipeline.persistNbModel(s2, Sf0001, "nb_model_t", "nb_base_t")
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 30000)
+        assert(jobs.get() <= 1,
+          s"re-persist of a current NB model ran ${jobs.get()} jobs — training leaked in")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val applied = Pipeline.nbClassifyAgainst(s2, Sf0001, "nb_model_t", "nb_base_t").collect()
+      val inline = Pipeline.nbClassifyInline(s2, Sf0001).collect()
+      assert(applied.toSeq === inline.toSeq)
+      // the apply plan scores from the STORED weight table, not a
+      // training subtree: no aggregate over (token, cls) counts appears
+      val plan = Pipeline.nbClassifyAgainst(s2, Sf0001, "nb_model_t", "nb_base_t")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("nb_model_t"), s"apply plan does not read the model table:\n${plan.take(800)}")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS nb_model_t")
+      s2.sql("DROP TABLE IF EXISTS nb_base_t"); ()
+    }
+  }
 }

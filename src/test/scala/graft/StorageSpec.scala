@@ -683,4 +683,25 @@ class StorageSpec extends SparkSpec {
       s2.sql("DROP TABLE IF EXISTS corpus_wins_a"); ()
     }
   }
+
+  test("ModelTables: a dir containing '#' cannot collide with a different (dir, params) pair") {
+    import graft.core.ModelTables
+    val s2 = spark.newSession()
+    var builds = 0
+    def build(): Unit = { builds += 1; s2.range(1).write.mode("overwrite").saveAsTable("mt_amb_t") }
+    // "d#p" with no params and "d" with params "p" joined to the same
+    // string under the old dir+'#'+params encoding — the second persist
+    // would spuriously skip and serve a model trained on the wrong source
+    ModelTables.persistIfStale(s2, "d#p", "mt_amb_t", "")(build())
+    try {
+      assert(builds === 1)
+      assert(ModelTables.isCurrent(s2, "mt_amb_t", "d#p", ""))
+      assert(!ModelTables.isCurrent(s2, "mt_amb_t", "d", "p"))
+      ModelTables.persistIfStale(s2, "d", "mt_amb_t", "p")(build())
+      assert(builds === 2, "colliding key skipped the rebuild")
+      // and the no-collision skip still works
+      ModelTables.persistIfStale(s2, "d", "mt_amb_t", "p")(build())
+      assert(builds === 2, "current model was rebuilt")
+    } finally { s2.sql("DROP TABLE IF EXISTS mt_amb_t"); () }
+  }
 }
