@@ -13,6 +13,14 @@ object QueryProbe {
     val spark = graft.core.EngineSession.create("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
+    // optional JIT warmup against a SMALL dir (sf0.01) so run 1 at the
+    // probe dir measures fit+score, not codegen/C2 compilation: the
+    // trained-model families key their persisted tables on the dir, so a
+    // warm-dir run fits ITS dir's model and leaves the probe dir cold
+    sys.env.get("SPARK_GRAFT_WARM_DIR").foreach { wd =>
+      fn(spark, wd).write.format("noop").mode("overwrite").save()
+      println(s"[probe] $name warmed on $wd")
+    }
     for (i <- 1 to n) {
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()

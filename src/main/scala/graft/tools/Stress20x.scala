@@ -61,7 +61,26 @@ object Stress20x {
       .drop("rep")
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"20x written to $out: docs=${nDocs * K} events=${nEv * K} vecs=${nEmb * K}")
+    // the fact-fact join pair, for rel_bucketed_join: BOTH sides shift
+    // their join key by the same stride (actual key range, not row count —
+    // lineitem repeats orderkeys) so every replica's lineitem still joins
+    // its own replica's orders and the per-key fanout profile is preserved
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val nOrd = ord.count()
+    val keyStride = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    ord.crossJoin(broadcast(reps))
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * keyStride)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val nLi = li.count()
+    li.crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * keyStride)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    println(s"20x written to $out: docs=${nDocs * K} events=${nEv * K} " +
+      s"vecs=${nEmb * K} orders=${nOrd * K} lineitem=${nLi * K}")
     spark.stop()
   }
 }
