@@ -33,7 +33,7 @@ object Clustering {
     * broadcast-to-every-row form: assignment is then a map-only
     * scan (argmin over K structs per row), with NO shuffle and no join.
     */
-  private def centroidExpr(cents: Seq[(Int, Seq[Long])]): String =
+  private[graft] def centroidExpr(cents: Seq[(Int, Seq[Long])]): String =
     cents.sortBy(_._1).map { case (cid, arr) =>
       s"named_struct('cid', $cid, 'c', array(${arr.mkString("L, ")}L))"
     }.mkString("array(", ", ", ")")
@@ -85,12 +85,20 @@ object Clustering {
   /** The Lloyd FIT: seeds + [[Iters]]-1 update rounds, returning the
     * final centroid set (the model — K×dim longs).
     */
-  private[graft] def fitCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Long])] = {
-    val qDF = quantized(spark, dir)
-    // seed draw: distributed TakeOrdered of (md5(id), id) — K rows collected
+  private[graft] def fitCentroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Long])] =
+    fitCentroidsOn(quantized(spark, dir), K)
+
+  /** The Lloyd fit over ANY (vec_id, q) frame with an explicit cluster
+    * count — the [[fitCentroids]] body, generalized so product
+    * quantization ([[Similarity]]) can fit one codebook per subvector
+    * slice with the same seeds/update/tie-break contract (and therefore
+    * the same unrolled oracle, via [[lloydCtes]]).
+    */
+  private[graft] def fitCentroidsOn(qDF: DataFrame, k: Int): Seq[(Int, Seq[Long])] = {
+    // seed draw: distributed TakeOrdered of (md5(id), id) — k rows collected
     val seedRows = qDF
       .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h", "vec_id").limit(K)
+      .orderBy("h", "vec_id").limit(k)
       .select("q").collect()
     var cents: Seq[(Int, Seq[Long])] = seedRows.zipWithIndex.map { case (r, i) =>
       i -> r.getSeq[Long](0)
