@@ -3,26 +3,58 @@ package graft.core
 import org.apache.spark.sql.SparkSession
 
 /** The FIT/APPLY persistence discipline shared by the trained-model
-  * families (BPE merges, Naive-Bayes weights, k-means centroids; the
-  * bucketed layouts in Relational/Similarity follow the same contract
-  * with their own writers): a model table is keyed on its source dir AND
-  * a model fingerprint via the `graft.src` table property, rebuilt only
-  * when stale, and re-used by every later apply — training cost is paid
-  * once per (source, model) pair, which is the entire point at 100 TB.
+  * families (BPE merges, Naive-Bayes weights, k-means centroids, PQ
+  * codebooks; the bucketed layouts in Relational/Similarity follow the
+  * same contract with their own writers): a model table is keyed on its
+  * source dir AND a model fingerprint via the `graft.src` table property,
+  * rebuilt only when stale, and re-used by every later apply — training
+  * cost is paid once per (source, model) pair, which is the entire point
+  * at 100 TB.
   */
 object ModelTables {
 
-  /** The stored staleness key: source dir plus the model fingerprint
-    * (hyperparameters + learner version). Changing either against an
-    * existing warehouse forces a rebuild — a param-only change would
-    * otherwise silently reuse the stale table until the oracle gate
-    * caught it. The dir is length-prefixed so the encoding is injective:
-    * a bare `dir#params` join would let a dir literally containing '#'
-    * collide with a different (dir, params) pair and spuriously report
-    * the table as current.
+  /** The stored staleness key: source dir, the model fingerprint
+    * (hyperparameters + learner version), and a CONTENT fingerprint of
+    * the source dir. Changing any of the three against an existing
+    * warehouse forces a rebuild. Dir and params are length-prefixed so
+    * the encoding is injective — a bare `dir#params` join would let a
+    * dir literally containing '#' (or params containing the fingerprint
+    * separator) collide with a different (dir, params) pair and
+    * spuriously report the table as current.
     */
-  private def srcKey(dir: String, params: String): String =
-    s"${dir.length}:$dir#$params"
+  private def srcKey(spark: SparkSession, dir: String, params: String): String =
+    s"${dir.length}:$dir#${params.length}:$params@${contentFingerprint(spark, dir)}"
+
+  /** Cheap content fingerprint of the source dir: md5 over the sorted
+    * recursive listing of (path, length, mtime). Dir identity is NOT
+    * data identity — a dir rewritten in place (Stress20x regenerates
+    * /tmp/graft20x between runs) must invalidate models trained on the
+    * old bytes, or a later "cold" run silently serves centroids/weights
+    * fit on data that no longer exists. O(files) metadata calls, no data
+    * read; on a real warehouse the table format's snapshot id plays this
+    * role, and the filesystem's (name, size, mtime) is the stand-in —
+    * Spark's overwrite writes fresh part-file names, so any rewrite
+    * changes the digest even within mtime granularity. A missing or
+    * unreadable dir fingerprints as a constant (synthetic staleness-key
+    * tests never resolve to a filesystem path).
+    */
+  private def contentFingerprint(spark: SparkSession, dir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) "absent"
+      else {
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          entries += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+      }
+    } catch { case _: Exception => "unreadable" }
 
   /** Managed tables live at <warehouse>/<table>; that equation only holds
     * for simple lowercase names in the default database, so the writers
@@ -32,36 +64,61 @@ object ModelTables {
     require(table.matches("[a-z][a-z0-9_]*"),
       s"model table must be a simple lowercase name in the default database, got '$table'")
 
-  /** True when `table` exists and was built from `dir` with the same
-    * model fingerprint. The fixture dirs are immutable, so dir identity
-    * == data identity.
+  private def isCurrentKey(spark: SparkSession, table: String, key: String): Boolean =
+    spark.catalog.tableExists(table) &&
+      (try spark.sql(s"SHOW TBLPROPERTIES $table ('graft.src')")
+        .collect().headOption.exists(_.getString(1) == key)
+      catch { case _: Exception => false })
+
+  /** True when `table` exists and was built from `dir`'s CURRENT content
+    * with the same model fingerprint.
     */
   def isCurrent(spark: SparkSession, table: String, dir: String,
       params: String = ""): Boolean =
-    spark.catalog.tableExists(table) &&
-      (try spark.sql(s"SHOW TBLPROPERTIES $table ('graft.src')")
-        .collect().headOption.exists(_.getString(1) == srcKey(dir, params))
-      catch { case _: Exception => false })
+    isCurrentKey(spark, table, srcKey(spark, dir, params))
 
-  /** Run `write` (which must saveAsTable `table`) unless the stored model
-    * is already current, then stamp the source property. Clears BOTH
-    * catalog layers first: a fresh session's in-memory catalog doesn't
-    * know a previous session's table, and saveAsTable refuses its
-    * orphaned warehouse dir (LOCATION_ALREADY_EXISTS).
+  /** Drop `table` from BOTH catalog layers: a fresh session's in-memory
+    * catalog doesn't know a previous session's table, and saveAsTable
+    * refuses its orphaned warehouse dir (LOCATION_ALREADY_EXISTS).
     */
-  def persistIfStale(spark: SparkSession, dir: String, table: String,
-      params: String = "")(write: => Unit): Unit = {
-    requireSimpleName(table)
-    if (isCurrent(spark, table, dir, params)) return
+  private def dropBothLayers(spark: SparkSession, table: String): Unit = {
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     fs.delete(new org.apache.hadoop.fs.Path(wh, table), true)
-    write
+    ()
+  }
+
+  private def stamp(spark: SparkSession, table: String, key: String): Unit = {
     // single quotes in dir would break the literal; isCurrent compares the
     // RAW key, so escaping only the write side is safe
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-      s"('graft.src' = '${srcKey(dir, params).replace("'", "''")}')")
+      s"('graft.src' = '${key.replace("'", "''")}')")
     ()
+  }
+
+  /** Run `write` (which must saveAsTable `table`) unless the stored model
+    * is already current, then stamp the source property.
+    */
+  def persistIfStale(spark: SparkSession, dir: String, table: String,
+      params: String = "")(write: => Unit): Unit =
+    persistGroupIfStale(spark, dir, params)(table -> (() => write))
+
+  /** The multi-table form for models whose halves must encode ONE corpus
+    * snapshot (NB weights + base terms): if ANY listed table is stale,
+    * ALL are dropped and rebuilt, and stamps are applied only after
+    * every write succeeded — a failure mid-group leaves every table
+    * unstamped, so the next call rebuilds the whole group instead of
+    * pairing fresh weights with stale statistics. The staleness key
+    * (including the dir listing) is computed once for the group.
+    */
+  def persistGroupIfStale(spark: SparkSession, dir: String, params: String = "")
+      (writes: (String, () => Unit)*): Unit = {
+    writes.foreach { case (table, _) => requireSimpleName(table) }
+    val key = srcKey(spark, dir, params)
+    if (writes.forall { case (table, _) => isCurrentKey(spark, table, key) }) return
+    writes.foreach { case (table, _) => dropBothLayers(spark, table) }
+    writes.foreach { case (_, write) => write() }
+    writes.foreach { case (table, _) => stamp(spark, table, key) }
   }
 }

@@ -90,9 +90,10 @@ object Clustering {
 
   /** The Lloyd fit over ANY (vec_id, q) frame with an explicit cluster
     * count — the [[fitCentroids]] body, generalized so product
-    * quantization ([[Similarity]]) can fit one codebook per subvector
-    * slice with the same seeds/update/tie-break contract (and therefore
-    * the same unrolled oracle, via [[lloydCtes]]).
+    * quantization ([[Similarity.pqTopk]]) can fit one codebook per
+    * subvector slice with the same seeds/update/tie-break contract (and
+    * therefore the same unrolled oracle, via [[kmeansOracleCtes]] /
+    * [[lloydCtes]]).
     */
   private[graft] def fitCentroidsOn(qDF: DataFrame, k: Int): Seq[(Int, Seq[Long])] = {
     // seed draw: distributed TakeOrdered of (md5(id), id) — k rows collected

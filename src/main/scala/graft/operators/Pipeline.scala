@@ -606,14 +606,15 @@ object Pipeline {
     * zero Spark jobs.
     */
   def persistNbModel(spark: SparkSession, dir: String,
-      table: String = NbModelTable, baseTable: String = NbBaseTable): Unit = {
-    graft.core.ModelTables.persistIfStale(spark, dir, table, NbFingerprint) {
-      nbModelDf(spark, dir).write.mode("overwrite").saveAsTable(table)
-    }
-    graft.core.ModelTables.persistIfStale(spark, dir, baseTable, NbFingerprint) {
-      nbBaseDf(spark, dir).write.mode("overwrite").saveAsTable(baseTable)
-    }
-  }
+      table: String = NbModelTable, baseTable: String = NbBaseTable): Unit =
+    // one GROUP persist, not two independent calls: the base table bakes
+    // in fit-time corpus statistics (vocab size, class totals) that must
+    // describe the same snapshot as the weights — stamping them
+    // separately would let a failure between the two leave a current
+    // model paired with a stale base on the next rebuild
+    graft.core.ModelTables.persistGroupIfStale(spark, dir, NbFingerprint)(
+      table -> (() => nbModelDf(spark, dir).write.mode("overwrite").saveAsTable(table)),
+      baseTable -> (() => nbBaseDf(spark, dir).write.mode("overwrite").saveAsTable(baseTable)))
 
   /** Score a corpus against a PERSISTED model: the scoring joins read
     * the stored weight table in place (sharded by the token shuffle,

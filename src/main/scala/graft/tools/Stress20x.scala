@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** 20x scale probe for the documents/events/embeddings operators (dedup,
   * text, similarity, training-pipeline, taxi/event queries): replicates
-  * those three sf0.1 tables 20-fold into /tmp/graft20x (ids offset per
-  * replica, event times shifted so the stream stays dense, not 20 copies
-  * of the same hour). Queries over the TPC-H star tables (lineitem etc.)
-  * are NOT covered — point SPARK_GRAFT_ONLY at the corpus/event queries.
-  * Superlinear growth between sf0.1 and 20x is the smoke we're hunting: a
-  * query that is 20x data should be ~20x cost, never 400x.
+  * those sf0.1 tables 20-fold into /tmp/graft20x (ids offset per replica,
+  * event times shifted so the stream stays dense, not 20 copies of the
+  * same hour). The fact-fact pair orders/lineitem is ALSO replicated
+  * (join keys strided by the actual key range, so each replica's lineitem
+  * joins its own replica's orders) for rel_bucketed_join; the remaining
+  * star dims (customer/part/supplier/...) are out of scope. Superlinear
+  * growth between sf0.1 and 20x is the smoke we're hunting: a query that
+  * is 20x data should be ~20x cost, never 400x.
   */
 object Stress20x {
   val K = 20

@@ -704,4 +704,64 @@ class StorageSpec extends SparkSpec {
       assert(builds === 2, "current model was rebuilt")
     } finally { s2.sql("DROP TABLE IF EXISTS mt_amb_t"); () }
   }
+
+  test("ModelTables: rewriting the source dir in place invalidates the persisted model") {
+    import graft.core.ModelTables
+    val s2 = spark.newSession()
+    val src = Files.createTempDirectory("mt_src").toString
+    var builds = 0
+    def build(): Unit = { builds += 1; s2.range(1).write.mode("overwrite").saveAsTable("mt_fp_t") }
+    s2.range(10).write.mode("overwrite").parquet(src)
+    ModelTables.persistIfStale(s2, src, "mt_fp_t", "p")(build())
+    try {
+      assert(builds === 1)
+      // same content -> still current, no rebuild
+      ModelTables.persistIfStale(s2, src, "mt_fp_t", "p")(build())
+      assert(builds === 1, "unchanged dir triggered a rebuild")
+      // overwrite the SAME path with different data (the Stress20x
+      // pattern) — dir identity is unchanged, content is not; the stale
+      // model must not be served
+      s2.range(20).write.mode("overwrite").parquet(src)
+      assert(!ModelTables.isCurrent(s2, "mt_fp_t", src, "p"),
+        "rewritten dir still reported the old model as current")
+      ModelTables.persistIfStale(s2, src, "mt_fp_t", "p")(build())
+      assert(builds === 2, "rewritten dir did not force a refit")
+    } finally { s2.sql("DROP TABLE IF EXISTS mt_fp_t"); () }
+  }
+
+  test("ModelTables: a failure between group writes leaves the whole group stale") {
+    import graft.core.ModelTables
+    val s2 = spark.newSession()
+    var aBuilds = 0; var bBuilds = 0
+    def buildA(): Unit = { aBuilds += 1; s2.range(1).write.mode("overwrite").saveAsTable("mt_grp_a") }
+    def buildB(): Unit = { bBuilds += 1; s2.range(2).write.mode("overwrite").saveAsTable("mt_grp_b") }
+    // first attempt dies after table A is written but before B
+    intercept[RuntimeException] {
+      ModelTables.persistGroupIfStale(s2, "d", "p")(
+        "mt_grp_a" -> (() => buildA()),
+        "mt_grp_b" -> (() => { sys.error("sink died") }))
+    }
+    try {
+      assert(aBuilds === 1)
+      // A exists but is UNSTAMPED — the half-written group must read as
+      // stale, not as a current model paired with a missing base
+      assert(!ModelTables.isCurrent(s2, "mt_grp_a", "d", "p"),
+        "half-written group member stamped as current")
+      // retry rebuilds BOTH members and stamps both
+      ModelTables.persistGroupIfStale(s2, "d", "p")(
+        "mt_grp_a" -> (() => buildA()),
+        "mt_grp_b" -> (() => buildB()))
+      assert(aBuilds === 2 && bBuilds === 1, s"retry built ($aBuilds, $bBuilds), expected (2, 1)")
+      assert(ModelTables.isCurrent(s2, "mt_grp_a", "d", "p"))
+      assert(ModelTables.isCurrent(s2, "mt_grp_b", "d", "p"))
+      // and a current group is a pure metadata probe
+      ModelTables.persistGroupIfStale(s2, "d", "p")(
+        "mt_grp_a" -> (() => buildA()),
+        "mt_grp_b" -> (() => buildB()))
+      assert(aBuilds === 2 && bBuilds === 1, "current group was rebuilt")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS mt_grp_a")
+      s2.sql("DROP TABLE IF EXISTS mt_grp_b"); ()
+    }
+  }
 }
