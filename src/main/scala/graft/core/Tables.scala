@@ -17,18 +17,47 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright; read nanos as long and truncate to a
-    * microsecond TimestampType column (floor, matching DuckDB's ns->us/ms
-    * truncation of the same file).
+  /** events.parquet's `ts` physical encoding has drifted across testdata
+    * generations (INT64 TIMESTAMP(NANOS) originally; plain timestamp[us]
+    * since Aug 2026), so branch on the schema Spark actually reads instead
+    * of assuming one encoding:
+    *   - LongType (nanosAsLong fallback for TIMESTAMP(NANOS), which the
+    *     reader otherwise rejects): truncate ns -> us with integer `div`,
+    *     not `/` — ns-since-epoch (~1.7e18) exceeds double's 2^53
+    *     exact-integer range, so float division would corrupt low digits.
+    *     Floor matches DuckDB's ns->us truncation of the same file.
+    *   - TimestampNTZType (timestamp[us], isAdjustedToUTC=false): cast to
+    *     TimestampType; with spark.sql.session.timeZone=UTC (EngineSession)
+    *     the wall clock is reinterpreted as a UTC instant, matching
+    *     DuckDB's naive read.
+    *   - TimestampType (timestamp[us] adjusted to UTC): pass through.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer `div`, not `/`: ns-since-epoch (~1.7e18) exceeds double's 2^53
-    // exact-integer range, so float division would corrupt low-order digits.
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val path = s"$dir/events.parquet"
+    val df =
+      try spark.read.parquet(path) // current encodings read clean, conf untouched
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+          // Legacy TIMESTAMP(NANOS) file. The conf must be a *session* conf:
+          // executor-side footer conversion re-reads it at scan time, after
+          // this method returns (the DataFrame is lazy), so a scoped
+          // set/restore or a per-read option cannot work. Leaving it set is
+          // benign — it only changes how TIMESTAMP(NANOS) columns are read,
+          // and no other testdata table has one.
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"$path: unsupported physical type for ts: $other " +
+          "(expected INT64 TIMESTAMP(NANOS), timestamp[us] NTZ, or timestamp[us] UTC)")
+    }
   }
 
   /** Register every table of `dir` as a temp view (idempotent, lazy scans). */

@@ -1,0 +1,57 @@
+package graft
+
+import graft.core.Tables
+import org.apache.spark.sql.types.TimestampType
+
+/** Regression guard for the events.parquet physical-encoding drift
+  * (round 12: testdata regenerated from INT64 TIMESTAMP(NANOS) to plain
+  * timestamp[us], which the old unconditional nanos workaround turned into
+  * an analysis error on every events-derived query). `Tables.events` must
+  * read BOTH encodings to the same TimestampType column with identical
+  * instants — fixtures under src/test/resources/graft/testdata hold one
+  * file per encoding with the same logical rows.
+  */
+class TablesEncodingSpec extends SparkSpec {
+
+  private def fixture(name: String): String = {
+    val url = getClass.getResource(s"/graft/testdata/$name")
+    assert(url != null, s"missing fixture dir $name")
+    url.getPath
+  }
+
+  test("events loader reads plain timestamp[us] (current testdata encoding)") {
+    val df = Tables.events(spark, fixture("enc_us"))
+    assert(df.schema("ts").dataType === TimestampType)
+    val rows = df.orderBy("event_id").collect()
+    assert(rows.length === 5)
+    // 1700000000000000 us = 2023-11-14T22:13:20Z; session TZ is UTC.
+    assert(rows.head.getTimestamp(rows.head.fieldIndex("ts")).toInstant.toString
+      === "2023-11-14T22:13:20Z")
+  }
+
+  test("events loader reads legacy INT64 TIMESTAMP(NANOS) via div-1000 path") {
+    val df = Tables.events(spark, fixture("enc_nanos"))
+    assert(df.schema("ts").dataType === TimestampType)
+    assert(df.count() === 5)
+  }
+
+  test("both encodings yield identical instants (ns fixture has +123ns, floored away)") {
+    val us = Tables.events(spark, fixture("enc_us"))
+      .orderBy("event_id").collect().map(_.getTimestamp(0).getTime)
+    val ns = Tables.events(spark, fixture("enc_nanos"))
+      .orderBy("event_id").collect().map(_.getTimestamp(0).getTime)
+    assert(us.toSeq === ns.toSeq)
+  }
+
+  test("reading current encoding never touches the nanosAsLong session conf") {
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    Tables.events(spark, fixture("enc_us")).count()
+    assert(!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+  }
+
+  test("live testdata events reads clean at sf0.001") {
+    val df = Tables.events(spark, Sf0001)
+    assert(df.schema("ts").dataType === TimestampType)
+    assert(df.count() > 0)
+  }
+}
