@@ -30,31 +30,62 @@ object ModelTables {
     * data identity — a dir rewritten in place (Stress20x regenerates
     * /tmp/graft20x between runs) must invalidate models trained on the
     * old bytes, or a later "cold" run silently serves centroids/weights
-    * fit on data that no longer exists. O(files) metadata calls, no data
-    * read; on a real warehouse the table format's snapshot id plays this
-    * role, and the filesystem's (name, size, mtime) is the stand-in —
-    * Spark's overwrite writes fresh part-file names, so any rewrite
-    * changes the digest even within mtime granularity. A missing or
-    * unreadable dir fingerprints as a constant (synthetic staleness-key
-    * tests never resolve to a filesystem path).
+    * fit on data that no longer exists. No data read; on a real
+    * warehouse the table format's snapshot id plays this role, and the
+    * filesystem's (name, size, mtime) is the stand-in — Spark's
+    * overwrite writes fresh part-file names, so any rewrite changes the
+    * digest even within mtime granularity (see the SPARK-WRITTEN DIRS
+    * note on [[isCurrent]]).
+    *
+    * Cost: the recursive walk is memoized per dir, guarded by a
+    * NON-recursive listing of the dir root — a Spark rewrite (of the
+    * dir itself or any partition subdir) changes root entry names or
+    * mtimes, so the guard misses and the walk reruns; an unchanged dir
+    * re-probes with one root listing instead of O(files) metadata
+    * calls, which is what every apply-path staleness check does in
+    * steady state.
+    *
+    * A MISSING dir fingerprints as a constant (synthetic staleness-key
+    * tests use keys like "d#p" that never resolve to a path). An
+    * UNREADABLE dir (listing threw) fingerprints as a UNIQUE sentinel:
+    * it never equals any stored or future key, so a model stamped while
+    * its source was unlistable is never served as current — the safe
+    * failure mode is an always-rebuild, not a silently-stale model.
     */
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val unreadableSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def md5(entries: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
   private def contentFingerprint(spark: SparkSession, dir: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) "absent"
       else {
-        val it = fs.listFiles(p, true)
-        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val f = it.next()
-          entries += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+        val rootGuard = md5(fs.listStatus(p).toSeq.map(s =>
+          s"${s.getPath}:${s.getLen}:${s.getModificationTime}"))
+        val cached = fpMemo.get(dir)
+        if (cached != null && cached._1 == rootGuard) cached._2
+        else {
+          val it = fs.listFiles(p, true)
+          val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val f = it.next()
+            entries += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
+          }
+          val fp = md5(entries.toSeq)
+          fpMemo.put(dir, (rootGuard, fp))
+          fp
         }
-        val md = java.security.MessageDigest.getInstance("MD5")
-        md.digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString
       }
-    } catch { case _: Exception => "unreadable" }
+    } catch {
+      case _: Exception => s"unreadable#${unreadableSeq.incrementAndGet()}"
+    }
 
   /** Managed tables live at <warehouse>/<table>; that equation only holds
     * for simple lowercase names in the default database, so the writers
@@ -72,6 +103,14 @@ object ModelTables {
 
   /** True when `table` exists and was built from `dir`'s CURRENT content
     * with the same model fingerprint.
+    *
+    * SPARK-WRITTEN DIRS ONLY: content currency is judged from the
+    * (path, length, mtime) listing, which reliably detects Spark-style
+    * rewrites (fresh part-file names every overwrite). A non-Spark
+    * in-place rewrite that preserves file names and sizes within mtime
+    * granularity (`cp -p`, same-size byte edits) is NOT detected — if a
+    * source dir is maintained by such a tool, bump `params` on rewrite
+    * or use a snapshot-id-bearing table format instead.
     */
   def isCurrent(spark: SparkSession, table: String, dir: String,
       params: String = ""): Boolean =
@@ -98,7 +137,8 @@ object ModelTables {
   }
 
   /** Run `write` (which must saveAsTable `table`) unless the stored model
-    * is already current, then stamp the source property.
+    * is already current, then stamp the source property. Same
+    * SPARK-WRITTEN DIRS ONLY caveat as [[isCurrent]].
     */
   def persistIfStale(spark: SparkSession, dir: String, table: String,
       params: String = "")(write: => Unit): Unit =
@@ -110,7 +150,8 @@ object ModelTables {
     * every write succeeded — a failure mid-group leaves every table
     * unstamped, so the next call rebuilds the whole group instead of
     * pairing fresh weights with stale statistics. The staleness key
-    * (including the dir listing) is computed once for the group.
+    * (including the dir listing) is computed once for the group. Same
+    * SPARK-WRITTEN DIRS ONLY caveat as [[isCurrent]].
     */
   def persistGroupIfStale(spark: SparkSession, dir: String, params: String = "")
       (writes: (String, () => Unit)*): Unit = {

@@ -220,8 +220,15 @@ object Clustering {
     * [[graft.operators.Similarity]]'s IVF-over-kmeans oracle can build
     * its probe on the identical model (c3) and lists (a3).
     */
-  private[graft] val kmeansOracleCtes: String = {
-    val dim = 64
+  /** The unrolled-Lloyd CTE chain over ANY (vec_id, q) CTE `src`, with
+    * every generated CTE name prefixed by `pfx`: {pfx}seeds, {pfx}a1,
+    * {pfx}c2, {pfx}a2, {pfx}c3, {pfx}a3 — exactly [[Iters]]=3 rounds,
+    * matching [[fitCentroidsOn]] (c3 is the returned model, a3 the
+    * assignment against it). Parameterized so product quantization
+    * ([[Similarity]]) can replay one independent fit per subvector slice
+    * in a single oracle query.
+    */
+  private[graft] def lloydCtes(src: String, pfx: String, dim: Int, k: Int): String = {
     // one assignment CTE against a centroid CTE named $c, producing (vec_id, cluster_id, sq_dist)
     def assignSql(c: String): String =
       s"""SELECT vec_id, cid AS cluster_id, dist AS sq_dist FROM (
@@ -231,7 +238,7 @@ object Clustering {
          |    row_number() OVER (PARTITION BY a.vec_id
          |      ORDER BY CAST(list_sum(list_transform(list_zip(a.q, c.c),
          |        x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT), c.cid) AS rn
-         |  FROM q a CROSS JOIN $c c
+         |  FROM $src a CROSS JOIN $c c
          |) WHERE rn = 1""".stripMargin
     def updateSql(assignCte: String, prevCte: String): String =
       s"""SELECT p.cid, coalesce(u.c, p.c) AS c
@@ -239,25 +246,28 @@ object Clustering {
          |  SELECT cluster_id AS cid, list(v ORDER BY pos) AS c FROM (
          |    SELECT a.cluster_id, t.i AS pos,
          |      CAST(floor(CAST(sum(q.q[t.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-         |    FROM $assignCte a JOIN q USING (vec_id), range(1, ${dim + 1}) t(i)
+         |    FROM $assignCte a JOIN $src q USING (vec_id), range(1, ${dim + 1}) t(i)
          |    GROUP BY a.cluster_id, t.i
          |  ) GROUP BY cluster_id
          |) u ON u.cid = p.cid""".stripMargin
+    s"""${pfx}seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid, q AS c
+       |  FROM (SELECT vec_id, q FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)
+       |),
+       |${pfx}a1 AS (${assignSql(s"${pfx}seeds")}),
+       |${pfx}c2 AS (${updateSql(s"${pfx}a1", s"${pfx}seeds")}),
+       |${pfx}a2 AS (${assignSql(s"${pfx}c2")}),
+       |${pfx}c3 AS (${updateSql(s"${pfx}a2", s"${pfx}c2")}),
+       |${pfx}a3 AS (${assignSql(s"${pfx}c3")})""".stripMargin
+  }
+
+  private[graft] val kmeansOracleCtes: String =
     s"""q AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
        |  FROM embeddings
        |),
-       |seeds AS (
-       |  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid, q AS c
-       |  FROM (SELECT vec_id, q FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $K)
-       |),
-       |a1 AS (${assignSql("seeds")}),
-       |c2 AS (${updateSql("a1", "seeds")}),
-       |a2 AS (${assignSql("c2")}),
-       |c3 AS (${updateSql("a2", "c2")}),
-       |a3 AS (${assignSql("c3")})""".stripMargin
-  }
+       |${lloydCtes("q", "", 64, K)}""".stripMargin
 
   val kmeansOracle: String =
     s"""WITH $kmeansOracleCtes

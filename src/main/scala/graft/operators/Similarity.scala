@@ -366,6 +366,265 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   // -------------------------------------------------------------------------
+  // IVF-PQ (residual product quantization — the compressed 100 TB layout)
+  // -------------------------------------------------------------------------
+
+  /** Slices per vector, dims per slice, codewords per slice codebook.
+    * 64-dim vectors → 4 slices × 16 dims, 8 codewords each: a vector's
+    * code is 4 small ints (vs 64 floats) — the memory/IO compression
+    * that makes billion-scale ANN fit in RAM (FAISS IVFPQ layout:
+    * coarse quantizer + per-slice residual codebooks + ADC scoring).
+    */
+  val PqM = 4
+  val PqSliceDim = 16
+  val PqKc = 8
+
+  /** ADC candidate-pool width for the exact re-rank stage (the FAISS
+    * `IndexRefine` discipline): ADC over the compressed codes nominates
+    * PqRefine candidates per query, then ONLY those rows' original
+    * vectors are read for exact scoring. 5× the final k is the standard
+    * refine factor; the fixture's uniform-random embeddings are
+    * ANN-adversarial (neighbor gaps are tiny fluctuations around the
+    * concentrated pairwise distance, so 12-bit ADC alone ranks poorly —
+    * measured recall@10 0.13 without refine, 0.39 with, vs 0.60
+    * reachable within the probed lists).
+    */
+  val PqRefine = 5 * TopK
+
+  val PqModelTable = "graft_pq_model"
+
+  /** The PQ staleness fingerprint embeds the COARSE model's fingerprint:
+    * codebooks are fit on residuals against the coarse centroids, so a
+    * coarse hyperparameter change invalidates the codebooks too.
+    */
+  private[graft] val PqFingerprint =
+    s"pq.v1;m=$PqM;kc=$PqKc;coarse=${Clustering.KmeansFingerprint}"
+
+  /** Quantized corpus + coarse list id + integer residual r = q - c_list.
+    * MAP-ONLY: the coarse model travels as a K-struct literal (no join,
+    * no shuffle); residuals stay in exact integer space so every later
+    * slice fit / encode / ADC distance is oracle-replayable.
+    */
+  private def pqResiduals(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Long])]): DataFrame =
+    Clustering.withAssignment(
+        emb(spark, dir).selectExpr("vec_id", Clustering.quantizeSql), coarse)
+      .withColumn("r", expr(
+        s"""zip_with(q, element_at(${Clustering.centroidExpr(coarse)},
+           |  best.cid + 1).c, (a, b) -> a - b)""".stripMargin))
+      .selectExpr("vec_id", "q", "best.cid AS cluster_id", "r")
+
+  /** FIT: one independent integer-Lloyd per slice over the residual
+    * slices — same seeds/update/tie-break contract as the coarse fit
+    * ([[Clustering.fitCentroidsOn]]), so the whole model is replayable
+    * in SQL. Returns (slice, cid, codeword). Driver traffic per slice is
+    * the same bounded K×dim the coarse fit pays.
+    */
+  private[graft] def fitPqCodebooks(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Long])]): Seq[(Int, Int, Seq[Long])] = {
+    val res = pqResiduals(spark, dir, coarse)
+    (0 until PqM).flatMap { m =>
+      val slice = res.selectExpr("vec_id",
+        s"slice(r, ${m * PqSliceDim + 1}, $PqSliceDim) AS q")
+      Clustering.fitCentroidsOn(slice, PqKc).map { case (cid, c) => (m, cid, c) }
+    }
+  }
+
+  /** Persist the PQ model (PqM×PqKc rows of (m, cid, c)) through the
+    * fit/apply discipline; gates the coarse centroid model first, so one
+    * call stands up the full IVF-PQ index. Re-calls against a current
+    * model are metadata probes — zero fit jobs.
+    */
+  def persistPqModel(spark: SparkSession, dir: String,
+      table: String = PqModelTable): Unit = {
+    Clustering.persistCentroids(spark, dir)
+    import spark.implicits._
+    graft.core.ModelTables.persistIfStale(spark, dir, table, PqFingerprint) {
+      val coarse = Clustering.loadCentroids(spark, Clustering.KmeansModelTable)
+      fitPqCodebooks(spark, dir, coarse).toDF("m", "cid", "c")
+        .write.mode("overwrite").saveAsTable(table)
+    }
+  }
+
+  private def loadPqBooks(spark: SparkSession, table: String): Seq[Seq[(Int, Seq[Long])]] = {
+    val rows = spark.table(table).select("m", "cid", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq))
+    (0 until PqM).map(m => rows.filter(_._1 == m).map(t => t._2 -> t._3).toSeq)
+  }
+
+  /** ANN search over the IVF-PQ index: fit-once (gated persist), then
+    * apply against the stored models.
+    */
+  def pqTopk(spark: SparkSession, dir: String): DataFrame = {
+    persistPqModel(spark, dir)
+    pqTopkAgainst(spark, dir, Clustering.KmeansModelTable, PqModelTable, NProbe)
+  }
+
+  /** The APPLY path. Scale shape (the reason PQ exists at 100 TB):
+    *   - corpus pass is MAP-ONLY — coarse centroids and all PqM codebooks
+    *     travel as literals; each row gets its coarse list id, per-slice
+    *     codes (argmin over PqKc structs), and the reconstructed vector
+    *     rec = c_list + concat(codewords). At scale only (vec_id,
+    *     cluster_id, code) persists — 4 small ints per vector instead of
+    *     64 floats, which is what lets the index live in executor RAM;
+    *   - queries (the small side) rank the K-struct coarse literal,
+    *     explode to nprobe rows, and are BROADCAST to the corpus — the
+    *     corpus never shuffles;
+    *   - ADC scoring is exact integer L2 between the query's quantized
+    *     vector and the reconstruction (algebraically identical to
+    *     per-slice lookup-table ADC, since rec is sliced from the same
+    *     codewords), bounded to a PqRefine-wide candidate pool per query;
+    *   - exact re-rank (FAISS IndexRefine): only the pool's original
+    *     vectors are scored with exact integer L2 — at 100 TB the ADC
+    *     scan touches codes (bytes/vector), and full vectors are read
+    *     for just queries × PqRefine rows, again via a broadcast join
+    *     that never shuffles the corpus.
+    */
+  def pqTopkAgainst(spark: SparkSession, dir: String, coarseTable: String,
+      pqTable: String, nprobe: Int = NProbe): DataFrame = {
+    val coarse = Clustering.loadCentroids(spark, coarseTable)
+    val books = loadPqBooks(spark, pqTable)
+    pqTopkWith(spark, dir, nprobe, coarse, books)
+  }
+
+  /** The fit-inline form — the spec's reference for fit/apply equality. */
+  private[graft] def pqTopkInline(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val coarse = Clustering.fitCentroids(spark, dir)
+    val books = {
+      val rows = fitPqCodebooks(spark, dir, coarse)
+      (0 until PqM).map(m => rows.filter(_._1 == m).map(t => t._2 -> t._3).toSeq)
+    }
+    pqTopkWith(spark, dir, nprobe, coarse, books)
+  }
+
+  private def pqTopkWith(spark: SparkSession, dir: String, nprobe: Int,
+      coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // corpus: residual -> per-slice code -> reconstruction, all map-only
+    val bookLits = books.map(Clustering.centroidExpr)
+    val codeCols = (0 until PqM).map { m =>
+      s"""array_min(transform(${bookLits(m)}, s -> named_struct(
+         |  'dist', aggregate(zip_with(slice(r, ${m * PqSliceDim + 1}, $PqSliceDim),
+         |                             s.c, (a, b) -> (a - b) * (a - b)),
+         |          0L, (acc, x) -> acc + x),
+         |  'cid', s.cid))).cid AS code$m""".stripMargin
+    }
+    val wordExprs = (0 until PqM)
+      .map(m => s"element_at(${bookLits(m)}, code$m + 1).c")
+    val e = pqResiduals(spark, dir, coarse)
+      .selectExpr(Seq("vec_id", "q", "cluster_id", "r") ++ codeCols: _*)
+      .withColumn("rec", expr(
+        s"""zip_with(element_at(${Clustering.centroidExpr(coarse)}, cluster_id + 1).c,
+           |  concat(${wordExprs.mkString(", ")}), (a, b) -> a + b)""".stripMargin))
+    val centDF = coarse.sortBy(_._1).toDF("cid", "c")
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("p_dist"), col("cid"))
+    val probed = q.crossJoin(broadcast(centDF))
+      .withColumn("p_dist", expr(
+        "aggregate(zip_with(q_q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= nprobe)
+      .select(col("q_id"), col("q_q"), col("cid"))
+    // queries are the small side — broadcast them; the encoded corpus
+    // never shuffles (same discipline as the IVF family)
+    val scored = e.join(broadcast(probed),
+        e("cluster_id") === probed("cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        "aggregate(zip_with(q_q, rec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+    // ADC nomination: bounded top-PqRefine per query. TopK orders
+    // (score DESC, id ASC); distances are < 2^49 (64 terms × (2^21)²),
+    // exact in double, so -dist is a safe descending key
+    val pool = scored
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topk(PqRefine)(col("vec_id"), -col("adc_dist").cast("double")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+    // exact re-rank: ONLY pool rows' original (quantized) vectors are
+    // scored exactly — the pool (queries × PqRefine ids) broadcasts, the
+    // corpus again never shuffles
+    val exact = e.select(col("vec_id"), col("q"))
+      .join(broadcast(pool), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), "q_id")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(q_q, q, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+    exact
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topk(TopK)(col("neighbor_id"), -col("dist").cast("double")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("long").as("dist"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The oracle replays the coarse fit (shared CTE chain), the residuals,
+    * all PqM slice fits, the encode, and the ADC search — exact integer
+    * arithmetic end-to-end.
+    */
+  val pqTopkOracle: String = {
+    val sliceCtes = (0 until PqM).map { m =>
+      s"""s$m AS (SELECT vec_id, list_slice(r, ${m * PqSliceDim + 1}, ${(m + 1) * PqSliceDim}) AS q FROM res),
+         |${Clustering.lloydCtes(s"s$m", s"m$m", PqSliceDim, PqKc)}""".stripMargin
+    }.mkString(",\n")
+    val encJoins = (0 until PqM).map(m =>
+      s"JOIN m${m}a3 e$m ON e$m.vec_id = res.vec_id JOIN m${m}c3 w$m ON w$m.cid = e$m.cluster_id")
+      .mkString("\n  ")
+    val wordConcat = (0 until PqM).map(m => s"w$m.c").reduce((a, b) => s"list_concat($a, $b)")
+    s"""WITH ${Clustering.kmeansOracleCtes},
+       |res AS (
+       |  SELECT q.vec_id, a.cluster_id,
+       |    list_transform(list_zip(q.q, c.c), x -> x[1] - x[2]) AS r
+       |  FROM q JOIN a3 a USING (vec_id) JOIN c3 c ON c.cid = a.cluster_id
+       |),
+       |$sliceCtes,
+       |rec AS (
+       |  SELECT res.vec_id, res.cluster_id,
+       |    list_transform(list_zip(cc.c, $wordConcat), x -> x[1] + x[2]) AS rec
+       |  FROM res
+       |  JOIN c3 cc ON cc.cid = res.cluster_id
+       |  $encJoins
+       |),
+       |qv AS (SELECT vec_id AS q_id, q AS q_q FROM q WHERE vec_id % 20 = 0),
+       |probe AS (
+       |  SELECT q_id, q_q, cid FROM (
+       |    SELECT qv.q_id, qv.q_q, c.cid,
+       |      row_number() OVER (PARTITION BY qv.q_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(qv.q_q, c.c),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT), c.cid) AS rn
+       |    FROM qv CROSS JOIN c3 c
+       |  ) WHERE rn <= $NProbe
+       |),
+       |scored AS (
+       |  SELECT p.q_id, r.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(p.q_q, r.rec),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS adc_dist
+       |  FROM probe p JOIN rec r ON r.cluster_id = p.cid AND r.vec_id <> p.q_id
+       |),
+       |pool AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS arn
+       |    FROM scored
+       |  ) WHERE arn <= $PqRefine
+       |),
+       |exactd AS (
+       |  SELECT p.q_id, p.neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qv.q_q, e.q),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+       |  FROM pool p JOIN qv ON qv.q_id = p.q_id JOIN q e ON e.vec_id = p.neighbor_id
+       |)
+       |SELECT q_id, rank, neighbor_id, dist FROM (
+       |  SELECT q_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM exactd
+       |)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
   // Multi-probe LSH top-k (the data-dependent recall path)
   // -------------------------------------------------------------------------
 

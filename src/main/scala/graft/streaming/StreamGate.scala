@@ -138,6 +138,21 @@ object StreamGate {
     * deleted (a kept memory table would pin the full result for the
     * session's lifetime).
     */
+  /** State partition width for the replay gates. Every stateful operator
+    * instantiates one state store PER shuffle partition, and each store
+    * pays a fixed commit cost PER MICRO-BATCH (delta file + CRC + fsync;
+    * a stream-stream join carries four stores per partition) — measured
+    * ~100 ms/store/batch on this box, so a zero-row micro-batch at the
+    * session default of 32 partitions burned 3.7 s of pure commit
+    * overhead and q8's replay ran 36 s vs 8.6 s at width 8. Sizing state
+    * partitions to the workload is a first-class streaming knob, not a
+    * harness hack: in a real deployment the width is frozen into the
+    * checkpoint at first start and must be chosen for the state volume,
+    * while the batch default serves scans and joins. 8 keeps ≤ ~2 k state
+    * keys per store at replay SFs with headroom for the 20x probe.
+    */
+  private val GateStatePartitions = 8
+
   private def runToMemory(out: DataFrame, mode: String): DataFrame = {
     val spark = out.sparkSession
     val name = s"graft_gate_${runId.incrementAndGet()}"
@@ -146,10 +161,12 @@ object StreamGate {
     // failed processAllAvailable would otherwise pin the memory table for
     // the session's life and accumulate checkpoints across bench runs)
     try {
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode(mode).option("checkpointLocation", ck.toString).start()
-      try q.processAllAvailable() finally q.stop()
-      materialize(spark.table(name))
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode(mode).option("checkpointLocation", ck.toString).start()
+        try q.processAllAvailable() finally q.stop()
+        materialize(spark.table(name))
+      }
     } finally {
       spark.catalog.dropTempView(name)
       rmrf(ck)

@@ -764,4 +764,49 @@ class StorageSpec extends SparkSpec {
       s2.sql("DROP TABLE IF EXISTS mt_grp_b"); ()
     }
   }
+
+  test("ModelTables: an unlistable source dir is never current (always rebuilds)") {
+    import graft.core.ModelTables
+    val s2 = spark.newSession()
+    // no FileSystem for this scheme -> the listing throws -> the content
+    // fingerprint must be a unique sentinel, so a model stamped while its
+    // source was unverifiable can never be served as current later
+    val badDir = "nosuchscheme://host/data"
+    var builds = 0
+    def build(): Unit = { builds += 1; s2.range(1).write.mode("overwrite").saveAsTable("mt_unr_t") }
+    try {
+      ModelTables.persistIfStale(s2, badDir, "mt_unr_t", "p")(build())
+      assert(builds === 1)
+      assert(!ModelTables.isCurrent(s2, "mt_unr_t", badDir, "p"),
+        "model stamped from an unlistable dir reported current")
+      ModelTables.persistIfStale(s2, badDir, "mt_unr_t", "p")(build())
+      assert(builds === 2, "unverifiable source skipped the rebuild")
+    } finally { s2.sql("DROP TABLE IF EXISTS mt_unr_t"); () }
+  }
+
+  test("ModelTables: rewriting a partition SUBDIR invalidates despite the root-listing memo guard") {
+    import graft.core.ModelTables
+    val s2 = spark.newSession()
+    val src = Files.createTempDirectory("mt_sub").toString
+    var builds = 0
+    def build(): Unit = { builds += 1; s2.range(1).write.mode("overwrite").saveAsTable("mt_sub_t") }
+    // partitioned layout: data lives under part=*/ subdirs, so the
+    // memo's non-recursive root guard sees only the subdir entries
+    s2.range(10).withColumn("part", org.apache.spark.sql.functions.lit(0))
+      .write.partitionBy("part").mode("overwrite").parquet(src)
+    ModelTables.persistIfStale(s2, src, "mt_sub_t", "p")(build())
+    try {
+      assert(builds === 1)
+      ModelTables.persistIfStale(s2, src, "mt_sub_t", "p")(build())
+      assert(builds === 1, "unchanged partitioned dir triggered a rebuild")
+      // rewrite ONE partition in place: root entry names are unchanged,
+      // but the subdir's mtime moves -> guard must miss -> refit
+      s2.range(99).withColumn("part", org.apache.spark.sql.functions.lit(0))
+        .write.partitionBy("part").mode("overwrite").parquet(src)
+      assert(!ModelTables.isCurrent(s2, "mt_sub_t", src, "p"),
+        "rewritten partition subdir still reported the old model as current")
+      ModelTables.persistIfStale(s2, src, "mt_sub_t", "p")(build())
+      assert(builds === 2, "rewritten partition subdir did not force a refit")
+    } finally { s2.sql("DROP TABLE IF EXISTS mt_sub_t"); () }
+  }
 }
