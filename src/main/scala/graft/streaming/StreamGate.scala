@@ -558,12 +558,18 @@ object StreamGate {
     val ck = Files.createTempDirectory("graft-gate-funnel-ck")
     val (stream, root) = replay(ev.unionByName(sentinel), unix_millis(col("ts")))
     try {
-      val q = FunnelStream.funnelStream(stream).toDF()
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ck.toString)
-        .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // same state-partition sizing as runToMemory: the per-user funnel
+      // fold keeps one flatMapGroupsWithState store per shuffle partition,
+      // and at the session default of 32 the per-batch store commits
+      // dominated the gate (measured 7.2 s vs 3.3 s sized)
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = FunnelStream.funnelStream(stream).toDF()
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ck.toString)
+          .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
           Encoders.product[FunnelStream.FunnelUpdate].schema)

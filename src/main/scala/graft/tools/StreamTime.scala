@@ -1,8 +1,20 @@
 package graft.tools
-import org.apache.spark.sql.functions._
+
+/** Per-micro-batch diagnostic for a stream gate: runs one named
+  * `stream_*` query with a StreamingQueryListener attached and prints
+  * each batch's input rows, phase durations (addBatch/getBatch/planning/
+  * offset commits), and state-store rows/memory — the evidence that
+  * separates data work from fixed per-batch overhead (a zero-row batch
+  * with a multi-second addBatch is store-commit overhead, not compute;
+  * that observation is what sized StreamGate.GateStatePartitions).
+  *
+  * Usage: runMain graft.tools.StreamTime <queryName> [sfDir] [runs]
+  */
 object StreamTime {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val name = if (args.length > 0) args(0) else "stream_q8_pair"
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val runs = if (args.length > 2) args(2).toInt else 2
     val spark = graft.core.EngineSession.create("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
     spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -19,12 +31,11 @@ object StreamTime {
           s"stateMemory=${p.stateOperators.map(_.memoryUsedBytes).mkString(",")}")
       }
     })
-    for (p <- Seq("32", "8", "4")) {
-      spark.conf.set("spark.sql.shuffle.partitions", p)
-      val i = p
+    val fn = graft.SparkEntry.queries(name)
+    for (i <- 1 to runs) {
       val t0 = System.nanoTime()
-      graft.streaming.StreamGate.q8Pair(spark, dir).write.format("noop").mode("overwrite").save()
-      println(f"[gate] q8Pair run $i total ${(System.nanoTime()-t0)/1e9}%.1f s")
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"[gate] $name run $i total ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     spark.stop()
   }
