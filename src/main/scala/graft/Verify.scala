@@ -10,6 +10,11 @@ object Verify {
     val spark = graft.core.EngineSession.create(s"local[$cpus]", cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // schema preflight: testdata drift (round 12: events.ts changed
+    // physical encoding and 34 queries died with opaque analysis errors)
+    // must surface as ONE named line per mismatch before any query runs
+    graft.core.Tables.preflight(spark, sfDir)
+      .foreach(p => System.err.println(s"[verify] $p"))
     // Dev filter: SPARK_GRAFT_ONLY=q1,q2 limits the dump to named queries
     // (unset for driver runs — all queries dump).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

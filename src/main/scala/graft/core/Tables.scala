@@ -63,4 +63,57 @@ object Tables {
   /** Register every table of `dir` as a temp view (idempotent, lazy scans). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** The columns (post-load) each operator family actually depends on —
+    * the loader's contract with the testdata generation. Deliberately a
+    * SUBSET per table: extra columns are fine, missing/renamed/retyped
+    * ones are the drift class that round 12 hit (the regenerated
+    * `events.parquet` changed `ts`'s physical encoding and 34 queries
+    * died with opaque analysis errors).
+    */
+  private val expected: Map[String, Map[String, String]] = Map(
+    "region" -> Map("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Map("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Map("c_custkey" -> "bigint", "c_nationkey" -> "int",
+      "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+    "supplier" -> Map("s_suppkey" -> "bigint", "s_nationkey" -> "int"),
+    "part" -> Map("p_partkey" -> "bigint", "p_type" -> "string"),
+    "orders" -> Map("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderdate" -> "timestamp_ntz", "o_totalprice" -> "double"),
+    "lineitem" -> Map("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_quantity" -> "double",
+      "l_extendedprice" -> "double", "l_discount" -> "double",
+      "l_shipdate" -> "timestamp_ntz", "l_returnflag" -> "string"),
+    // ts is the POST-LOAD type: events() normalizes every physical
+    // encoding to a session-zone TimestampType column
+    "events" -> Map("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double"),
+    "documents" -> Map("doc_id" -> "bigint", "text" -> "string",
+      "source" -> "string"),
+    "embeddings" -> Map("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
+  /** Preflight: diff every table's LOADED schema against [[expected]] and
+    * return one named problem line per mismatch (empty = clean). Run by
+    * Verify before the dump so schema drift in the testdata surfaces as
+    * `preflight: events.ts expected timestamp, got X` instead of dozens
+    * of opaque per-query analysis errors.
+    */
+  def preflight(spark: SparkSession, dir: String): Seq[String] =
+    all.flatMap { name =>
+      try {
+        val schema = load(spark, dir, name).schema
+        val have = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+        expected(name).toSeq.sorted.flatMap { case (col, want) =>
+          have.get(col) match {
+            case None => Seq(s"preflight: $name.$col missing (have: ${schema.fieldNames.mkString(", ")})")
+            case Some(got) if got != want => Seq(s"preflight: $name.$col expected $want, got $got")
+            case _ => Nil
+          }
+        }
+      } catch {
+        case e: Exception => Seq(s"preflight: $name failed to load: ${e.getMessage}")
+      }
+    }
 }

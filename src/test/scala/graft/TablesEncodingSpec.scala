@@ -54,4 +54,14 @@ class TablesEncodingSpec extends SparkSpec {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.count() > 0)
   }
+
+  test("schema preflight is clean on live testdata and names drifted columns") {
+    assert(Tables.preflight(spark, Sf0001) === Nil)
+    // a dir where `events` has the wrong shape: point at the fixture dir
+    // (its events.parquet lacks user_id/event_type/value) — every problem
+    // line is named table.column, not an opaque analysis error
+    val problems = Tables.preflight(spark, fixture("enc_us"))
+    assert(problems.exists(_.contains("events.user_id missing")), problems.mkString("; "))
+    assert(problems.exists(_.startsWith("preflight: region failed to load")))
+  }
 }
