@@ -143,6 +143,24 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must ride the bucket equi-join:\n${p.take(800)}")
   }
 
+  test("IVF-PQ: corpus rides broadcast joins (probe + refine), never an all-pairs scan") {
+    Similarity.persistPqModel(spark, Sf0001)
+    val p = plan(Similarity.pqTopkAgainst(spark, Sf0001,
+      Clustering.KmeansModelTable, Similarity.PqModelTable))
+    // candidate generation must be the cluster_id equi-join against the
+    // broadcast probe set, and refine the broadcast pool/query joins —
+    // the corpus side never cross-joins and never shuffles for a join
+    assert(!p.contains("CartesianProduct"),
+      s"PQ search must never cross-join the corpus:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe/refine must broadcast the small side:\n${p.take(800)}")
+    // the only BroadcastNestedLoopJoin allowed is the query side's
+    // 8-row centroid ranking (crossJoin with the K-struct literal table);
+    // the corpus-scoring joins are all hash equi-joins
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"corpus-side nested loop crept in ($bnl):\n${p.take(1200)}")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     val restore = Seq(
