@@ -487,6 +487,15 @@ object Similarity {
     pqTopkWith(spark, dir, nprobe, coarse, books)
   }
 
+  /** [[pqTopkAgainst]] with an explicit query-set predicate (the
+    * fixed-query scale-probe seam, `tools.FixedQueryStress`).
+    */
+  private[graft] def pqTopkAgainstWhere(spark: SparkSession, dir: String,
+      coarseTable: String, pqTable: String, nprobe: Int,
+      queryPred: Column): DataFrame =
+    pqTopkWhere(spark, dir, nprobe, Clustering.loadCentroids(spark, coarseTable),
+      loadPqBooks(spark, pqTable), queryPred)
+
   /** The fit-inline form — the spec's reference for fit/apply equality. */
   private[graft] def pqTopkInline(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame = {
@@ -499,7 +508,15 @@ object Similarity {
   }
 
   private def pqTopkWith(spark: SparkSession, dir: String, nprobe: Int,
-      coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]]): DataFrame = {
+      coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]]): DataFrame =
+    pqTopkWhere(spark, dir, nprobe, coarse, books, col("vec_id") % 20 === 0)
+
+  /** [[pqTopkWith]] with an explicit query-set predicate (see
+    * [[multiprobeTopkRadiusWhere]] — same fixed-query scale-probe seam).
+    */
+  private[graft] def pqTopkWhere(spark: SparkSession, dir: String, nprobe: Int,
+      coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]],
+      queryPred: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     // corpus: residual -> per-slice code -> reconstruction, all map-only
@@ -519,7 +536,7 @@ object Similarity {
         s"""zip_with(element_at(${Clustering.centroidExpr(coarse)}, cluster_id + 1).c,
            |  concat(${wordExprs.mkString(", ")}), (a, b) -> a + b)""".stripMargin))
     val centDF = coarse.sortBy(_._1).toDF("cid", "c")
-    val q = e.filter(col("vec_id") % 20 === 0)
+    val q = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("q").as("q_q"))
     val probeW = Window.partitionBy("q_id").orderBy(col("p_dist"), col("cid"))
     val probed = q.crossJoin(broadcast(centDF))
@@ -653,10 +670,20 @@ object Similarity {
     multiprobeTopkRadius(spark, dir, ProbeRadius)
 
   /** [[multiprobeTopk]] with an explicit Hamming probe radius. */
-  def multiprobeTopkRadius(spark: SparkSession, dir: String, h: Int): DataFrame = {
+  def multiprobeTopkRadius(spark: SparkSession, dir: String, h: Int): DataFrame =
+    multiprobeTopkRadiusWhere(spark, dir, h, col("vec_id") % 20 === 0)
+
+  /** [[multiprobeTopkRadius]] with an explicit query-set predicate — the
+    * fixture's default query set is 5% OF THE CORPUS, so total probe
+    * volume grows quadratically under corpus scaling by construction;
+    * `tools.FixedQueryStress` pins the per-query claim (cost ∝ probed
+    * bucket size, linear in the corpus) by holding the query set fixed.
+    */
+  private[graft] def multiprobeTopkRadiusWhere(spark: SparkSession, dir: String,
+      h: Int, queryPred: Column): DataFrame = {
     val s = sketched(spark, dir)
     val masks = (0 until (1 << NumPlanes)).filter(m => Integer.bitCount(m) <= h)
-    val q = s.filter(col("vec_id") % 20 === 0)
+    val q = s.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
       .withColumn("mask", explode(typedLit(masks)))

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Similarity}
+
+/** Fixed-query-set 20x probe for the ANN operators whose benchmark query
+  * set is defined as 5% OF THE CORPUS (`vec_id % 20 == 0`). Under
+  * `StressProbe`, those operators show the family's highest ratios (PQ
+  * 6.2x, multi-probe LSH 5.8x at 20x) — but total probe volume there is
+  * queries × probed-corpus, i.e. quadratic in corpus size BY QUERY-SET
+  * CONSTRUCTION, not an operator property. This probe holds the query set
+  * fixed (the replica-0 ids, `vec_id % 20 == 0 AND vec_id < 2000` — the
+  * exact sf0.1 query vectors, present verbatim in the 20x data because
+  * Stress20x offsets replica ids upward) and scales only the corpus: the
+  * measured ratio then isolates per-query cost, which must be ~linear in
+  * the probed-list/bucket size.
+  *
+  * Usage: runMain graft.tools.FixedQueryStress   (after Stress20x wrote
+  * /tmp/graft20x)
+  */
+object FixedQueryStress {
+  def main(args: Array[String]): Unit = {
+    val dirs = Seq("sf0.1" -> "/root/testdata/sf0.1", "20x" -> "/tmp/graft20x")
+    val spark = graft.core.EngineSession.create("local[32]", 32)
+    spark.sparkContext.setLogLevel("WARN")
+    val fixedQueries = col("vec_id") % 20 === 0 && col("vec_id") < 2000
+    val ops: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "sim_pq_topk(fixed-q)" -> { dir =>
+        Similarity.persistPqModel(spark, dir)
+        Similarity.pqTopkAgainstWhere(spark, dir, Clustering.KmeansModelTable,
+          Similarity.PqModelTable, Similarity.NProbe, fixedQueries)
+      },
+      "sim_multiprobe(fixed-q)" -> { dir =>
+        Similarity.multiprobeTopkRadiusWhere(spark, dir,
+          Similarity.ProbeRadius, fixedQueries)
+      })
+    // warm JIT off the clock
+    ops.foreach { case (_, fn) =>
+      try fn("/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[fixedq] warm failed: ${e.getMessage}") }
+    }
+    for ((name, fn) <- ops) {
+      val t = dirs.map { case (tag, dir) =>
+        val runs = (1 to 3).map { _ =>
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          fn(dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[fixedq] $name $tag%-6s cold=${runs.head}%.2f s steady=${runs.tail.min}%.2f s")
+        tag -> runs
+      }.toMap
+      println(f"[fixedq] $name RATIO cold=${t("20x").head / t("sf0.1").head}%.1fx " +
+        f"steady=${t("20x").tail.min / t("sf0.1").tail.min}%.1fx")
+    }
+    spark.stop()
+  }
+}
