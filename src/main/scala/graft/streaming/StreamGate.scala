@@ -369,18 +369,24 @@ object StreamGate {
     Files.createDirectories(watched)
     try {
       val schema = Dedup.incremental(spark, dir).schema // lazy: no job
-      val stream = spark.readStream.schema(incoming.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watched.toString)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-      val q = Dedup.incrementalStreamAdmitting(stream, table,
-          Some(root.resolve("ck").toString)) { v =>
-        buf.synchronized { buf ++= v.collect() }; ()
+      // same workload-sized shuffle width as the other gates: the
+      // admission joins and between-batch compaction rewrites move a few
+      // thousand rows per chunk — 32-wide exchanges are pure task
+      // overhead here (results are partition-count invariant)
+      withGateParallelism(spark, GateStatePartitions) {
+        val stream = spark.readStream.schema(incoming.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val q = Dedup.incrementalStreamAdmitting(stream, table,
+            Some(root.resolve("ck").toString)) { v =>
+          buf.synchronized { buf ++= v.collect() }; ()
+        }
+        try files.foreach { f =>
+          Files.move(f, watched.resolve(f.getFileName))
+          q.processAllAvailable()
+          Dedup.compactCorpusBands(spark, table)
+        } finally q.stop()
       }
-      try files.foreach { f =>
-        Files.move(f, watched.resolve(f.getFileName))
-        q.processAllAvailable()
-        Dedup.compactCorpusBands(spark, table)
-      } finally q.stop()
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
         .orderBy("doc_id")
