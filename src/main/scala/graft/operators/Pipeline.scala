@@ -695,6 +695,129 @@ object Pipeline {
       |SELECT doc_id, cls AS pred_lang, lang, CAST(score AS BIGINT) AS score, cls = lang AS hit
       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // DSIR-style importance selection (data selection for language models)
+  // ---------------------------------------------------------------------
+
+  /** Target domain, selection budget, and the model tables for the
+    * importance-resampling selector (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — the
+    * hashed-n-gram importance-weight recipe, distilled to unigrams over
+    * the same add-1-smoothed integer-log features the NB family uses).
+    * The target distribution is the corpus's `lang = en` slice — "select
+    * the raw-web documents that look most like the target domain" — and
+    * the budget is the fixed number of docs the selector keeps.
+    */
+  val DsirTarget = "en"
+  val DsirBudget = 100
+  val DsirModelTable = "graft_dsir_model"
+  val DsirBaseTable = "graft_dsir_base"
+  private val DsirFingerprint = s"dsir.v1;target=$DsirTarget;lscale=1e6;laplace=1"
+
+  /** Per-token importance weights: add-1-smoothed integer-log counts
+    * under the target slice and under the full (raw) corpus. One
+    * (token)-keyed aggregate — map-side combine, vocab-sharded output,
+    * never collected (web-scale vocabularies are fine, same as NB).
+    */
+  private def dsirWeightsDf(spark: SparkSession, dir: String): DataFrame =
+    nbToks(spark, dir).groupBy("token")
+      .agg(sum(when(col("lang") === DsirTarget, 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+      .selectExpr("token", s"${L("tc + 1")} AS w_t", s"${L("rc + 1")} AS w_r")
+
+  /** The two smoothing denominators (target tokens + V, raw tokens + V)
+    * — a 1-row table, the model's normalization half.
+    */
+  private def dsirBaseDf(spark: SparkSession, dir: String): DataFrame = {
+    val toks = nbToks(spark, dir)
+    toks.agg(countDistinct("token").as("v"),
+        sum(when(col("lang") === DsirTarget, 1L).otherwise(0L)).as("n_t"),
+        count(lit(1)).as("n_r"))
+      .selectExpr(s"${L("n_t + v")} AS l_t", s"${L("n_r + v")} AS l_r")
+  }
+
+  /** Persist the DSIR model — one atomic group (weights + denominators
+    * must describe the same corpus snapshot), same discipline as the NB
+    * pair.
+    */
+  def persistDsirModel(spark: SparkSession, dir: String,
+      table: String = DsirModelTable, baseTable: String = DsirBaseTable): Unit =
+    graft.core.ModelTables.persistGroupIfStale(spark, dir, DsirFingerprint)(
+      table -> (() => dsirWeightsDf(spark, dir).write.mode("overwrite").saveAsTable(table)),
+      baseTable -> (() => dsirBaseDf(spark, dir).write.mode("overwrite").saveAsTable(baseTable)))
+
+  /** Gated fit + apply: the `pipe_dsir_sample` entry. */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    persistDsirModel(spark, dir)
+    dsirSampleAgainst(spark, dir, DsirModelTable, DsirBaseTable)
+  }
+
+  /** SELECT the [[DsirBudget]] raw docs whose token distribution is most
+    * target-like: importance(doc) = Σ_t n_t·(w_t − w_r) − |doc|·(l_t −
+    * l_r) — the summed per-token log-likelihood ratio between the target
+    * and raw unigram LMs, exact BIGINT end-to-end.
+    *
+    * Scale shape (the NB apply pattern plus a bounded global head):
+    * scoring joins the exploded tokens against the STORED weight table in
+    * place (sharded on token, never broadcast/collected), one doc-keyed
+    * sum, then the global budget-K head rides the bounded TopK aggregate
+    * — map-side partials ship ≤ K rows per partition, so "pick the best
+    * 100 of 10^10 docs" never materializes a global sort.
+    */
+  def dsirSampleAgainst(spark: SparkSession, dir: String,
+      table: String = DsirModelTable, baseTable: String = DsirBaseTable): DataFrame = {
+    val w = spark.table(table).select("token", "w_t", "w_r")
+    val base = spark.table(baseTable).select("l_t", "l_r")
+    val docTok = nbToks(spark, dir).groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("n_t"))
+    val scored = docTok
+      // inner join: fit corpus == scored corpus here, so every token is in
+      // the model; applying to NEW docs would left-join with 0-weight
+      // fallback (unseen under both LMs contributes only the denominators)
+      .join(w, "token")
+      .groupBy("doc_id")
+      .agg(sum(expr("n_t * (w_t - w_r)")).as("hit"), sum("n_t").as("n_d"))
+      .crossJoin(broadcast(base))
+      .selectExpr("doc_id", "hit - n_d * (l_t - l_r) AS imp")
+    scored
+      .groupBy()
+      .agg(graft.functions.TopK.topk(DsirBudget)(col("doc_id"), col("imp").cast("double")).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("imp"))
+      .orderBy("rank")
+  }
+
+  val dsirSampleOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+       |),
+       |w AS (
+       |  SELECT token,
+       |    CAST(round(ln(count(*) FILTER (WHERE lang = '$DsirTarget') + 1) * 1000000.0) AS BIGINT) AS w_t,
+       |    CAST(round(ln(count(*) + 1) * 1000000.0) AS BIGINT) AS w_r
+       |  FROM toks GROUP BY token
+       |),
+       |base AS (
+       |  SELECT
+       |    CAST(round(ln(count(*) FILTER (WHERE lang = '$DsirTarget') + v) * 1000000.0) AS BIGINT) AS l_t,
+       |    CAST(round(ln(count(*) + v) * 1000000.0) AS BIGINT) AS l_r
+       |  FROM toks CROSS JOIN (SELECT count(DISTINCT token) AS v FROM toks)
+       |  GROUP BY v
+       |),
+       |doc_tok AS (SELECT doc_id, token, count(*) AS n_t FROM toks GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT dt.doc_id,
+       |    sum(dt.n_t * (w.w_t - w.w_r)) - sum(dt.n_t) * (b.l_t - b.l_r) AS imp
+       |  FROM doc_tok dt JOIN w USING (token) CROSS JOIN base b
+       |  GROUP BY dt.doc_id, b.l_t, b.l_r
+       |)
+       |SELECT rank, doc_id, CAST(imp AS BIGINT) AS imp FROM (
+       |  SELECT doc_id, imp,
+       |    row_number() OVER (ORDER BY imp DESC, doc_id) AS rank
+       |  FROM scored
+       |) WHERE rank <= $DsirBudget ORDER BY rank""".stripMargin
+
   def zorderWrite(spark: SparkSession, dir: String, out: String, numFiles: Int): Long = {
     zorderLayout(spark, dir)
       .repartitionByRange(numFiles, col("zval"), col("doc_id"))

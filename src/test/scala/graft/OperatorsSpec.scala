@@ -986,6 +986,34 @@ class OperatorsSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("DSIR selection enriches the target domain over the corpus base rate") {
+    import org.apache.spark.sql.functions._
+    val sel = Pipeline.dsirSample(spark, Sf0001)
+    val langs = graft.core.Tables.load(spark, Sf0001, "documents").select("doc_id", "lang")
+    val picked = sel.join(langs, "doc_id").cache()
+    try {
+      // exactly the budget, ranked 1..K, each doc once
+      assert(sel.count() === Pipeline.DsirBudget.toLong)
+      assert(sel.select("doc_id").distinct().count() === Pipeline.DsirBudget.toLong)
+      assert(sel.agg(min("rank"), max("rank")).head() ===
+        org.apache.spark.sql.Row(1L, Pipeline.DsirBudget.toLong))
+      val selFrac = picked.filter(col("lang") === Pipeline.DsirTarget).count().toDouble /
+        Pipeline.DsirBudget
+      val baseFrac = langs.filter(col("lang") === Pipeline.DsirTarget).count().toDouble /
+        langs.count()
+      // the fixture langs share one vocabulary and differ only in token
+      // frequencies, so enrichment is moderate, not total — but the
+      // importance weights must still pull the selection toward the
+      // target (sf0.01 measured: 62% selected vs 43.6% base)
+      assert(selFrac > baseFrac,
+        f"target fraction $selFrac%.3f did not beat base rate $baseFrac%.3f")
+      // fit/apply: re-call against the current model is a metadata probe
+      Pipeline.persistDsirModel(spark, Sf0001)
+      assert(graft.core.ModelTables.isCurrent(spark, Pipeline.DsirModelTable,
+        Sf0001, "dsir.v1;target=en;lscale=1e6;laplace=1"))
+    } finally { picked.unpersist(); () }
+  }
+
   test("IVF-kmeans fit/apply: search against persisted centroids equals inline fit, zero fit jobs") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     import graft.operators.Clustering
