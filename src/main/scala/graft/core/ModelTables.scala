@@ -38,11 +38,18 @@ object ModelTables {
     * note on [[isCurrent]]).
     *
     * Cost: the recursive walk is memoized per dir, guarded by a
-    * NON-recursive listing of the dir root — a Spark rewrite (of the
-    * dir itself or any partition subdir) changes root entry names or
-    * mtimes, so the guard misses and the walk reruns; an unchanged dir
-    * re-probes with one root listing instead of O(files) metadata
-    * calls, which is what every apply-path staleness check does in
+    * bounded-depth listing (the dir root plus one level into any root
+    * subdirectory). A dir's mtime only changes when its DIRECT children
+    * change, so a root-only guard would miss a rewrite two levels down
+    * (nested partitionBy with dynamic partition overwrite replacing a
+    * leaf dir) and serve a stale fingerprint; listing one level deeper
+    * covers single-level partition layouts exactly. If the guard walk
+    * finds directories nested deeper than that (level-2 dirs), the memo
+    * is SKIPPED for this dir — every probe pays the full recursive walk,
+    * trading steady-state cost for correctness on multi-level
+    * partitioned sources. Unchanged flat or single-level-partitioned
+    * dirs re-probe with O(root + partitions) metadata calls instead of
+    * O(files), which is what every apply-path staleness check does in
     * steady state.
     *
     * A MISSING dir fingerprints as a constant (synthetic staleness-key
@@ -67,9 +74,22 @@ object ModelTables {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) "absent"
       else {
-        val rootGuard = md5(fs.listStatus(p).toSeq.map(s =>
-          s"${s.getPath}:${s.getLen}:${s.getModificationTime}"))
-        val cached = fpMemo.get(dir)
+        // Guard listing: root entries plus one level into root subdirs.
+        // memoizable stays true only while no level-2 directory is seen.
+        val root = fs.listStatus(p).toSeq
+        val guardEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+        var memoizable = true
+        root.foreach { s =>
+          guardEntries += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+          if (s.isDirectory) {
+            fs.listStatus(s.getPath).foreach { c =>
+              guardEntries += s"${c.getPath}:${c.getLen}:${c.getModificationTime}"
+              if (c.isDirectory) memoizable = false
+            }
+          }
+        }
+        val rootGuard = md5(guardEntries.toSeq)
+        val cached = if (memoizable) fpMemo.get(dir) else null
         if (cached != null && cached._1 == rootGuard) cached._2
         else {
           val it = fs.listFiles(p, true)
@@ -79,7 +99,7 @@ object ModelTables {
             entries += s"${f.getPath}:${f.getLen}:${f.getModificationTime}"
           }
           val fp = md5(entries.toSeq)
-          fpMemo.put(dir, (rootGuard, fp))
+          if (memoizable) fpMemo.put(dir, (rootGuard, fp)) else fpMemo.remove(dir)
           fp
         }
       }

@@ -36,6 +36,15 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
+    // Track whether the nanosAsLong fallback actually fired: a LongType ts
+    // is only ns-since-epoch when it came from that fallback. A future file
+    // storing ts as a PLAIN INT64 column (raw micros, say) also reads as
+    // LongType but without the exception — dividing that by 1000 would
+    // corrupt every instant 1000x with no error, so it must fail loudly.
+    // Already-set conf (a previous events() call this session) means a clean
+    // read can still surface nanos-as-long, so it counts as fired too.
+    var nanosFallbackFired =
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")
     val df =
       try spark.read.parquet(path) // current encodings read clean, conf untouched
       catch {
@@ -48,10 +57,15 @@ object Tables {
           // benign — it only changes how TIMESTAMP(NANOS) columns are read,
           // and no other testdata table has one.
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          nanosFallbackFired = true
           spark.read.parquet(path)
       }
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType if nanosFallbackFired =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => throw new IllegalStateException(
+        s"$path: ts read as plain INT64 without the TIMESTAMP(NANOS) fallback " +
+          "firing — unknown epoch unit, refusing to guess a divisor")
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
@@ -102,18 +116,25 @@ object Tables {
     */
   def preflight(spark: SparkSession, dir: String): Seq[String] =
     all.flatMap { name =>
-      try {
-        val schema = load(spark, dir, name).schema
-        val have = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
-        expected(name).toSeq.sorted.flatMap { case (col, want) =>
-          have.get(col) match {
-            case None => Seq(s"preflight: $name.$col missing (have: ${schema.fieldNames.mkString(", ")})")
-            case Some(got) if got != want => Seq(s"preflight: $name.$col expected $want, got $got")
-            case _ => Nil
+      // Registry lookup OUTSIDE the load's try: a table listed in `all` but
+      // absent from `expected` is a code-level map omission and must say so,
+      // not masquerade as "failed to load: key not found".
+      expected.get(name) match {
+        case None => Seq(s"preflight: no expected schema registered for $name")
+        case Some(want_) =>
+          try {
+            val schema = load(spark, dir, name).schema
+            val have = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+            want_.toSeq.sorted.flatMap { case (col, want) =>
+              have.get(col) match {
+                case None => Seq(s"preflight: $name.$col missing (have: ${schema.fieldNames.mkString(", ")})")
+                case Some(got) if got != want => Seq(s"preflight: $name.$col expected $want, got $got")
+                case _ => Nil
+              }
+            }
+          } catch {
+            case e: Exception => Seq(s"preflight: $name failed to load: ${e.getMessage}")
           }
-        }
-      } catch {
-        case e: Exception => Seq(s"preflight: $name failed to load: ${e.getMessage}")
       }
     }
 }

@@ -552,8 +552,12 @@ object Similarity {
       .withColumn("adc_dist", expr(
         "aggregate(zip_with(q_q, rec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
     // ADC nomination: bounded top-PqRefine per query. TopK orders
-    // (score DESC, id ASC); distances are < 2^49 (64 terms × (2^21)²),
-    // exact in double, so -dist is a safe descending key
+    // (score DESC, id ASC); each operand is a quantized vector with
+    // coords up to ~2^21 in magnitude, so a per-dim difference reaches
+    // ~2^22 and the dim-64 sum is bounded by 64 × (2^22)² = 2^50 — still
+    // exact in double (< 2^53), so -dist is a safe descending key. At
+    // this coordinate scale exactness holds up to dim ≤ 2^9; a larger
+    // dim or coarser quantization bump must revisit this bound.
     val pool = scored
       .groupBy("q_id")
       .agg(graft.functions.TopK.topk(PqRefine)(col("vec_id"), -col("adc_dist").cast("double")).as("top"))

@@ -160,7 +160,17 @@ object StreamGate {
     * state or per-batch compute outgrows it.
     */
   private val GateStatePartitions =
-    sys.env.get("SPARK_GRAFT_GATE_PARTITIONS").flatMap(_.toIntOption).getOrElse(8)
+    sys.env.get("SPARK_GRAFT_GATE_PARTITIONS") match {
+      case Some(raw) => raw.toIntOption.filter(_ > 0).getOrElse {
+        // 0/negative/garbage would make spark.sql.shuffle.partitions
+        // invalid and fail every gate at runtime with an opaque error —
+        // reject loudly and fall back
+        System.err.println(
+          s"SPARK_GRAFT_GATE_PARTITIONS='$raw' rejected (need a positive int); using 8")
+        8
+      }
+      case None => 8
+    }
 
   private def runToMemory(out: DataFrame, mode: String): DataFrame = {
     val spark = out.sparkSession

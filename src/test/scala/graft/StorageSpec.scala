@@ -809,4 +809,35 @@ class StorageSpec extends SparkSpec {
       assert(builds === 2, "rewritten partition subdir did not force a refit")
     } finally { s2.sql("DROP TABLE IF EXISTS mt_sub_t"); () }
   }
+
+  test("ModelTables: dynamic overwrite of a NESTED leaf partition invalidates (guard depth)") {
+    import graft.core.ModelTables
+    import org.apache.spark.sql.functions.lit
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val src = Files.createTempDirectory("mt_nst").toString
+    var builds = 0
+    def build(): Unit = { builds += 1; s2.range(1).write.mode("overwrite").saveAsTable("mt_nst_t") }
+    // TWO-LEVEL partitioning: data under a=*/b=*/ — a dir's mtime only
+    // moves when its DIRECT children change, so a root-only (or even
+    // root+level-1-mtimes-only) guard can't see a leaf rewrite two
+    // levels down; the memo must either look deep enough or disable
+    // itself for this layout.
+    s2.range(10).withColumn("a", lit(0)).withColumn("b", lit(0))
+      .write.partitionBy("a", "b").mode("overwrite").parquet(src)
+    ModelTables.persistIfStale(s2, src, "mt_nst_t", "p")(build())
+    try {
+      assert(builds === 1)
+      ModelTables.persistIfStale(s2, src, "mt_nst_t", "p")(build())
+      assert(builds === 1, "unchanged nested-partitioned dir triggered a rebuild")
+      // dynamic partition overwrite replacing ONLY the a=0/b=0 leaf:
+      // root entry (a=0) keeps its name/size/mtime
+      s2.range(99).withColumn("a", lit(0)).withColumn("b", lit(0))
+        .write.partitionBy("a", "b").mode("overwrite").parquet(src)
+      assert(!ModelTables.isCurrent(s2, "mt_nst_t", src, "p"),
+        "rewritten nested leaf partition still reported the old model as current")
+      ModelTables.persistIfStale(s2, src, "mt_nst_t", "p")(build())
+      assert(builds === 2, "rewritten nested leaf partition did not force a refit")
+    } finally { s2.sql("DROP TABLE IF EXISTS mt_nst_t"); () }
+  }
 }
