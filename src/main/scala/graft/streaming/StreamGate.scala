@@ -172,6 +172,21 @@ object StreamGate {
       case None => 8
     }
 
+  /** Run `body` with the RocksDB state-store provider set on the session
+    * (transformWithState's backing store), restoring the prior provider —
+    * same single-query assumption as [[withGateParallelism]].
+    */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   private def runToMemory(out: DataFrame, mode: String): DataFrame = {
     val spark = out.sparkSession
     val name = s"graft_gate_${runId.incrementAndGet()}"
@@ -459,32 +474,95 @@ object StreamGate {
     val sink = new MemoryUpsertSink(Seq("cell"))
     val ck = Files.createTempDirectory("graft-gate-ttlv2-ck")
     val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.getOption(provKey)
     try {
       // transformWithState requires the RocksDB provider; scoped to this
       // gate and restored, like the parallelism override below
-      spark.conf.set(provKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      withGateParallelism(spark, 4) {
-        val q = TtlContinuousCountV2.query(stream, ttlMs = TaxiQueries.TtlGateMs).toDF()
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", ck.toString)
-          .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
-          .start()
-        try q.processAllAvailable() finally q.stop()
+      withRocksDb(spark) {
+        withGateParallelism(spark, 4) {
+          val q = TtlContinuousCountV2.query(stream, ttlMs = TaxiQueries.TtlGateMs).toDF()
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
       }
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
           Encoders.product[TtlContinuousCount.CellCount].schema)
         .orderBy("cell")
-    } finally {
-      prevProv match {
-        case Some(v) => spark.conf.set(provKey, v)
-        case None => spark.conf.unset(provKey)
+    } finally { rmrf(root); rmrf(ck) }
+  }
+
+  /** The Q3 OVER window again, through `transformWithState`
+    * ([[OverWindowStateV2]] — ListState-buffered, RocksDB-backed), gated
+    * against the SAME batch oracle as [[q3Over]]: the modern stateful API
+    * must reproduce the emit-once trailing counts exactly.
+    */
+  def q3OverV2(spark: SparkSession, dir: String): DataFrame = {
+    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    try withRocksDb(spark) {
+      runToMemory(OverWindowStateV2.q3Streaming(stream,
+            windowMs = graft.operators.TaxiQueries.RecentFrameMs).toDF(),
+          "append")
+        .filter(col("dept_cnt") > 1)
+        .select("ride_id", "cell", "dept_time", "dept_cnt")
+        .orderBy("ride_id")
+    } finally rmrf(root)
+  }
+
+  /** The per-user funnel again, through `transformWithState`
+    * ([[FunnelStreamV2]] — explicit event-time timers), gated against the
+    * SAME batch oracle as [[funnel]].
+    */
+  def funnelV2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val maxMs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val sentinel = Seq((-1L, new Timestamp(maxMs + 600000L), "gate_sentinel"))
+      .toDF("user_id", "ts", "event_type")
+    val sink = new MemoryUpsertSink(Seq("user_id"))
+    val ck = Files.createTempDirectory("graft-gate-funnelv2-ck")
+    val (stream, root) = replay(ev.unionByName(sentinel), unix_millis(col("ts")))
+    try {
+      withRocksDb(spark) {
+        withGateParallelism(spark, GateStatePartitions) {
+          val q = FunnelStreamV2.funnelStream(stream).toDF()
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .foreachBatch { (b: Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
       }
-      rmrf(root); rmrf(ck)
-    }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
+          Encoders.product[FunnelStream.FunnelUpdate].schema)
+        .filter(col("t_view").isNotNull)
+        .orderBy("user_id")
+    } finally { rmrf(root); rmrf(ck) }
+  }
+
+  /** The full Q4 cascade again, with level-1 on `transformWithState`
+    * ([[Q4Level1V2]] feeding [[CascadeQ4.startToParquetFrom]]), gated
+    * against the SAME batch oracle as [[q4Cascade]] — the lake-merge
+    * layers are untouched; only the level-1 state engine changes.
+    */
+  def q4CascadeV2(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-gate-q4v2")
+    val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
+    val (stream, root) = replay(Rides.fromEvents(spark, dir),
+      unix_millis(col("rowtime")), chunks = 3)
+    try withRocksDb(spark) {
+      withGateParallelism(spark, 4) {
+        val q = CascadeQ4.startToParquetFrom(Q4Level1V2.query(stream).toDF(),
+          sink, tmp.resolve("ck").toString)
+        q.awaitTermination()
+        materialize(sink.snapshot(spark).select(col("dept_cnt"), col("cnt_freq")))
+          .orderBy("dept_cnt")
+      }
+    } finally { rmrf(root); rmrf(tmp) }
   }
 
   /** The stream-static dimension join under the hard gate: the ride

@@ -337,12 +337,22 @@ object CascadeQ4 {
     * the in-flight batch reconverges via the marker protocol above.
     */
   def startToParquet(rides: DataFrame, sink: ParquetUpsertSink,
+                     checkpoint: String): StreamingQuery =
+    startToParquetFrom(StreamingQueries.q4Level1(rides), sink, checkpoint)
+
+  /** [[startToParquet]] with the level-1 update changelog supplied by the
+    * caller (columns cell, dept_cnt) — the seam that lets the cascade run
+    * its level-1 on either the built-in streaming aggregation or the
+    * [[Q4Level1V2]] transformWithState processor; the lake-merge layers
+    * are identical either way.
+    */
+  def startToParquetFrom(level1Changelog: DataFrame, sink: ParquetUpsertSink,
                      checkpoint: String): StreamingQuery = {
     val level1 = new ParquetUpsertSink(
       new org.apache.hadoop.fs.Path(checkpoint, "graft-cascade-level1").toString,
       Seq("cell"), sink.nBuckets)
     val markers = markerDir(checkpoint)
-    StreamingQueries.q4Level1(rides)
+    level1Changelog
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -576,7 +586,7 @@ object FunnelStream {
   case class FunnelUpdate(user_id: Long, t_view: Option[Long],
       t_click: Option[Long], t_purchase: Option[Long], funnel_depth: Int)
 
-  private def foldReady(st: FunnelState, wmMs: Long): FunnelState = {
+  private[streaming] def foldReady(st: FunnelState, wmMs: Long): FunnelState = {
     val (ready, still) = st.pending.partition(_._1 <= wmMs)
     var (tv, tc, tp) = (st.tView, st.tClick, st.tPurchase)
     ready.sortBy(e => (e._1, e._2)).foreach { case (ts, tpe) =>
@@ -587,7 +597,7 @@ object FunnelStream {
     FunnelState(still, math.max(st.foldedUpTo, wmMs), tv, tc, tp)
   }
 
-  private def snapshot(userId: Long, st: FunnelState): FunnelUpdate = {
+  private[streaming] def snapshot(userId: Long, st: FunnelState): FunnelUpdate = {
     def opt(v: Long) = if (v >= 0) Some(v) else None
     FunnelUpdate(userId, opt(st.tView), opt(st.tClick), opt(st.tPurchase),
       if (st.tPurchase >= 0) 3 else if (st.tClick >= 0) 2 else if (st.tView >= 0) 1 else 0)
@@ -630,5 +640,197 @@ object FunnelStream {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}
+
+/** The streaming OVER window again, on Spark 4's `transformWithState` —
+  * same emit-once per-departure trailing counts as [[OverWindowState]],
+  * with the time buffer held in a `ListState[Long]` instead of one
+  * serialized blob: RocksDB lays list elements out individually, so the
+  * steady-state batch APPENDS its new timestamps (`appendList`) and only a
+  * prune rewrites the list — at a real per-key buffer size (the window's
+  * event capacity, not the micro-batch's) that is the difference between
+  * O(batch) and O(window) state IO per key per batch.
+  */
+object OverWindowStateV2 {
+  import OverWindowState.{Departure, Annotated, MaxLatenessMs}
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState, ListState}
+
+  class Processor(windowMs: Long) extends StatefulProcessor[Int, Departure, Annotated] {
+    @transient private var times: ListState[Long] = _
+    @transient private var maxSeenState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      times = getHandle.getListState[Long]("times", Encoders.scalaLong, TTLConfig.NONE)
+      maxSeenState = getHandle.getValueState[Long]("maxSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Int, rows: Iterator[Departure],
+                                 timers: TimerValues): Iterator[Annotated] = {
+      val prev: List[Long] = times.get().toList
+      var buf = prev
+      var maxSeen = if (maxSeenState.exists()) maxSeenState.get() else Long.MinValue
+      val added = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // identical peer semantics to OverWindowState.annotateWith: process
+      // per distinct timestamp so equal-timestamp RANGE peers count each other
+      val out = rows.toSeq.sortBy(d => (d.deptTimeMs, d.rideId))
+        .groupBy(_.deptTimeMs).toSeq.sortBy(_._1)
+        .flatMap { case (ts, peers) =>
+          peers.foreach { _ => buf = ts :: buf; added += ts }
+          maxSeen = math.max(maxSeen, ts)
+          val cnt = buf.count(t => t >= ts - windowMs && t <= ts)
+          peers.sortBy(_.rideId).map(d => Annotated(d.rideId, key, ts, cnt))
+        }
+      val horizon = maxSeen - windowMs - MaxLatenessMs
+      val kept = buf.filter(_ >= horizon)
+      if (kept.length == buf.length) times.appendList(added.toArray)
+      else { times.clear(); times.put(kept.toArray) }
+      maxSeenState.update(maxSeen)
+      out.iterator
+    }
+  }
+
+  /** rides stream -> per-departure trailing counts (append), V2 API.
+    * Requires the RocksDB state-store provider on the session.
+    */
+  def q3Streaming(rides: DataFrame, windowMs: Long = OverWindowState.WindowMs): Dataset[Annotated] = {
+    val spark = rides.sparkSession
+    import spark.implicits._
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .select(col("rideId").as("rideId"),
+        Taxi.toCellId(col("startLon"), col("startLat")).as("cell"),
+        unix_millis(col("rowtime")).as("deptTimeMs"))
+      .as[Departure]
+      .groupByKey(_.cell)
+      .transformWithState(new Processor(windowMs), TimeMode.None(), OutputMode.Append())
+  }
+}
+
+/** The streaming funnel again, on `transformWithState` — identical
+  * watermark-fold semantics to [[FunnelStream]] (events at or below the
+  * watermark fold in event-time order; pending events buffer; an event-time
+  * TIMER re-fires the fold when the watermark passes the oldest pending
+  * event), expressed with explicit `registerTimer`/`deleteTimer` instead of
+  * the single implicit `setTimeoutTimestamp` slot. The armed-timer
+  * timestamp is tracked in its own ValueState so re-arming can delete the
+  * exact prior timer (the V2 API allows many timers per key; this operator
+  * wants at most one).
+  */
+object FunnelStreamV2 {
+  import FunnelStream.{FunnelEvent, FunnelState, FunnelUpdate, foldReady, snapshot}
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+
+  class Processor extends StatefulProcessor[Long, FunnelEvent, FunnelUpdate] {
+    @transient private var state: ValueState[FunnelState] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[FunnelState]("funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    // after foldReady every remaining pending ts is > wm (ready ones folded),
+    // so the wanted timer is simply the min pending ts, or none
+    private def manageTimer(st: FunnelState): Unit = {
+      val cur = if (armed.exists()) Some(armed.get()) else None
+      val want = if (st.pending.nonEmpty) Some(st.pending.map(_._1).min) else None
+      if (cur != want) {
+        cur.foreach(getHandle.deleteTimer)
+        want match {
+          case Some(w) => getHandle.registerTimer(w); armed.update(w)
+          case None => armed.clear()
+        }
+      }
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+                                 timers: TimerValues): Iterator[FunnelUpdate] = {
+      val prev = if (state.exists()) state.get()
+        else FunnelState(Nil, Long.MinValue, -1L, -1L, -1L)
+      val wm = timers.getCurrentWatermarkInMs()
+      val fresh = rows.map(e => (e.ts.getTime, e.eventType))
+        .filter(_._1 > prev.foldedUpTo).toList
+      val st = foldReady(prev.copy(pending = fresh ::: prev.pending), wm)
+      state.update(st)
+      manageTimer(st)
+      val changed = (st.tView, st.tClick, st.tPurchase) !=
+        ((prev.tView, prev.tClick, prev.tPurchase))
+      if (changed || fresh.nonEmpty) Iterator.single(snapshot(key, st)) else Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[FunnelUpdate] = {
+      armed.clear() // the fired timer was the one we armed
+      if (!state.exists()) Iterator.empty
+      else {
+        val prev = state.get()
+        val st = foldReady(prev, timers.getCurrentWatermarkInMs())
+        state.update(st)
+        manageTimer(st)
+        val changed = (st.tView, st.tClick, st.tPurchase) !=
+          ((prev.tView, prev.tClick, prev.tPurchase))
+        if (changed) Iterator.single(snapshot(key, st)) else Iterator.empty
+      }
+    }
+  }
+
+  /** events stream -> per-user funnel snapshots (update mode), V2 API.
+    * Requires the RocksDB state-store provider on the session.
+    */
+  def funnelStream(events: DataFrame, delay: String = "61 seconds"): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").as("userId"), col("ts"),
+        col("event_type").as("eventType"))
+      .as[FunnelEvent]
+      .groupByKey(_.userId)
+      .transformWithState(new Processor, TimeMode.EventTime(), OutputMode.Update())
+  }
+}
+
+/** Q4's level-1 continuous per-cell count on `transformWithState` — the
+  * built-in update-mode streaming aggregation re-expressed as an explicit
+  * keyed processor (one long of state per live cell, changed keys emitted
+  * per batch), so the full cascade can run level-1 on the modern stateful
+  * API. Semantically q4Level1's changelog exactly: same changed-keys-only
+  * update stream, same final counts.
+  */
+object Q4Level1V2 {
+  import TtlContinuousCount.CellCount
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  class Processor extends StatefulProcessor[Int, Int, CellCount] {
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[Int],
+                                 timers: TimerValues): Iterator[CellCount] = {
+      val n = (if (cnt.exists()) cnt.get() else 0L) + rows.size
+      cnt.update(n)
+      Iterator.single(CellCount(key, n))
+    }
+  }
+
+  /** rides stream -> per-cell running departure counts (update changelog,
+    * columns cell / dept_cnt like q4Level1). Requires the RocksDB provider.
+    */
+  def query(rides: DataFrame): Dataset[CellCount] = {
+    val spark = rides.sparkSession
+    import spark.implicits._
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .select(Taxi.toCellId(col("startLon"), col("startLat")).as("cell"))
+      .as[Int]
+      .groupByKey(identity)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -575,4 +575,105 @@ class StreamingSpec extends SparkSpec {
     // no user with a view is missing from the stream, and depths split
     assert(batch.map(_._5).distinct.length > 1)
   }
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState OVER window (V2) matches V1 counts across a pruning batch") {
+    import graft.streaming.OverWindowStateV2
+    withRocksDb {
+      val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+      val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+          "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+        .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+      val q = OverWindowStateV2.q3Streaming(rides).writeStream
+        .format("memory").queryName("q3_stream_v2").outputMode(OutputMode.Append())
+        .option("checkpointLocation", Files.createTempDirectory("q3v2ck").toString)
+        .start()
+      try {
+        input.addData(
+          ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:05:00"),
+          ride(3, "2013-01-01 00:12:00"),
+          ride(4, "2013-01-01 00:30:00"))
+        q.processAllAvailable()
+        // second batch far past the prune horizon: forces the ListState
+        // rewrite path, and the trailing count must restart at 1
+        input.addData(ride(5, "2013-01-01 03:00:00"), ride(6, "2013-01-01 03:06:00"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val cnts = spark.table("q3_stream_v2").select("ride_id", "dept_cnt")
+        .as[(Long, Long)].collect().toMap
+      assert(cnts === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L, 6L -> 2L))
+    }
+  }
+
+  test("transformWithState funnel (V2) converges to the batch funnel") {
+    import graft.streaming.FunnelStreamV2
+    val all = graft.core.Tables.load(spark, Sf0001, "events")
+      .select("user_id", "ts", "event_type")
+      .as[(Long, Timestamp, String)].collect().sortBy(_._2.getTime)
+    assert(all.nonEmpty)
+    val (first, second) = all.splitAt(all.length / 3)
+    val sentinel = (-1L,
+      new Timestamp(all.map(_._2.getTime).max + 10L * 60 * 1000 + 61000), "signup")
+    withRocksDb {
+      val input = MemoryStream[(Long, Timestamp, String)](spark)
+      val q = FunnelStreamV2.funnelStream(
+        input.toDF().toDF("user_id", "ts", "event_type")).writeStream
+        .format("memory").queryName("funnel_stream_v2").outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("fnv2ck").toString)
+        .start()
+      try {
+        input.addData(first.toSeq); q.processAllAvailable()
+        input.addData(second.toSeq); q.processAllAvailable()
+        input.addData(sentinel); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("funnel_stream_v2").distinct()
+        .as[(Long, Option[Long], Option[Long], Option[Long], Int)].collect()
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._5) }
+      val batch = graft.operators.Relational.funnel(spark, Sf0001)
+        .as[(Long, Long, Option[Long], Option[Long], Int)].collect()
+      assert(batch.nonEmpty)
+      batch.foreach { case (u, tv, tc, tp, depth) =>
+        val s = got(u)
+        assert((s._2, s._3, s._4, s._5) === ((Some(tv), tc, tp, depth)),
+          s"user $u: V2 stream ${s} vs batch ${(tv, tc, tp, depth)}")
+      }
+    }
+  }
+
+  test("transformWithState level-1 (V2) emits the same final per-cell counts as the built-in agg") {
+    import graft.streaming.Q4Level1V2
+    withRocksDb {
+      val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+      val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+          "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+        .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+      val sink = new MemoryUpsertSink(Seq("cell"))
+      val q = Q4Level1V2.query(rides).toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", Files.createTempDirectory("q4l1v2ck").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) => sink.upsertBatch(b.toDF()) }
+        .start()
+      try {
+        input.addData(ride(1, "2013-01-01 00:01:00"), ride(2, "2013-01-01 00:02:00"),
+          ride(3, "2013-01-01 00:03:00", lon = -73.90f))
+        q.processAllAvailable()
+        input.addData(ride(4, "2013-01-01 00:10:00")) // main cell -> 3
+        q.processAllAvailable()
+      } finally q.stop()
+      val mainCell = graft.functions.Taxi.toCellIdScalar(-73.99f, 40.75f)
+      val otherCell = graft.functions.Taxi.toCellIdScalar(-73.90f, 40.75f)
+      val got = sink.snapshot.values.map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(got === Map(mainCell -> 3L, otherCell -> 1L))
+    }
+  }
 }
