@@ -30,9 +30,11 @@ import graft.sources.Rides
   * the same technique StreamingSpec uses.
   *
   * Every gate returns a result MATERIALIZED into the driver (bounded by
-  * the verify-SF result size) and deletes its replay/checkpoint/lake temp
-  * dirs before returning — repeated bench runs must not accumulate staged
-  * table copies in /tmp or pin memory-sink tables for the session's life.
+  * the verify-SF result size) and deletes its checkpoint/lake temp dirs
+  * before returning; staged replay chunks are SHARED across gates and
+  * runs via [[replayCached]] (one copy per logical input per JVM, deleted
+  * at exit) — repeated bench runs must not accumulate staged table copies
+  * in /tmp or pin memory-sink tables for the session's life.
   *
   * This object is verification scaffolding bounded by the verify SF
   * (single-file chunk writes, driver-side min/max scalars); the operators
@@ -94,6 +96,86 @@ object StreamGate {
         .option("maxFilesPerTrigger", "1")
         .parquet(chunkDir.toString), root)
     } catch { case e: Throwable => rmrf(root); throw e }
+  }
+
+  /** SHARED chunk staging: gates replaying the SAME logical input at the
+    * SAME chunking re-use one staged chunk dir for the JVM's lifetime
+    * instead of each re-deriving, re-writing, and re-deleting identical
+    * files (q1/q3×2/q8/ttl×2/static/retract all replay the same 6
+    * rides chunks; at bench repeat=3 each gate stages 4× — the staging
+    * was a fixed cost of every gate run that the cache pays once per
+    * (input, chunking)). `key` names the logical input and MUST include
+    * every parameter the staged bytes depend on (the sf dir, any
+    * sentinel/union variant); `chunks` is part of the cache key.
+    *
+    * The staged dir is read-only after creation (gates never mutate the
+    * watched dir — each run gets its own checkpoint, and the file
+    * source's mtime ordering is burned in at staging), which is what
+    * makes sharing safe. Roots are deleted once, at JVM exit, preserving
+    * the no-accumulation contract across repeated bench runs in one JVM.
+    */
+  private val chunkCache = scala.collection.concurrent.TrieMap.empty[(String, Int), Path]
+  private val cacheHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def replayCached(spark: SparkSession, key: String, chunks: Int = Chunks)
+      (mk: => (DataFrame, Column)): DataFrame = {
+    // gates run strictly sequentially (Verify/Bench contract), so the
+    // getOrElseUpdate race (double staging) can't occur in practice
+    val chunkDir = chunkCache.getOrElseUpdate((key, chunks), {
+      if (cacheHooked.compareAndSet(false, true))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          chunkCache.values.foreach(p => rmrf(p.getParent))))
+      val (df, orderMs) = mk
+      val (root, files) = stageChunkFiles(df, orderMs, chunks)
+      try {
+        val cdir = root.resolve("chunks")
+        Files.createDirectories(cdir)
+        files.zipWithIndex.foreach { case (f, i) =>
+          val dst = cdir.resolve(f.getFileName)
+          Files.move(f, dst)
+          if (!dst.toFile.setLastModified((i + 1) * 60000L))
+            throw new java.io.IOException(
+              s"cannot set mtime on $dst — chunk replay order would be undefined")
+        }
+        cdir
+      } catch { case e: Throwable => rmrf(root); throw e }
+    })
+    // schema from the staged footers (cache hits must not re-derive the
+    // input DataFrame — that was the point)
+    spark.readStream.schema(spark.read.parquet(chunkDir.toString).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chunkDir.toString)
+  }
+
+  /** The shared rides replay every event-time gate uses. */
+  private def ridesReplay(spark: SparkSession, dir: String, chunks: Int = Chunks): DataFrame =
+    replayCached(spark, s"rides|$dir", chunks)(
+      (Rides.fromEvents(spark, dir), unix_millis(col("rowtime"))))
+
+  /** Cached STAGED FILES (not a watched dir): for gates that feed chunks
+    * one at a time ([[ingestAdmit]] moves files into its watched dir
+    * between maintenance passes). The staging is computed once per
+    * (key, chunks) and each run COPIES from it, so repeated bench runs
+    * skip the derive+write while the run's own watched dir stays private.
+    */
+  private def stagedFilesCached(spark: SparkSession, key: String, chunks: Int)
+      (mk: => (DataFrame, Column)): Seq[Path] = {
+    val cdir = chunkCache.getOrElseUpdate((s"files|$key", chunks), {
+      if (cacheHooked.compareAndSet(false, true))
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          chunkCache.values.foreach(p => rmrf(p.getParent))))
+      val (df, orderMs) = mk
+      val (root, files) = stageChunkFiles(df, orderMs, chunks)
+      try {
+        val dir = root.resolve("chunks")
+        Files.createDirectories(dir)
+        files.foreach(f => Files.move(f, dir.resolve(f.getFileName)))
+        dir
+      } catch { case e: Throwable => rmrf(root); throw e }
+    })
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(cdir)
+    try ls.iterator().asScala.toSeq.sortBy(_.getFileName.toString) finally ls.close()
   }
 
   /** Stage `df` into one parquet file per chunk (range of the monotone
@@ -237,10 +319,9 @@ object StreamGate {
     * Oracle: the batch q1 oracle.
     */
   def q1Tumble(spark: SparkSession, dir: String): DataFrame = {
-    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
-    try runToMemory(StreamingQueries.q1Tumble(stream), "complete")
+    val stream = ridesReplay(spark, dir)
+    runToMemory(StreamingQueries.q1Tumble(stream), "complete")
       .orderBy("dept_time", "cell")
-    finally rmrf(root)
   }
 
   /** Q4 cascaded aggregate (the reference's retraction flagship) through
@@ -258,14 +339,13 @@ object StreamGate {
     // proven at 3 batches, and the histogram lake holds ~5 keys. Shuffle
     // parallelism is sized to that workload (see withGateParallelism).
     val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
-    val (stream, root) = replay(Rides.fromEvents(spark, dir),
-      unix_millis(col("rowtime")), chunks = 3)
+    val stream = ridesReplay(spark, dir, chunks = 3)
     try withGateParallelism(spark, 4) {
       val q = CascadeQ4.startToParquet(stream, sink, tmp.resolve("ck").toString)
       q.awaitTermination()
       materialize(sink.snapshot(spark).select(col("dept_cnt"), col("cnt_freq")))
         .orderBy("dept_cnt")
-    } finally { rmrf(root); rmrf(tmp) }
+    } finally rmrf(tmp)
   }
 
   /** Q7 session windows through micro-batches (append mode — sessions
@@ -285,11 +365,11 @@ object StreamGate {
       .toDF("rideId", "isStart", "startTime", "endTime",
         "startLon", "startLat", "endLon", "endLat", "passengerCnt")
       .withColumn("rowtime", col("startTime"))
-    val (stream, root) = replay(rides.unionByName(sentinel), unix_millis(col("rowtime")))
-    try runToMemory(StreamingQueries.q7Session(stream), "append")
+    val stream = replayCached(spark, s"ridesq7|$dir")(
+      (rides.unionByName(sentinel), unix_millis(col("rowtime"))))
+    runToMemory(StreamingQueries.q7Session(stream), "append")
       .filter(col("sess_start") <= maxMs) // drop the sentinel's own session
       .orderBy("cell", "sess_start")
-    finally rmrf(root)
   }
 
   /** Q3 OVER-window state through micro-batches: [[OverWindowState]] at
@@ -300,14 +380,13 @@ object StreamGate {
     * batch RANGE frame exactly. Oracle: the batch q3_over_recent oracle.
     */
   def q3Over(spark: SparkSession, dir: String): DataFrame = {
-    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
-    try runToMemory(OverWindowState.q3Streaming(stream,
+    val stream = ridesReplay(spark, dir)
+    runToMemory(OverWindowState.q3Streaming(stream,
           windowMs = graft.operators.TaxiQueries.RecentFrameMs).toDF(),
         "append")
       .filter(col("dept_cnt") > 1)
       .select("ride_id", "cell", "dept_time", "dept_cnt")
       .orderBy("ride_id")
-    finally rmrf(root)
   }
 
   /** Q8 stream-stream pair join through micro-batches: the watermarked
@@ -320,10 +399,9 @@ object StreamGate {
     * after the watermark evicted its START. Oracle: the batch q8 oracle.
     */
   def q8Pair(spark: SparkSession, dir: String): DataFrame = {
-    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
-    try runToMemory(StreamingQueries.pairStartEnd(stream), "append")
+    val stream = ridesReplay(spark, dir)
+    runToMemory(StreamingQueries.pairStartEnd(stream), "append")
       .orderBy("pair_id")
-    finally rmrf(root)
   }
 
   /** Incremental sub-document dedup through micro-batches: verdicts of
@@ -336,7 +414,8 @@ object StreamGate {
     import graft.operators.Dedup
     val table = s"graft_gate_wins_${runId.incrementAndGet()}"
     Dedup.persistWindowTable(spark, dir, table)
-    val (stream, root) = replay(Dedup.incomingDocs(spark, dir), col("doc_id"), chunks = 3)
+    val stream = replayCached(spark, s"incoming|$dir", chunks = 3)(
+      (Dedup.incomingDocs(spark, dir), col("doc_id")))
     try {
       val schema = Dedup.substringIncremental(spark, dir).schema // lazy: no job
       val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -348,7 +427,6 @@ object StreamGate {
       spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
         .orderBy("doc_id")
     } finally {
-      rmrf(root)
       spark.sql(s"DROP TABLE IF EXISTS $table"); ()
     }
   }
@@ -363,11 +441,12 @@ object StreamGate {
     * duplicate or over-dropped event hash-fails.
     */
   def dedupEvents(spark: SparkSession, dir: String): DataFrame = {
-    val rides = Rides.fromEvents(spark, dir)
-    val (stream, root) = replay(rides.unionByName(rides), unix_millis(col("rowtime")))
-    try graft.operators.TaxiQueries.srcRidesProjection(
+    val stream = replayCached(spark, s"rides2x|$dir") {
+      val rides = Rides.fromEvents(spark, dir)
+      (rides.unionByName(rides), unix_millis(col("rowtime")))
+    }
+    graft.operators.TaxiQueries.srcRidesProjection(
       runToMemory(StreamingQueries.dedupEvents(stream), "append"))
-    finally rmrf(root)
   }
 
   /** The SELF-GROWING ingest loop under the hard gate: admit → verdict →
@@ -398,7 +477,9 @@ object StreamGate {
     val table = s"graft_gate_corpus_${runId.incrementAndGet()}"
     Dedup.persistCorpusBands(spark, dir, table)
     val incoming = Dedup.ingestArrivals(spark, dir)
-    val (root, files) = stageChunkFiles(incoming, col("doc_id"), chunks = 3)
+    val files = stagedFilesCached(spark, s"ingest|$dir", chunks = 3)(
+      (incoming, col("doc_id")))
+    val root = Files.createTempDirectory("graft-gate-ingest")
     val watched = root.resolve("watched")
     Files.createDirectories(watched)
     try {
@@ -416,7 +497,8 @@ object StreamGate {
           buf.synchronized { buf ++= v.collect() }; ()
         }
         try files.foreach { f =>
-          Files.move(f, watched.resolve(f.getFileName))
+          // COPY, not move: the staging is the shared JVM-wide cache
+          Files.copy(f, watched.resolve(f.getFileName))
           q.processAllAvailable()
           Dedup.compactCorpusBands(spark, table)
         } finally q.stop()
@@ -446,7 +528,7 @@ object StreamGate {
     import graft.operators.TaxiQueries
     val sink = new MemoryUpsertSink(Seq("cell"))
     val ck = Files.createTempDirectory("graft-gate-ttl-ck")
-    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    val stream = ridesReplay(spark, dir)
     try {
       withGateParallelism(spark, 4) {
         val q = TtlContinuousCount.query(stream, ttlMs = TaxiQueries.TtlGateMs).toDF()
@@ -460,7 +542,7 @@ object StreamGate {
       spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
           Encoders.product[TtlContinuousCount.CellCount].schema)
         .orderBy("cell")
-    } finally { rmrf(root); rmrf(ck) }
+    } finally rmrf(ck)
   }
 
   /** The idle-state TTL count again, but through Spark 4's
@@ -473,7 +555,7 @@ object StreamGate {
     import graft.operators.TaxiQueries
     val sink = new MemoryUpsertSink(Seq("cell"))
     val ck = Files.createTempDirectory("graft-gate-ttlv2-ck")
-    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    val stream = ridesReplay(spark, dir)
     try {
       // transformWithState requires the RocksDB provider; scoped to this
       // gate and restored, like the parallelism override below
@@ -491,7 +573,7 @@ object StreamGate {
       spark.createDataFrame(sink.snapshot.values.toSeq.asJava,
           Encoders.product[TtlContinuousCount.CellCount].schema)
         .orderBy("cell")
-    } finally { rmrf(root); rmrf(ck) }
+    } finally rmrf(ck)
   }
 
   /** The Q3 OVER window again, through `transformWithState`
@@ -500,15 +582,15 @@ object StreamGate {
     * must reproduce the emit-once trailing counts exactly.
     */
   def q3OverV2(spark: SparkSession, dir: String): DataFrame = {
-    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
-    try withRocksDb(spark) {
+    val stream = ridesReplay(spark, dir)
+    withRocksDb(spark) {
       runToMemory(OverWindowStateV2.q3Streaming(stream,
             windowMs = graft.operators.TaxiQueries.RecentFrameMs).toDF(),
           "append")
         .filter(col("dept_cnt") > 1)
         .select("ride_id", "cell", "dept_time", "dept_cnt")
         .orderBy("ride_id")
-    } finally rmrf(root)
+    }
   }
 
   /** The per-user funnel again, through `transformWithState`
@@ -524,7 +606,8 @@ object StreamGate {
       .toDF("user_id", "ts", "event_type")
     val sink = new MemoryUpsertSink(Seq("user_id"))
     val ck = Files.createTempDirectory("graft-gate-funnelv2-ck")
-    val (stream, root) = replay(ev.unionByName(sentinel), unix_millis(col("ts")))
+    val stream = replayCached(spark, s"eventsfunnel|$dir")(
+      (ev.unionByName(sentinel), unix_millis(col("ts"))))
     try {
       withRocksDb(spark) {
         withGateParallelism(spark, GateStatePartitions) {
@@ -541,7 +624,7 @@ object StreamGate {
           Encoders.product[FunnelStream.FunnelUpdate].schema)
         .filter(col("t_view").isNotNull)
         .orderBy("user_id")
-    } finally { rmrf(root); rmrf(ck) }
+    } finally rmrf(ck)
   }
 
   /** The full Q4 cascade again, with level-1 on `transformWithState`
@@ -552,8 +635,7 @@ object StreamGate {
   def q4CascadeV2(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Files.createTempDirectory("graft-gate-q4v2")
     val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
-    val (stream, root) = replay(Rides.fromEvents(spark, dir),
-      unix_millis(col("rowtime")), chunks = 3)
+    val stream = ridesReplay(spark, dir, chunks = 3)
     try withRocksDb(spark) {
       withGateParallelism(spark, 4) {
         val q = CascadeQ4.startToParquetFrom(Q4Level1V2.query(stream).toDF(),
@@ -562,7 +644,7 @@ object StreamGate {
         materialize(sink.snapshot(spark).select(col("dept_cnt"), col("cnt_freq")))
           .orderBy("dept_cnt")
       }
-    } finally { rmrf(root); rmrf(tmp) }
+    } finally rmrf(tmp)
   }
 
   /** The stream-static dimension join under the hard gate: the ride
@@ -576,7 +658,7 @@ object StreamGate {
   def staticJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TaxiQueries
     val dim = TaxiQueries.zoneDim(spark, dir)
-    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    val stream = ridesReplay(spark, dir)
     val ck = Files.createTempDirectory("graft-gate-szj-ck")
     // keyed by ride_id, not appended: foreachBatch is at-least-once, so a
     // retried micro-batch must overwrite its own rows, not duplicate them
@@ -597,7 +679,7 @@ object StreamGate {
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(buf.synchronized(buf.values.toList).asJava, schema)
         .orderBy("ride_id")
-    } finally { rmrf(root); rmrf(ck) }
+    } finally rmrf(ck)
   }
 
   /** The retract-stream ENCODING under the hard gate: q4's level-1
@@ -612,7 +694,7 @@ object StreamGate {
   def q4Retract(spark: SparkSession, dir: String): DataFrame = {
     val retr = new RetractStream(Seq("cell"))
     val counts = scala.collection.mutable.Map.empty[Row, Int]
-    val (stream, root) = replay(Rides.fromEvents(spark, dir), unix_millis(col("rowtime")))
+    val stream = ridesReplay(spark, dir)
     val ck = Files.createTempDirectory("graft-gate-retract-ck")
     try {
       val schema = StreamingQueries.q4Level1(Rides.fromEvents(spark, dir)).schema
@@ -639,7 +721,7 @@ object StreamGate {
       spark.createDataFrame(rows.asJava, schema)
         .select(col("cell"), col("dept_cnt"))
         .orderBy("cell")
-    } finally { rmrf(root); rmrf(ck) }
+    } finally rmrf(ck)
   }
 
   /** Per-user funnel through micro-batches: [[FunnelStream]]'s update-mode
@@ -659,7 +741,8 @@ object StreamGate {
       .toDF("user_id", "ts", "event_type")
     val sink = new MemoryUpsertSink(Seq("user_id"))
     val ck = Files.createTempDirectory("graft-gate-funnel-ck")
-    val (stream, root) = replay(ev.unionByName(sentinel), unix_millis(col("ts")))
+    val stream = replayCached(spark, s"eventsfunnel|$dir")(
+      (ev.unionByName(sentinel), unix_millis(col("ts"))))
     try {
       // same state-partition sizing as runToMemory: the per-user funnel
       // fold keeps one flatMapGroupsWithState store per shuffle partition,
@@ -678,6 +761,6 @@ object StreamGate {
           Encoders.product[FunnelStream.FunnelUpdate].schema)
         .filter(col("t_view").isNotNull)
         .orderBy("user_id")
-    } finally { rmrf(root); rmrf(ck) }
+    } finally rmrf(ck)
   }
 }
