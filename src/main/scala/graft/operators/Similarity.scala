@@ -481,10 +481,10 @@ object Similarity {
     *     that never shuffles the corpus.
     */
   def pqTopkAgainst(spark: SparkSession, dir: String, coarseTable: String,
-      pqTable: String, nprobe: Int = NProbe): DataFrame = {
+      pqTable: String, nprobe: Int = NProbe, refine: Int = PqRefine): DataFrame = {
     val coarse = Clustering.loadCentroids(spark, coarseTable)
     val books = loadPqBooks(spark, pqTable)
-    pqTopkWith(spark, dir, nprobe, coarse, books)
+    pqTopkWith(spark, dir, nprobe, coarse, books, refine)
   }
 
   /** [[pqTopkAgainst]] with an explicit query-set predicate (the
@@ -508,15 +508,18 @@ object Similarity {
   }
 
   private def pqTopkWith(spark: SparkSession, dir: String, nprobe: Int,
-      coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]]): DataFrame =
-    pqTopkWhere(spark, dir, nprobe, coarse, books, col("vec_id") % 20 === 0)
+      coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]],
+      refine: Int = PqRefine): DataFrame =
+    pqTopkWhere(spark, dir, nprobe, coarse, books, col("vec_id") % 20 === 0, refine)
 
   /** [[pqTopkWith]] with an explicit query-set predicate (see
-    * [[multiprobeTopkRadiusWhere]] — same fixed-query scale-probe seam).
+    * [[multiprobeTopkRadiusWhere]] — same fixed-query scale-probe seam)
+    * and ADC pool width (`refine` — the recall knob that binds once the
+    * probed lists cover the truth, see tools.RecallReport).
     */
   private[graft] def pqTopkWhere(spark: SparkSession, dir: String, nprobe: Int,
       coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]],
-      queryPred: Column): DataFrame = {
+      queryPred: Column, refine: Int = PqRefine): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     // corpus: residual -> per-slice code -> reconstruction, all map-only
@@ -560,7 +563,7 @@ object Similarity {
     // dim or coarser quantization bump must revisit this bound.
     val pool = scored
       .groupBy("q_id")
-      .agg(graft.functions.TopK.topk(PqRefine)(col("vec_id"), -col("adc_dist").cast("double")).as("top"))
+      .agg(graft.functions.TopK.topk(refine)(col("vec_id"), -col("adc_dist").cast("double")).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
     // exact re-rank: ONLY pool rows' original (quantized) vectors are
     // scored exactly — the pool (queries × PqRefine ids) broadcasts, the

@@ -750,7 +750,18 @@ object TextAnalysis {
   /** [[bpeLearnBatched]] exposing the number of rounds actually run —
     * the spec pins rounds < merges to prove batching is non-vacuous.
     */
-  def bpeLearnBatchedRounds(spark: SparkSession, dir: String, k: Int = BpeBatchK): (DataFrame, Int) = {
+  def bpeLearnBatchedRounds(spark: SparkSession, dir: String, k: Int = BpeBatchK): (DataFrame, Int) =
+    bpeLearnBatchedN(spark, dir, BpeMerges, k)
+
+  /** [[bpeLearnBatchedRounds]] at an arbitrary merge count — the gated
+    * query stays at [[BpeMerges]] (the oracle unrolls CTE levels, so its
+    * depth is fixed), while `tools.BpeScale` drives this at a realistic
+    * vocabulary (64+ merges, width ≥ 16) to measure that wall-time grows
+    * with ROUNDS (≈ merges / accepted-batch width), not merges — the
+    * driver-sequencing bound the scaladoc on [[bpeLearnBatched]] claims.
+    */
+  def bpeLearnBatchedN(spark: SparkSession, dir: String, nMerges: Int,
+      k: Int): (DataFrame, Int) = {
     import spark.implicits._
     val words = bpeWordFreqs(spark, dir).cache()
     var it = words.select("freq", "s")
@@ -758,8 +769,8 @@ object TextAnalysis {
     var learned = 0
     var rounds = 0
     var depleted = false
-    while (learned < BpeMerges && !depleted) {
-      val want = math.min(k, BpeMerges - learned)
+    while (learned < nMerges && !depleted) {
+      val want = math.min(k, nMerges - learned)
       val top = bpePairCounts(it).limit(want + 1).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) depleted = true
@@ -796,8 +807,8 @@ object TextAnalysis {
     }
     words.unpersist()
     val out = merges.result()
-    require(out.size == BpeMerges,
-      s"BPE pair depletion: learned ${out.size} of $BpeMerges merges")
+    require(out.size == nMerges,
+      s"BPE pair depletion: learned ${out.size} of $nMerges merges")
     (out.toDF("merge_rank", "left_sym", "right_sym", "pair_cnt")
       .orderBy("merge_rank"), rounds)
   }

@@ -50,9 +50,11 @@ object Stress20x {
     ev.crossJoin(broadcast(reps))
       .withColumn("event_id", col("event_id") + col("rep") * nEv)
       .withColumn("user_id", col("user_id") + col("rep") * userStride)
-      // write INT64 nanos like the driver's events.parquet, so
-      // Tables.events' nanosAsLong + div-1000 read path applies unchanged
-      .withColumn("ts", (unix_micros(col("ts")) + col("rep") * spanMs * 1000) * 1000)
+      // write timestamp[us] like the CURRENT testdata generation (the
+      // loader refuses a plain INT64 ts since it can't know the epoch
+      // unit; the legacy TIMESTAMP(NANOS) path is pinned by committed
+      // fixtures in TablesEncodingSpec, not by this probe corpus)
+      .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + col("rep") * spanMs * 1000))
       .drop("rep")
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
 
