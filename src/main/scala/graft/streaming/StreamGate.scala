@@ -7,7 +7,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.sinks.{MemoryUpsertSink, ParquetUpsertSink}
+import graft.sinks.{MemoryDocStore, MemoryUpsertSink, NetworkUpsertSink, ParquetUpsertSink}
 import graft.sources.Rides
 
 /** Driver-gate harness putting the STREAMING layer under the same DuckDB
@@ -625,6 +625,36 @@ object StreamGate {
         .filter(col("t_view").isNotNull)
         .orderBy("user_id")
     } finally rmrf(ck)
+  }
+
+  /** The full Q4 cascade with its level-2 changelog ALSO shipped through
+    * the network document-store contract ([[NetworkUpsertSink]] — the
+    * reference's actual sink target, ElasticUpsertTableSink.scala:116-148)
+    * into a [[MemoryDocStore]] suffering an injected brownout (the first
+    * two bulk calls fail retryably). The gated table is read from the
+    * DOCUMENT STORE, not the lake — so the oracle only matches if the
+    * batching writer delivered every upsert AND delete through the retry
+    * path. Oracle: the same batch q4 oracle as [[q4Cascade]].
+    */
+  def q4CascadeNet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-gate-q4net")
+    val storeId = s"gate-q4net-${runId.incrementAndGet()}"
+    MemoryDocStore.clear(storeId)
+    val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
+    val mirror = new NetworkUpsertSink(
+      MemoryDocStore.Factory(storeId, failFirstN = 2),
+      Seq("dept_cnt"), maxActions = 4, maxRetries = 8, backoffMs = 1L)
+    val stream = ridesReplay(spark, dir, chunks = 3)
+    try withGateParallelism(spark, 4) {
+      val q = CascadeQ4.startToParquetFrom(StreamingQueries.q4Level1(stream),
+        sink, tmp.resolve("ck").toString, mirror)
+      q.awaitTermination()
+      MemoryDocStore.store(storeId).values.toSeq
+        .map(d => (d("dept_cnt").asInstanceOf[Long], d("cnt_freq").asInstanceOf[Long]))
+        .toDF("dept_cnt", "cnt_freq")
+        .orderBy("dept_cnt")
+    } finally { rmrf(tmp); MemoryDocStore.clear(storeId) }
   }
 
   /** The full Q4 cascade again, with level-1 on `transformWithState`

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import graft.functions.Taxi
-import graft.sinks.{MemoryUpsertSink, UpsertKeys}
+import graft.sinks.{MemoryUpsertSink, NetworkUpsertSink, UpsertKeys}
 import scala.collection.concurrent.TrieMap
 
 /** Structured-Streaming forms of the reference's queries. The reference is
@@ -277,7 +277,8 @@ object CascadeQ4 {
     */
   private[graft] def applyBatch(level1: ParquetUpsertSink, level2: ParquetUpsertSink,
                                     markers: org.apache.hadoop.fs.Path,
-                                    batch: Dataset[Row], batchId: Long): Unit = {
+                                    batch: Dataset[Row], batchId: Long,
+                                    mirror: NetworkUpsertSink = null): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -308,7 +309,13 @@ object CascadeQ4 {
           val fresh = freshAll.join(broadcast(touchedDf), "dept_cnt").persist()
           val dels = touchedDf.join(fresh.select("dept_cnt"), Seq("dept_cnt"), "left_anti")
             .withColumn("cnt_freq", lit(0L))
-          try level2.upsert(fresh, dels) finally { fresh.unpersist(); () }
+          try {
+            level2.upsert(fresh, dels)
+            // the same (fresh, dels) changelog IS the reference's Elastic
+            // upsert/delete stream; replay after a crash re-sends full
+            // documents, which the keyed store absorbs idempotently
+            if (mirror != null) mirror.applyChangelog(fresh, dels)
+          } finally { fresh.unpersist(); () }
         case None =>
           // histogram domain too wide for a driver-side id list: recompute
           // everything; deletes = lake keys with no surviving bucket
@@ -319,6 +326,7 @@ object CascadeQ4 {
             .join(freshAll.select("dept_cnt"), Seq("dept_cnt"), "left_anti")
             .withColumn("cnt_freq", lit(0L))).orNull
           level2.upsert(freshAll, dels)
+          if (mirror != null) mirror.applyChangelog(freshAll, dels)
       }
       // lakes now agree with level-1 truth for every marked bucket
       clearMarkers(fs, markers)
@@ -347,7 +355,8 @@ object CascadeQ4 {
     * are identical either way.
     */
   def startToParquetFrom(level1Changelog: DataFrame, sink: ParquetUpsertSink,
-                     checkpoint: String): StreamingQuery = {
+                     checkpoint: String,
+                     mirror: NetworkUpsertSink = null): StreamingQuery = {
     val level1 = new ParquetUpsertSink(
       new org.apache.hadoop.fs.Path(checkpoint, "graft-cascade-level1").toString,
       Seq("cell"), sink.nBuckets)
@@ -357,7 +366,7 @@ object CascadeQ4 {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(level1, sink, markers, batch, batchId)
+        applyBatch(level1, sink, markers, batch, batchId, mirror)
       }
       .trigger(Trigger.AvailableNow())
       .start()
