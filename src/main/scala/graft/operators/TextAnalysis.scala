@@ -958,4 +958,268 @@ object TextAnalysis {
        |  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
        |FROM segged GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------------
+  // Trained bigram language model + perplexity scoring (CCNet-style filter)
+  // -------------------------------------------------------------------------
+
+  /** The reference-corpus slice the LM is FIT on. Perplexity filtering's
+    * whole premise (CCNet, Gopher/MassiveText) is an asymmetry: train a
+    * small LM on a trusted reference corpus, score the raw crawl against
+    * it, keep what the reference model finds unsurprising. One source
+    * plays the reference here; everything is scored.
+    */
+  val LmTrainSource = "src0"
+
+  /** LM vocabulary size — top tokens of the TRAINING slice by frequency.
+    * Deliberately below the corpus' distinct-token count (31 in the
+    * fixture) so the `<unk>` path is really exercised: out-of-vocab
+    * tokens in scored documents map to `<unk>` and meet bigram counts
+    * that only add-1 smoothing covers.
+    */
+  val LmVocabSize = 20
+
+  val LmVocabTable = "graft_lm_vocab"
+  val LmModelTable = "graft_lm_model"
+  val LmCtxTable = "graft_lm_ctx"
+
+  /** Hyperparameters are part of the staleness key: changing the train
+    * slice, vocab cap, smoothing, or quantization refits instead of
+    * silently reusing an incompatible model.
+    */
+  private val LmFingerprint =
+    s"lm.v1;bigram;laplace=1;vocab=$LmVocabSize;train=$LmTrainSource;lscale=1e6"
+
+  /** Integer-quantized natural log — micro-nats, the same cross-engine
+    * determinism trick as the NB weights (Pipeline.L): ln is only ever
+    * applied to an INTEGER argument and immediately rounded to a BIGINT,
+    * so per-bigram costs sum order-independently and engine-exactly.
+    */
+  private def lnMicro(e: String) = s"CAST(round(ln($e) * 1000000.0) AS BIGINT)"
+
+  /** Map a doc's tokens into the model's event space and prepend the BOS
+    * context: `<s> m1 m2 …` where `m_i = token if in-vocab else '<unk>'`.
+    * The vocab is inlined as an array literal — a MODEL-PARAMETER pull,
+    * the same discipline as the k-means `centroidExpr` and the BPE merge
+    * list: ≤[[LmVocabSize]] strings ride the plan, never a join. At a
+    * real 32k+ vocabulary the literal stops being reasonable and the
+    * mapping becomes a broadcast left-join on token (explode with
+    * position, map, re-collect per doc); the CASE keeps the whole doc →
+    * bigram pipeline a single codegen'd projection here.
+    */
+  private def lmMapExpr(vocab: Seq[String]): String = {
+    val lit = vocab
+      .map(t => "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      .mkString("array(", ", ", ")")
+    "concat(array('<s>'), transform(split(text, ' '), " +
+      s"t -> CASE WHEN array_contains($lit, t) THEN t ELSE '<unk>' END))"
+  }
+
+  /** One row per bigram occurrence (l = context, r = predicted token),
+    * including the (BOS, first-token) pair — n_bigrams = n_tokens, so
+    * the per-doc average is over every token position.
+    */
+  private def lmBigrams(d: DataFrame, vocab: Seq[String]): DataFrame =
+    d.selectExpr("doc_id", "source", s"${lmMapExpr(vocab)} AS m")
+      .selectExpr("doc_id", "source",
+        "explode(transform(sequence(1, size(m) - 1), " +
+          "i -> struct(m[i-1] AS l, m[i] AS r))) AS pr")
+      .select(col("doc_id"), col("source"),
+        col("pr.l").as("l"), col("pr.r").as("r"))
+
+  /** The training-slice frequency vocab (top-[[LmVocabSize]], ties on
+    * the token string — the [[oovRate]] vocab discipline).
+    */
+  private def lmVocabDf(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).filter(col("source") === LmTrainSource)
+      .selectExpr("explode(split(text, ' ')) AS token")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(LmVocabSize)
+      .select("token", "tf")
+
+  /** Bigram counts over the mapped training slice — the trained model.
+    * The mapped alphabet caps this table at (V+2)² rows regardless of
+    * corpus size: ONE vocab-bounded shuffle is the entire fit.
+    */
+  private def lmModelDf(spark: SparkSession, dir: String,
+      vocab: Seq[String]): DataFrame =
+    lmBigrams(docs(spark, dir).filter(col("source") === LmTrainSource), vocab)
+      .groupBy("l", "r").agg(count(lit(1)).as("cnt"))
+
+  /** Context totals n_l = Σ_r cnt(l, r), derived from the model table
+    * (vocab-scale input, no second corpus pass).
+    */
+  private def lmCtxDf(model: DataFrame): DataFrame =
+    model.groupBy("l").agg(sum("cnt").as("n_l"))
+
+  /** Persist the trained LM — vocab, bigram counts, and context totals
+    * as ONE group ([[graft.core.ModelTables.persistGroupIfStale]]): the
+    * three tables bake in the same fit-time corpus snapshot, so a
+    * failure mid-group must rebuild all of them, never pair fresh counts
+    * with a stale vocab. Training cost (one corpus scan + vocab-bounded
+    * shuffle) is paid once per (source dir, hyperparams).
+    */
+  def persistLmModel(spark: SparkSession, dir: String,
+      vocabTable: String = LmVocabTable, modelTable: String = LmModelTable,
+      ctxTable: String = LmCtxTable): Unit = {
+    lazy val vocab = lmVocabDf(spark, dir).collect().map(_.getString(0)).toSeq
+    lazy val model = lmModelDf(spark, dir, vocab).cache()
+    graft.core.ModelTables.persistGroupIfStale(spark, dir, LmFingerprint)(
+      vocabTable -> (() =>
+        lmVocabDf(spark, dir).write.mode("overwrite").saveAsTable(vocabTable)),
+      modelTable -> (() =>
+        model.write.mode("overwrite").saveAsTable(modelTable)),
+      ctxTable -> (() =>
+        lmCtxDf(model).write.mode("overwrite").saveAsTable(ctxTable)))
+  }
+
+  /** Per-document negative log-likelihood under the trained bigram LM
+    * with add-1 smoothing over the B = V+1 event space (vocab ∪ <unk>;
+    * BOS is a context, never predicted):
+    *
+    *   nll(bigram l→r) = L(n_l + B) − L(cnt(l,r) + 1)   [micro-nats]
+    *
+    * Unseen bigrams and unseen contexts coalesce to 0 — exactly the
+    * uniform 1/B smoothing mass. `avg_nll` (micro-nats/token) IS
+    * log-perplexity ×1e6; the monotone exp is left to the consumer so
+    * every emitted number stays engine-exact.
+    *
+    * Scale shape: scoring is one scan → codegen'd map/explode →
+    * broadcast left-joins against the vocab-bounded model ((V+2)² cap
+    * here; at a web-scale vocabulary where observed bigrams outgrow a
+    * broadcast, the same plan runs as a shuffle equi-join on (l, r)) →
+    * one per-doc aggregation. No corpus self-join anywhere.
+    */
+  def perplexityAgainst(spark: SparkSession, dir: String,
+      vocabTable: String = LmVocabTable, modelTable: String = LmModelTable,
+      ctxTable: String = LmCtxTable): DataFrame = {
+    // model-parameter pull: V strings + V² counts live in catalog tables;
+    // only the vocab literal (for the token→event mapping) is collected
+    val vocab = spark.table(vocabTable)
+      .orderBy("token").collect().map(_.getString(0)).toSeq
+    lmScore(spark, dir, vocab,
+      spark.table(modelTable).select("l", "r", "cnt"),
+      spark.table(ctxTable).select("l", "n_l"))
+  }
+
+  /** The fit-inline form — the spec's fit/apply-equality reference. */
+  private[graft] def perplexityInline(spark: SparkSession,
+      dir: String): DataFrame = {
+    val vocab = lmVocabDf(spark, dir).collect().map(_.getString(0)).toSeq
+    val model = lmModelDf(spark, dir, vocab)
+    lmScore(spark, dir, vocab, model, lmCtxDf(model))
+  }
+
+  private def lmScore(spark: SparkSession, dir: String, vocab: Seq[String],
+      model: DataFrame, ctx: DataFrame): DataFrame = {
+    val b = vocab.length + 1 // event space: vocab ∪ <unk>
+    lmBigrams(docs(spark, dir), vocab)
+      .join(broadcast(model), Seq("l", "r"), "left")
+      .join(broadcast(ctx), Seq("l"), "left")
+      .selectExpr("doc_id", "source",
+        s"${lnMicro(s"coalesce(n_l, 0L) + $b")} - " +
+          s"${lnMicro("coalesce(cnt, 0L) + 1")} AS nll")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("nll_micro"))
+      .selectExpr("doc_id", "source", "n_bigrams", "nll_micro",
+        "CAST(nll_micro AS DOUBLE) / n_bigrams AS avg_nll")
+      .orderBy("doc_id")
+  }
+
+  /** Gated entry: fit (no-op when current) + dump the bigram table. The
+    * model IS the deliverable here — (l, r, cnt) fully ordered; vocab
+    * bounding keeps the dump ≤(V+2)² rows at any corpus size.
+    */
+  def lmTrain(spark: SparkSession, dir: String): DataFrame = {
+    persistLmModel(spark, dir)
+    spark.table(LmModelTable).select("l", "r", "cnt").orderBy("l", "r")
+  }
+
+  /** Gated entry: score every document against the persisted LM. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    persistLmModel(spark, dir)
+    perplexityAgainst(spark, dir)
+  }
+
+  /** CCNet-style perplexity FILTER: keep documents the reference LM
+    * finds no more surprising than the corpus average. The threshold is
+    * relative (corpus-mean micro-nats/token, an exact BIGINT/BIGINT
+    * division in both engines), so the operator is scale-free — no
+    * magic constant to retune per corpus. The 1-row global aggregate
+    * rides a broadcast cross-join, the same shape as [[tfidf]]'s n_docs.
+    */
+  def pplFilter(spark: SparkSession, dir: String): DataFrame = {
+    persistLmModel(spark, dir)
+    val scored = perplexityAgainst(spark, dir)
+    val global = scored.agg(
+      (sum("nll_micro").cast("double") / sum("n_bigrams")).as("corpus_avg"))
+    scored.crossJoin(broadcast(global))
+      .filter(col("avg_nll") <= col("corpus_avg"))
+      .select("doc_id", "source", "avg_nll", "corpus_avg")
+      .orderBy("doc_id")
+  }
+
+  private val lmOracleCtes: String =
+    s"""train_toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token
+       |  FROM documents WHERE source = '$LmTrainSource'
+       |),
+       |vocab AS (
+       |  SELECT token FROM (SELECT token, count(*) AS tf FROM train_toks GROUP BY 1)
+       |  ORDER BY tf DESC, token LIMIT $LmVocabSize
+       |),
+       |vl AS (SELECT list(token) AS v, count(*) + 1 AS b FROM vocab),
+       |mapped AS (
+       |  SELECT doc_id, source, list_prepend('<s>',
+       |    [CASE WHEN list_contains(v, t) THEN t ELSE '<unk>' END
+       |     FOR t IN string_split(text, ' ')]) AS m
+       |  FROM documents CROSS JOIN vl
+       |),
+       |bi_all AS (
+       |  SELECT doc_id, source, u.l AS l, u.r AS r FROM (
+       |    SELECT doc_id, source,
+       |      unnest([{'l': m[i], 'r': m[i+1]} FOR i IN range(1, len(m))]) AS u
+       |    FROM mapped
+       |  )
+       |),
+       |model AS (
+       |  SELECT l, r, CAST(count(*) AS BIGINT) AS cnt FROM bi_all
+       |  WHERE source = '$LmTrainSource' GROUP BY 1, 2
+       |),
+       |ctx AS (SELECT l, CAST(sum(cnt) AS BIGINT) AS n_l FROM model GROUP BY 1)""".stripMargin
+
+  private val lmScoredCtes: String =
+    s"""$lmOracleCtes,
+       |scored AS (
+       |  SELECT doc_id, source,
+       |    CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CAST(round(ln(coalesce(n_l, 0) + b) * 1000000.0) AS BIGINT)
+       |           - CAST(round(ln(coalesce(cnt, 0) + 1) * 1000000.0) AS BIGINT))
+       |      AS BIGINT) AS nll_micro
+       |  FROM bi_all LEFT JOIN model USING (l, r) LEFT JOIN ctx USING (l)
+       |  CROSS JOIN vl
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
+  val lmTrainOracle: String =
+    s"""WITH $lmOracleCtes
+       |SELECT l, r, cnt FROM model ORDER BY l, r""".stripMargin
+
+  val perplexityOracle: String =
+    s"""WITH $lmScoredCtes
+       |SELECT doc_id, source, n_bigrams, nll_micro,
+       |  CAST(nll_micro AS DOUBLE) / n_bigrams AS avg_nll
+       |FROM scored ORDER BY doc_id""".stripMargin
+
+  val pplFilterOracle: String =
+    s"""WITH $lmScoredCtes,
+       |tot AS (
+       |  SELECT CAST(sum(nll_micro) AS DOUBLE) / sum(n_bigrams) AS corpus_avg
+       |  FROM scored
+       |)
+       |SELECT doc_id, source,
+       |  CAST(nll_micro AS DOUBLE) / n_bigrams AS avg_nll, corpus_avg
+       |FROM scored CROSS JOIN tot
+       |WHERE CAST(nll_micro AS DOUBLE) / n_bigrams <= corpus_avg
+       |ORDER BY doc_id""".stripMargin
 }

@@ -1075,4 +1075,47 @@ class OperatorsSpec extends SparkSpec {
       s2.sql("DROP TABLE IF EXISTS nb_base_t"); ()
     }
   }
+
+  test("LM fit/apply: perplexity against the persisted model equals inline; re-persist is free") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val s2 = spark.newSession()
+    val tables = Seq("lm_vocab_t", "lm_model_t", "lm_ctx_t")
+    TextAnalysis.persistLmModel(s2, Sf0001, "lm_vocab_t", "lm_model_t", "lm_ctx_t")
+    try {
+      tables.foreach(t => assert(s2.table(t).count() > 0, s"$t is empty"))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        TextAnalysis.persistLmModel(s2, Sf0001, "lm_vocab_t", "lm_model_t", "lm_ctx_t")
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 30000)
+        assert(jobs.get() <= 1,
+          s"re-persist of a current LM ran ${jobs.get()} jobs — training leaked in")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val applied = TextAnalysis
+        .perplexityAgainst(s2, Sf0001, "lm_vocab_t", "lm_model_t", "lm_ctx_t").collect()
+      val inline = TextAnalysis.perplexityInline(s2, Sf0001).collect()
+      assert(applied.toSeq === inline.toSeq)
+      // the vocab cap really bites: the training slice has OOV of its own
+      // vocab, so the model must contain <unk> transitions (the smoothing
+      // path is exercised, not dead)
+      val unkRows = s2.table("lm_model_t")
+        .filter("l = '<unk>' OR r = '<unk>'").count()
+      assert(unkRows > 0, "vocab cap never produced an <unk> bigram — UNK path is dead")
+    } finally { tables.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
+  }
+
+  test("ppl filter keeps a nonempty strict subset on the corpus-mean threshold") {
+    val scored = TextAnalysis.perplexityInline(spark, Sf0001).cache()
+    try {
+      val total = scored.count()
+      val sums = scored.selectExpr("CAST(sum(nll_micro) AS DOUBLE) / sum(n_bigrams) AS t")
+        .collect()(0).getDouble(0)
+      val kept = scored.filter(s"avg_nll <= $sums").count()
+      assert(kept > 0 && kept < total,
+        s"corpus-mean threshold must split the corpus, kept $kept of $total")
+    } finally { scored.unpersist(); () }
+  }
 }

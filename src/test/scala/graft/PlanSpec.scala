@@ -217,6 +217,14 @@ class PlanSpec extends SparkSpec {
       s"vocab membership must broadcast, not shuffle the token stream:\n${p.take(800)}")
   }
 
+  test("perplexity scoring broadcasts the vocab-bounded LM (no corpus self-join, no sort-merge)") {
+    val p = plan(TextAnalysis.perplexityInline(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (l, r) model probe must broadcast the vocab-bounded table:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scoring must never shuffle-join or self-join the corpus:\n${p.take(800)}")
+  }
+
   test("substring detector generates windows once: a single fused-kernel Generate") {
     val df = graft.operators.Dedup.substring(spark, Sf0001)
     df.collect()
