@@ -1111,9 +1111,16 @@ object TextAnalysis {
   }
 
   private def lmScore(spark: SparkSession, dir: String, vocab: Seq[String],
+      model: DataFrame, ctx: DataFrame): DataFrame =
+    lmScoreDocs(docs(spark, dir), vocab, model, ctx)
+
+  /** The scoring plan over an arbitrary (doc_id, source, text) frame —
+    * shared by the batch paths and the per-micro-batch stream scorer.
+    */
+  private def lmScoreDocs(d: DataFrame, vocab: Seq[String],
       model: DataFrame, ctx: DataFrame): DataFrame = {
     val b = vocab.length + 1 // event space: vocab ∪ <unk>
-    lmBigrams(docs(spark, dir), vocab)
+    lmBigrams(d, vocab)
       .join(broadcast(model), Seq("l", "r"), "left")
       .join(broadcast(ctx), Seq("l"), "left")
       .selectExpr("doc_id", "source",
@@ -1125,6 +1132,32 @@ object TextAnalysis {
         "CAST(nll_micro AS DOUBLE) / n_bigrams AS avg_nll")
       .orderBy("doc_id")
   }
+
+  /** Stream-scoring against the FROZEN LM — the production inference
+    * pattern: the model never refits inside the stream; each micro-batch
+    * of arriving documents is scored with the same broadcast-probe plan
+    * as the batch path ([[lmScoreDocs]]). Scoring is per-doc (no
+    * cross-batch state), so the union of batch outputs equals the batch
+    * score table for any chunking that keeps docs whole. The ≤V-row
+    * vocab pull per batch is a model-parameter read of a catalog table —
+    * at a 32k vocab, memoize it against the table's stamp instead.
+    */
+  def perplexityStream(newDocs: DataFrame, vocabTable: String = LmVocabTable,
+      modelTable: String = LmModelTable, ctxTable: String = LmCtxTable)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val vocab = s.table(vocabTable)
+            .orderBy("token").collect().map(_.getString(0)).toSeq
+          sink(lmScoreDocs(batch, vocab,
+            s.table(modelTable).select("l", "r", "cnt"),
+            s.table(ctxTable).select("l", "n_l")))
+        }
+      }
+      .start()
 
   /** Gated entry: fit (no-op when current) + dump the bigram table. The
     * model IS the deliverable here — (l, r, cnt) fully ordered; vocab

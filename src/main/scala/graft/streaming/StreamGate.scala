@@ -310,7 +310,17 @@ object StreamGate {
     val key = "spark.sql.shuffle.partitions"
     val prior = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prior)
+    try body finally {
+      spark.conf.set(key, prior)
+      // every stateful gate runs (and stops) its query inside this block;
+      // release its state-store providers now instead of waiting for the
+      // 60 s maintenance sweep — in a session that runs gates back-to-back
+      // (Bench: 17 gates × repeats) the dead providers' heap maps and
+      // maintenance work otherwise pile into later gates' batch latencies
+      // (measured: stream_q8_pair 8.5 s in the 17-gate bench vs 6.3 s in a
+      // fresh JVM at identical per-batch plans/state sizes)
+      org.apache.spark.sql.graftbridge.Bridge.unloadStateStores()
+    }
   }
 
   /** Q1 tumbling-window agg through micro-batches (complete mode: state
@@ -321,6 +331,18 @@ object StreamGate {
   def q1Tumble(spark: SparkSession, dir: String): DataFrame = {
     val stream = ridesReplay(spark, dir)
     runToMemory(StreamingQueries.q1Tumble(stream), "complete")
+      .orderBy("dept_time", "cell")
+  }
+
+  /** Q6 hopping-window agg through micro-batches (complete mode, like
+    * [[q1Tumble]]): the streaming Expand → windowed-state path must
+    * reproduce the batch hop exactly — every departure counted in BOTH
+    * its overlapping windows across chunk boundaries. Oracle: the batch
+    * q6 oracle.
+    */
+  def q6Sliding(spark: SparkSession, dir: String): DataFrame = {
+    val stream = ridesReplay(spark, dir)
+    runToMemory(StreamingQueries.q6Sliding(stream), "complete")
       .orderBy("dept_time", "cell")
   }
 
@@ -429,6 +451,32 @@ object StreamGate {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table"); ()
     }
+  }
+
+  /** LM perplexity scoring as a stream: documents replayed in doc-id
+    * chunks are scored per micro-batch against the PERSISTED bigram LM
+    * ([[graft.operators.TextAnalysis.perplexityStream]]) — the
+    * frozen-model inference pattern: score the incoming crawl, never
+    * refit in-stream. Each doc is wholly contained in one chunk and
+    * scoring is per-doc, so the union of batch outputs must equal the
+    * batch score table. Oracle: the batch txt_perplexity oracle.
+    */
+  def pplScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.persistLmModel(spark, dir)
+    val stream = replayCached(spark, s"docs|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "documents"), col("doc_id")))
+    val schema = TextAnalysis.perplexityAgainst(spark, dir).schema
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    withGateParallelism(spark, GateStatePartitions) {
+      val q = TextAnalysis.perplexityStream(stream) { v =>
+        buf.synchronized { buf ++= v.collect() }; ()
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      .orderBy("doc_id")
   }
 
   /** Streaming exact dedup through micro-batches: every ride event is

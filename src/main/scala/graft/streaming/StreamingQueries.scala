@@ -42,6 +42,21 @@ object StreamingQueries {
         unix_millis(col("w.end")).as("dept_time"),
         col("dept_cnt"))
 
+  /** Q6 streaming: 10-min windows sliding every 5 min — the hopping
+    * variant of [[q1Tumble]]. Spark plans the streaming hop as Expand
+    * (each departure into window/slide = 2 state rows) → windowed state
+    * agg; the expand factor is bounded by the hop ratio, so state stays
+    * 2× the tumbling query's, not data-dependent.
+    */
+  def q6Sliding(rides: DataFrame, watermark: String = "61 seconds"): DataFrame =
+    rides
+      .filter(col("isStart") && Taxi.inNyc(col("startLon"), col("startLat")))
+      .select(col("rideId"), Taxi.toCellId(col("startLon"), col("startLat")).as("cell"), col("rowtime"))
+      .withWatermark("rowtime", watermark)
+      .groupBy(col("cell"), window(col("rowtime"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(col("rideId")).as("dept_cnt"))
+      .select(col("cell"), unix_millis(col("w.end")).as("dept_time"), col("dept_cnt"))
+
   /** Q7 streaming: per-cell session windows (30-min gap). Spark's native
     * streaming session_window merges partial sessions across micro-batches
     * and emits a session once the watermark passes its close — the

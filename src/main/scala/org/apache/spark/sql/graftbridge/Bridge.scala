@@ -21,4 +21,19 @@ object Bridge {
     */
   def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMs)
+
+  /** Unload every loaded state-store provider on this executor (local
+    * mode: the whole JVM). A TERMINATED streaming query's providers stay
+    * loaded — each holding its full state map on heap — until the
+    * maintenance thread notices the deactivation, by default on a 60 s
+    * interval; a session that runs many short streaming queries
+    * back-to-back (the bench's 17 gates × repeats) accumulates dozens of
+    * dead provider maps and pays their GC/maintenance drag in later
+    * gates' micro-batch latencies. Calling this after a query stops
+    * releases them deterministically; an active query that is
+    * subsequently resumed from its checkpoint simply reloads — the same
+    * recovery path a real restart takes.
+    */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
