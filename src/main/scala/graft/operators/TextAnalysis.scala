@@ -1133,6 +1133,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- incremental fit: raw sufficient statistics + final fold ----
+
+  /** Raw per-batch bigram counts — BOS included, NO vocab mapping. The
+    * LM's sufficient statistics are additive in these: mapping tokens to
+    * the event space and THEN counting equals counting raw and mapping
+    * at the end (the map is per-token deterministic, so re-keying a
+    * count table re-aggregates exactly). That associativity is what
+    * makes the fit INCREMENTAL — batches append their raw partials and
+    * nothing ever refits — and it would break if the stats were stored
+    * post-mapping, because the capped vocab is itself a corpus aggregate
+    * that isn't known until the end.
+    */
+  private[graft] def lmRawBigramCounts(d: DataFrame): DataFrame =
+    d.selectExpr("concat(array('<s>'), split(text, ' ')) AS m")
+      .selectExpr("explode(transform(sequence(1, size(m) - 1), " +
+        "i -> struct(m[i-1] AS l, m[i] AS r))) AS pr")
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Raw per-batch token frequencies (the vocab's sufficient statistic). */
+  private[graft] def lmRawTokenCounts(d: DataFrame): DataFrame =
+    d.selectExpr("explode(split(text, ' ')) AS token")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+
+  /** Fold accumulated raw partials into the mapped model: derive the
+    * final vocab from the summed token counts, re-key the raw bigram
+    * table through the event-space map, re-aggregate. The fold's inputs
+    * are count tables (observed-vocabulary scale), never the corpus.
+    */
+  private[graft] def lmModelFromRaw(bi: DataFrame, toks: DataFrame): DataFrame = {
+    val vocab = toks.groupBy("token").agg(sum("tf").as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(LmVocabSize)
+      .collect().map(_.getString(0)).toSeq
+    val lit = vocab
+      .map(t => "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      .mkString("array(", ", ", ")")
+    def mapped(c: String) =
+      s"CASE WHEN $c = '<s>' THEN $c " + // BOS is a context, never <unk>
+        s"WHEN array_contains($lit, $c) THEN $c ELSE '<unk>' END"
+    bi.selectExpr(s"${mapped("l")} AS l", s"${mapped("r")} AS r", "cnt")
+      .groupBy("l", "r").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Incremental fit as a stream: every micro-batch of training docs
+    * APPENDS its raw count partials via `sink` (the gate writes them to
+    * an append-only parquet lake — the honest 100 TB shape: map-side
+    * partials per batch, one vocabulary-scale fold at the end, the
+    * corpus never re-read).
+    */
+  def lmFitStream(trainDocs: DataFrame)(
+      sink: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    trainDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) sink(lmRawBigramCounts(batch), lmRawTokenCounts(batch))
+      }
+      .start()
+
   /** Stream-scoring against the FROZEN LM — the production inference
     * pattern: the model never refits inside the stream; each micro-batch
     * of arriving documents is scored with the same broadcast-probe plan

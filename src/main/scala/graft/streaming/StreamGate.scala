@@ -479,6 +479,39 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL LM fit under the hard gate: training docs replayed in
+    * chunks, each micro-batch appending its raw count partials (bigrams
+    * + token frequencies, NO vocab mapping — see
+    * [[graft.operators.TextAnalysis.lmRawBigramCounts]] for why the
+    * statistics must be stored pre-mapping) to an append-only parquet
+    * lake; after the stream closes, one vocabulary-scale fold derives
+    * the capped vocab and re-keys the bigram table through the event
+    * map. The result must equal the BATCH fit bit-for-bit — the
+    * associativity claim ("extend the reference corpus without
+    * refitting") is the oracle, not a comment. Oracle: the batch
+    * txt_lm_train oracle.
+    */
+  def lmFit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val stream = replayCached(spark, s"lmtrain|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "documents")
+        .filter(col("source") === TextAnalysis.LmTrainSource), col("doc_id")))
+    val root = Files.createTempDirectory("graft-gate-lmfit")
+    val (biDir, tokDir) = (root.resolve("bi").toString, root.resolve("tok").toString)
+    try {
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = TextAnalysis.lmFitStream(stream) { (bi, toks) =>
+          bi.write.mode("append").parquet(biDir)
+          toks.write.mode("append").parquet(tokDir)
+        }
+        try q.processAllAvailable() finally q.stop()
+      }
+      materialize(TextAnalysis.lmModelFromRaw(
+          spark.read.parquet(biDir), spark.read.parquet(tokDir)))
+        .orderBy("l", "r")
+    } finally rmrf(root)
+  }
+
   /** Streaming exact dedup through micro-batches: every ride event is
     * delivered TWICE (the at-least-once redelivery a replayed source
     * actually produces — duplicates land in the same chunk, well inside

@@ -1107,6 +1107,21 @@ class OperatorsSpec extends SparkSpec {
     } finally { tables.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
 
+  test("LM fit is incremental: raw-partial fold over arbitrary doc splits equals the batch fit") {
+    val train = graft.core.Tables.load(spark, Sf0001, "documents")
+      .filter(col("source") === TextAnalysis.LmTrainSource)
+    // three disjoint "micro-batches" by doc id — any partition of the
+    // docs must fold to the same model (the gate proves one chunking
+    // against the oracle; this pins the associativity claim itself)
+    val parts = (0 to 2).map(k => train.filter(col("doc_id") % 3 === k))
+    val bi = parts.map(TextAnalysis.lmRawBigramCounts).reduce(_ unionByName _)
+    val toks = parts.map(TextAnalysis.lmRawTokenCounts).reduce(_ unionByName _)
+    val folded = TextAnalysis.lmModelFromRaw(bi, toks)
+      .orderBy("l", "r").collect()
+    val batch = TextAnalysis.lmTrain(spark, Sf0001).collect()
+    assert(folded.toSeq === batch.toSeq)
+  }
+
   test("ppl filter keeps a nonempty strict subset on the corpus-mean threshold") {
     val scored = TextAnalysis.perplexityInline(spark, Sf0001).cache()
     try {
