@@ -1320,4 +1320,122 @@ object TextAnalysis {
        |FROM scored CROSS JOIN tot
        |WHERE CAST(nll_micro AS DOUBLE) / n_bigrams <= corpus_avg
        |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // BM25 full-text search (the query side of the document store)
+  // -------------------------------------------------------------------------
+
+  /** Results per query. */
+  val Bm25TopK = 10
+
+  /** Every `Bm25QueryStride`-th document seeds a query from its first
+    * `Bm25QueryTerms` tokens (as a SET — slice-then-distinct is order-free,
+    * so both engines derive the same term set).
+    */
+  private val Bm25QueryStride = 37
+  private val Bm25QueryTerms = 4
+
+  /** Okapi parameters k1 = 5/4 and b = 3/4: inside the standard tuning
+    * range AND exact binary64 fractions, so the saturation term is a pure
+    * rational expression both engines round identically (every constant
+    * below — 2.25 = k1+1, 0.3125 = k1·(1−b), 0.9375 = k1·b — is exactly
+    * representable).
+    */
+  private val bm25SatExpr =
+    "(CAST(tf AS DOUBLE) * 2.25) / (CAST(tf AS DOUBLE) + 0.3125 + " +
+      "0.9375 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+
+  /** Robertson idf in integer MICRO-nats — the perplexity family's
+    * discipline for using `ln` across engines: apply the log once to
+    * integer-derived operands, round to 1e-6 immediately, and do all later
+    * arithmetic on exact integers/doubles. The sub-ulp spread between
+    * JVM and C `ln` dies in the micro rounding. idf CAN be negative (a
+    * term in more than half the corpus); round() is half-away-from-zero in
+    * both engines.
+    */
+  private val bm25IdfMicroExpr =
+    "CAST(round(ln((CAST(n_docs - df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5)) * 1000000.0) AS BIGINT)"
+
+  /** Per-(query, doc, term) partial in integer micro-units: idf_micro (a
+    * bigint ≤ ~1e7·ln N) times the exact-rational saturation (≤ k1+1), so
+    * the double product stays far under 2^53 and floor() is deterministic;
+    * per-doc scores then SUM AS INTEGERS — aggregation-order-free, the
+    * property that makes the score hashable across engines.
+    */
+  private val bm25MicroExpr =
+    s"CAST(floor(CAST($bm25IdfMicroExpr AS DOUBLE) * $bm25SatExpr) AS BIGINT)"
+
+  /** BM25 TOP-K SEARCH — the retrieval half of the document-store story
+    * (the network upsert sink writes docs to a search store; this operator
+    * IS that store's query side, expressed as one declarative plan).
+    *
+    * Scale shape: the query-term SET is broadcast into the exploded token
+    * stream, so the tf shuffle is proportional to occurrences of SEARCHED
+    * terms, not the corpus vocabulary; document frequency is derived from
+    * those survivors (df of searched terms only — never a corpus-wide
+    * distinct); doc length rides the explode as one extra long per row
+    * (no corpus-scale doc_id join); corpus constants (N, Σdl) are a 1-row
+    * broadcast. The final ranking is the bounded [[graft.functions.TopK]]
+    * aggregate — O(queries × k) shuffle rows, no global sort.
+    */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).selectExpr("doc_id", s"$toks AS tk")
+    val queries = d.filter(col("doc_id") % Bm25QueryStride === 0)
+      .selectExpr("doc_id AS query_id",
+        s"explode(array_distinct(slice(tk, 1, $Bm25QueryTerms))) AS token")
+    val qset = queries.select("token").distinct()
+    val tf = d
+      .selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS token")
+      .join(broadcast(qset), "token")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl")) // dl constant per doc
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      sum(expr("size(tk)")).cast("bigint").as("sum_dl"))
+    val term = tf
+      .join(broadcast(queries), "token")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .selectExpr("query_id", "doc_id", s"$bm25MicroExpr AS micro")
+    term.groupBy("query_id", "doc_id").agg(sum("micro").as("score_micro"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(Bm25TopK)(
+        col("doc_id"), col("score_micro").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("score_micro")) // < 2^53: exact
+      .orderBy("query_id", "rk")
+  }
+
+  val bm25TopkOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:$Bm25QueryTerms])) AS token
+       |  FROM d WHERE doc_id % $Bm25QueryStride = 0
+       |),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM (
+       |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM d
+       |  ) WHERE token IN (SELECT token FROM q) GROUP BY 1, 2
+       |),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS sum_dl FROM d),
+       |term AS (
+       |  SELECT query_id, doc_id, $bm25MicroExpr AS micro
+       |  FROM tf JOIN q USING (token) JOIN dfreq USING (token) CROSS JOIN stats
+       |),
+       |score AS (
+       |  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+       |  FROM term GROUP BY 1, 2
+       |)
+       |SELECT query_id, rk, doc_id, score_micro FROM (
+       |  SELECT query_id, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rk
+       |  FROM score
+       |)
+       |WHERE rk <= $Bm25TopK
+       |ORDER BY query_id, rk""".stripMargin
 }

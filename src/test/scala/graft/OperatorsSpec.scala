@@ -1122,6 +1122,42 @@ class OperatorsSpec extends SparkSpec {
     assert(folded.toSeq === batch.toSeq)
   }
 
+  test("bm25 top-k matches an independent per-query brute force") {
+    import spark.implicits._
+    val got = TextAnalysis.bm25Topk(spark, Sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val toks = graft.core.Tables.load(spark, Sf0001, "documents")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = toks.size
+    val sumDl = toks.valuesIterator.map(_.size.toLong).sum
+    val queries = toks.collect { case (id, tk) if id % 37 == 0 =>
+      id -> tk.take(4).distinct
+    }
+    val qterms = queries.valuesIterator.flatten.toSet
+    val dfreq = qterms.iterator
+      .map(t => t -> toks.valuesIterator.count(_.contains(t)).toLong).toMap
+    // mirror the engine's arithmetic exactly: ln once, HALF_UP to micro
+    // (scala BigDecimal(double) is Spark Round's own path), then exact
+    // double product + floor, then integer sums
+    def idfMicro(t: String): Long =
+      BigDecimal(math.log(((n - dfreq(t)).toDouble + 0.5) / (dfreq(t).toDouble + 0.5)) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def micro(t: String, tf: Long, dl: Long): Long =
+      math.floor(idfMicro(t).toDouble * ((tf.toDouble * 2.25) /
+        (tf.toDouble + 0.3125 + 0.9375 * (dl.toDouble / (sumDl.toDouble / n.toDouble))))).toLong
+    val want = queries.toSeq.flatMap { case (qid, terms) =>
+      val scored = toks.toSeq.flatMap { case (did, tk) =>
+        val hits = terms.filter(tk.contains)
+        if (hits.isEmpty) None
+        else Some(did -> hits.map(t => micro(t, tk.count(_ == t).toLong, tk.size.toLong)).sum)
+      }
+      scored.sortBy { case (did, s) => (-s, did) }.take(TextAnalysis.Bm25TopK)
+        .zipWithIndex.map { case ((did, s), i) => (qid, (i + 1).toLong, did, s) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === want)
+  }
+
   test("ppl filter keeps a nonempty strict subset on the corpus-mean threshold") {
     val scored = TextAnalysis.perplexityInline(spark, Sf0001).cache()
     try {

@@ -330,6 +330,18 @@ class PlanSpec extends SparkSpec {
       s"expected at most rollup+sort exchanges, got $exchanges:\n${p.take(1200)}")
   }
 
+  test("bm25 probes searched terms via broadcast and ranks with bounded TopK") {
+    val p = plan(TextAnalysis.bm25Topk(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the query-term set must broadcast into the token stream:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"),
+      s"ranking must run the bounded TopK udaf:\n${p.take(800)}")
+    assert(!p.contains("Window"),
+      s"per-query ranking must not window-sort the candidates:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in bm25 may shuffle-join (broadcasts + 1-row constants only):\n${p.take(800)}")
+  }
+
   test("whole-stage codegen covers the taxi filter-project pipeline") {
     val df = TaxiQueries.q1Tumble(spark, Sf0001)
     df.collect() // AQE only materializes codegen'd stages in the FINAL plan
