@@ -1379,11 +1379,32 @@ object TextAnalysis {
     * broadcast. The final ranking is the bounded [[graft.functions.TopK]]
     * aggregate — O(queries × k) shuffle rows, no global sort.
     */
-  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).selectExpr("doc_id", s"$toks AS tk")
-    val queries = d.filter(col("doc_id") % Bm25QueryStride === 0)
+  private def bm25Corpus(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).selectExpr("doc_id", s"$toks AS tk")
+
+  private def bm25QueriesOf(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % Bm25QueryStride === 0)
       .selectExpr("doc_id AS query_id",
         s"explode(array_distinct(slice(tk, 1, $Bm25QueryTerms))) AS token")
+
+  /** Shared ranking tail over (query_id, doc_id, micro) term partials:
+    * integer per-doc sums, then the bounded TopK aggregate — O(queries×k)
+    * shuffle rows, never a per-query window sort.
+    */
+  private def bm25Rank(term: DataFrame): DataFrame =
+    term.groupBy("query_id", "doc_id").agg(sum("micro").as("score_micro"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(Bm25TopK)(
+        col("doc_id"), col("score_micro").cast("double")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("score_micro")) // < 2^53: exact
+      .orderBy("query_id", "rk")
+
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val d = bm25Corpus(spark, dir)
+    val queries = bm25QueriesOf(d)
     val qset = queries.select("token").distinct()
     val tf = d
       .selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS token")
@@ -1398,19 +1419,84 @@ object TextAnalysis {
       .join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
       .selectExpr("query_id", "doc_id", s"$bm25MicroExpr AS micro")
-    term.groupBy("query_id", "doc_id").agg(sum("micro").as("score_micro"))
-      .groupBy("query_id")
-      .agg(graft.functions.TopK.topk(Bm25TopK)(
-        col("doc_id"), col("score_micro").cast("double")).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
-        col("col.id").as("doc_id"),
-        col("col.score").cast("long").as("score_micro")) // < 2^53: exact
-      .orderBy("query_id", "rk")
+    bm25Rank(term)
   }
 
-  val bm25TopkOracle: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  // ---- persisted inverted index (fit/apply: index once, search many) ----
+
+  /** Session tables the persisted index lives under. */
+  val Bm25PostingsTable = "bm25_postings"
+  val Bm25DfTable = "bm25_df"
+  val Bm25StatsTable = "bm25_stats"
+  private val Bm25Buckets = 16
+  private val Bm25Fingerprint = s"bm25:v1:buckets=$Bm25Buckets"
+
+  /** The full inverted index: one posting row per (token, doc) with term
+    * frequency and doc length baked in at build time. THIS is the
+    * corpus-scale pass — one tokenize + one (doc, token) shuffle — paid
+    * once per corpus snapshot; every later search touches only the
+    * postings of its own terms.
+    */
+  private def bm25PostingsDf(d: DataFrame): DataFrame =
+    d.selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS token")
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+
+  /** Persist postings (BUCKETED by token — a literal term predicate at
+    * search time prunes whole buckets from the scan), document
+    * frequencies (derived FROM the stored postings: bucket-local count,
+    * no exchange), and the two corpus constants, as one snapshot group
+    * ([[graft.core.ModelTables.persistGroupIfStale]]).
+    */
+  def persistBm25Index(spark: SparkSession, dir: String,
+      postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
+      statsTable: String = Bm25StatsTable): Unit = {
+    val d = bm25Corpus(spark, dir)
+    graft.core.ModelTables.persistGroupIfStale(spark, dir, Bm25Fingerprint)(
+      postingsTable -> (() => bm25PostingsDf(d)
+        .write.mode("overwrite").bucketBy(Bm25Buckets, "token")
+        .saveAsTable(postingsTable)),
+      dfTable -> (() => spark.table(postingsTable)
+        .groupBy("token").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").saveAsTable(dfTable)),
+      statsTable -> (() => d.agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(tk)")).cast("bigint").as("sum_dl"))
+        .write.mode("overwrite").saveAsTable(statsTable)))
+  }
+
+  /** Search the persisted index with an arbitrary (query_id, token)
+    * frame. The distinct term set is collected — bounded, it IS the
+    * search input — and pushed as a LITERAL predicate, so the postings
+    * scan prunes both rows and whole buckets before anything joins;
+    * df rows for the searched terms ride the same literal filter. No
+    * corpus-scale tokenize, shuffle, or join anywhere on this path.
+    */
+  def bm25SearchAgainst(spark: SparkSession, queries: DataFrame,
+      postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
+      statsTable: String = Bm25StatsTable): DataFrame = {
+    val terms = queries.select("token").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val term = spark.table(postingsTable)
+      .filter(col("token").isin(terms: _*))
+      .join(broadcast(queries), "token")
+      .join(broadcast(spark.table(dfTable).filter(col("token").isin(terms: _*))),
+        "token")
+      .crossJoin(broadcast(spark.table(statsTable)))
+      .selectExpr("query_id", "doc_id", s"$bm25MicroExpr AS micro")
+    bm25Rank(term)
+  }
+
+  /** `txt_bm25_indexed`: build-or-reuse the index, then run the standard
+    * query set against it — must equal [[bm25Topk]] bit-for-bit (same
+    * oracle).
+    */
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    persistBm25Index(spark, dir)
+    bm25SearchAgainst(spark, bm25QueriesOf(bm25Corpus(spark, dir)))
+  }
+
+  private val bm25ScoreCtes: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |q AS (
        |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:$Bm25QueryTerms])) AS token
        |  FROM d WHERE doc_id % $Bm25QueryStride = 0
@@ -1429,7 +1515,10 @@ object TextAnalysis {
        |score AS (
        |  SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
        |  FROM term GROUP BY 1, 2
-       |)
+       |)""".stripMargin
+
+  val bm25TopkOracle: String =
+    s"""WITH $bm25ScoreCtes
        |SELECT query_id, rk, doc_id, score_micro FROM (
        |  SELECT query_id, doc_id, score_micro,
        |    row_number() OVER (PARTITION BY query_id
@@ -1438,4 +1527,62 @@ object TextAnalysis {
        |)
        |WHERE rk <= $Bm25TopK
        |ORDER BY query_id, rk""".stripMargin
+
+  // ---- percolation: standing queries, streaming documents ----
+
+  /** The standing query set as driver values (bounded — it IS the set of
+    * registered alerts a percolator holds).
+    */
+  private[graft] def bm25StandingQueries(spark: SparkSession,
+      dir: String): Seq[(Long, String)] =
+    bm25QueriesOf(bm25Corpus(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  /** Percolation scorer over an arbitrary (doc_id, text) batch: tf and
+    * doc length come from the ARRIVING documents (batch-local, no state);
+    * idf and the corpus constants come FROZEN from the persisted index —
+    * percolator semantics: a new document is scored in the indexed
+    * corpus's statistic space, so registered alerts fire consistently
+    * no matter when a document arrives. Emits every (query, doc) pair
+    * sharing at least one term — match emission, no top-k truncation.
+    */
+  private[graft] def bm25ScoreDocs(batch: DataFrame,
+      standing: Seq[(Long, String)], dfTable: String,
+      statsTable: String): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val queries = standing.toDF("query_id", "token")
+    val terms = standing.map(_._2).distinct
+    val tf = batch.selectExpr("doc_id", s"$toks AS tk")
+      .selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS token")
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    tf.join(broadcast(queries), "token")
+      .join(broadcast(s.table(dfTable).filter(col("token").isin(terms: _*))),
+        "token")
+      .crossJoin(broadcast(s.table(statsTable)))
+      .selectExpr("query_id", "doc_id", s"$bm25MicroExpr AS micro")
+      .groupBy("query_id", "doc_id").agg(sum("micro").as("score_micro"))
+  }
+
+  /** Continuous percolation: each micro-batch of arriving documents is
+    * scored against the standing queries with the frozen index stats —
+    * per-doc and stateless, so the union of batch emissions equals the
+    * batch score table for any chunking that keeps docs whole.
+    */
+  def bm25PercolateStream(newDocs: DataFrame, standing: Seq[(Long, String)],
+      dfTable: String = Bm25DfTable, statsTable: String = Bm25StatsTable)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) sink(bm25ScoreDocs(batch, standing, dfTable, statsTable))
+      }
+      .start()
+
+  val bm25PercolateOracle: String =
+    s"""WITH $bm25ScoreCtes
+       |SELECT query_id, doc_id, score_micro FROM score
+       |ORDER BY query_id, doc_id""".stripMargin
 }

@@ -479,6 +479,34 @@ object StreamGate {
       .orderBy("doc_id")
   }
 
+  /** PERCOLATION under the hard gate: the standing query set is
+    * registered up front, the BM25 index (df + corpus constants) is
+    * frozen, and the document table is replayed in chunks — every
+    * micro-batch emits scored (query, doc) matches against the frozen
+    * statistics. Stateless per doc, so the emission union must equal the
+    * batch score table (`bm25PercolateOracle`) for any chunking.
+    */
+  def bm25Percolate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.persistBm25Index(spark, dir)
+    val standing = TextAnalysis.bm25StandingQueries(spark, dir)
+    val stream = replayCached(spark, s"docs|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "documents"), col("doc_id")))
+    val schema = TextAnalysis.bm25ScoreDocs(
+      Tables.load(spark, dir, "documents"), standing,
+      TextAnalysis.Bm25DfTable, TextAnalysis.Bm25StatsTable).schema
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    withGateParallelism(spark, GateStatePartitions) {
+      val q = TextAnalysis.bm25PercolateStream(stream, standing) { v =>
+        buf.synchronized { buf ++= v.collect() }; ()
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      .orderBy("query_id", "doc_id")
+  }
+
   /** INCREMENTAL LM fit under the hard gate: training docs replayed in
     * chunks, each micro-batch appending its raw count partials (bigrams
     * + token frequencies, NO vocab mapping — see

@@ -1158,6 +1158,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("bm25 percolation is chunking-invariant: per-batch emissions union to the batch score table") {
+    val s2 = spark.newSession()
+    TextAnalysis.persistBm25Index(s2, Sf0001, "bm25p_post_t", "bm25p_df_t", "bm25p_stats_t")
+    try {
+      val standing = graft.core.Tables.load(s2, Sf0001, "documents")
+        .selectExpr("doc_id", "split(text, '\\\\s+') AS tk")
+        .filter(col("doc_id") % 37 === 0)
+        .selectExpr("doc_id AS query_id",
+          "explode(array_distinct(slice(tk, 1, 4))) AS token")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val d = graft.core.Tables.load(s2, Sf0001, "documents")
+      def score(batch: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.bm25ScoreDocs(batch, standing, "bm25p_df_t", "bm25p_stats_t")
+      // frozen stats: scoring 3 disjoint arrival batches separately must
+      // union to exactly the one-shot score table (stateless per doc)
+      val chunked = (0 to 2).map(k => score(d.filter(col("doc_id") % 3 === k)))
+        .reduce(_ unionByName _).collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+      val oneShot = score(d).collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+      assert(chunked === oneShot)
+      assert(oneShot.nonEmpty)
+    } finally {
+      Seq("bm25p_post_t", "bm25p_df_t", "bm25p_stats_t")
+        .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); ()
+    }
+  }
+
   test("ppl filter keeps a nonempty strict subset on the corpus-mean threshold") {
     val scored = TextAnalysis.perplexityInline(spark, Sf0001).cache()
     try {

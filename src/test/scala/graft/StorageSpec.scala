@@ -840,4 +840,34 @@ class StorageSpec extends SparkSpec {
       assert(builds === 2, "rewritten nested leaf partition did not force a refit")
     } finally { s2.sql("DROP TABLE IF EXISTS mt_nst_t"); () }
   }
+
+  test("bm25 against the persisted index: same rows, literal terms prune postings buckets") {
+    import graft.operators.TextAnalysis
+    val s2 = spark.newSession()
+    val tables = Seq("bm25_post_t", "bm25_df_t", "bm25_stats_t")
+    TextAnalysis.persistBm25Index(s2, Sf0001, "bm25_post_t", "bm25_df_t", "bm25_stats_t")
+    try {
+      // index path must reproduce the inline derive-everything path exactly
+      val inline = TextAnalysis.bm25Topk(s2, Sf0001).collect()
+      val q = graft.core.Tables.load(s2, Sf0001, "documents")
+        .selectExpr("doc_id", "split(text, '\\\\s+') AS tk")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0)
+        .selectExpr("doc_id AS query_id",
+          "explode(array_distinct(slice(tk, 1, 4))) AS token")
+      val fromIdx = TextAnalysis.bm25SearchAgainst(s2, q,
+        "bm25_post_t", "bm25_df_t", "bm25_stats_t")
+      assert(fromIdx.collect().toSeq === inline.toSeq)
+      // a small search must NOT read the whole postings table: the literal
+      // term predicate prunes buckets in the scan
+      val narrow = q.filter(org.apache.spark.sql.functions.col("query_id") === 0)
+      val p = TextAnalysis.bm25SearchAgainst(s2, narrow,
+          "bm25_post_t", "bm25_df_t", "bm25_stats_t")
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(p)
+      assert(sel.isDefined, s"no bucket pruning on the postings scan:\n${p.take(1200)}")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"4-term search read every postings bucket: ${sel.get.matched}")
+    } finally { tables.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
+  }
 }
