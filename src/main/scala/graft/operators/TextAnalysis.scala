@@ -1379,10 +1379,10 @@ object TextAnalysis {
     * broadcast. The final ranking is the bounded [[graft.functions.TopK]]
     * aggregate — O(queries × k) shuffle rows, no global sort.
     */
-  private def bm25Corpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def bm25Corpus(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).selectExpr("doc_id", s"$toks AS tk")
 
-  private def bm25QueriesOf(d: DataFrame): DataFrame =
+  private[graft] def bm25QueriesOf(d: DataFrame): DataFrame =
     d.filter(col("doc_id") % Bm25QueryStride === 0)
       .selectExpr("doc_id AS query_id",
         s"explode(array_distinct(slice(tk, 1, $Bm25QueryTerms))) AS token")
@@ -1437,7 +1437,7 @@ object TextAnalysis {
     * once per corpus snapshot; every later search touches only the
     * postings of its own terms.
     */
-  private def bm25PostingsDf(d: DataFrame): DataFrame =
+  private[graft] def bm25PostingsDf(d: DataFrame): DataFrame =
     d.selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS token")
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
@@ -1453,6 +1453,14 @@ object TextAnalysis {
       statsTable: String = Bm25StatsTable): Unit = {
     val d = bm25Corpus(spark, dir)
     graft.core.ModelTables.persistGroupIfStale(spark, dir, Bm25Fingerprint)(
+      // deliberately NOT sortBy("token"): measured at 20x (tools.Bm25Probe),
+      // token-sorting the bucket files LOST on both the narrow and the mass
+      // search — at any per-bucket size where a file holds a single parquet
+      // row group there is nothing for min/max skipping to skip, the sorted
+      // write costs a sort and fragments buckets into more files, and the
+      // >10-term mass path degrades the pushed In to a min/max range that a
+      // corpus-spanning term set never prunes. Revisit only when bucket
+      // files span many row groups AND searches are few-term.
       postingsTable -> (() => bm25PostingsDf(d)
         .write.mode("overwrite").bucketBy(Bm25Buckets, "token")
         .saveAsTable(postingsTable)),

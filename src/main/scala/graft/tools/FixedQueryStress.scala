@@ -33,13 +33,30 @@ object FixedQueryStress {
       "sim_multiprobe(fixed-q)" -> { dir =>
         Similarity.multiprobeTopkRadiusWhere(spark, dir,
           Similarity.ProbeRadius, fixedQueries)
+      },
+      // same construction issue as ANN: the standard BM25 query set is
+      // every 37th DOCUMENT, so StressProbe's 20x ratio compounds 20x
+      // queries × 20x postings. Fixing the query ids (present verbatim in
+      // the 20x data) isolates per-search cost, which must scale with the
+      // searched terms' postings (~20x), not the query-set size.
+      "txt_bm25(fixed-q)" -> { dir =>
+        graft.operators.TextAnalysis.persistBm25Index(spark, dir)
+        val q = graft.core.Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 37 === 0 && col("doc_id") < 5000)
+          .selectExpr("doc_id", "split(text, '\\\\s+') AS tk")
+          .selectExpr("doc_id AS query_id",
+            "explode(array_distinct(slice(tk, 1, 4))) AS token")
+        graft.operators.TextAnalysis.bm25SearchAgainst(spark, q)
       })
+    // optional comma-separated substring filter over op names
+    val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val selected = ops.filter { case (n, _) => only.forall(_.exists(n.contains)) }
     // warm JIT off the clock
-    ops.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn("/root/testdata/sf0.01").write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[fixedq] warm failed: ${e.getMessage}") }
     }
-    for ((name, fn) <- ops) {
+    for ((name, fn) <- selected) {
       val t = dirs.map { case (tag, dir) =>
         val runs = (1 to 3).map { _ =>
           spark.catalog.clearCache(); System.gc()
