@@ -1484,15 +1484,67 @@ object TextAnalysis {
       statsTable: String = Bm25StatsTable): DataFrame = {
     val terms = queries.select("token").distinct()
       .collect().map(_.getString(0)).toSeq
+    // df/stats are PARTIAL-GENERATION tables (one row set per admitted
+    // batch — see bm25AdmitDocs); fold them at search time. For a
+    // one-shot persistBm25Index there is a single generation and the
+    // fold is the identity. The df fold runs on the searched terms'
+    // rows only; the stats fold is a handful of 2-long rows.
+    val dfreq = spark.table(dfTable).filter(col("token").isin(terms: _*))
+      .groupBy("token").agg(sum("df").cast("bigint").as("df"))
+    val stats = spark.table(statsTable)
+      .agg(sum("n_docs").cast("bigint").as("n_docs"),
+        sum("sum_dl").cast("bigint").as("sum_dl"))
     val term = spark.table(postingsTable)
       .filter(col("token").isin(terms: _*))
       .join(broadcast(queries), "token")
-      .join(broadcast(spark.table(dfTable).filter(col("token").isin(terms: _*))),
-        "token")
-      .crossJoin(broadcast(spark.table(statsTable)))
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
       .selectExpr("query_id", "doc_id", s"$bm25MicroExpr AS micro")
     bm25Rank(term)
   }
+
+  /** ADMISSION: append one batch of documents to a (possibly empty)
+    * index as pure partials — postings rows bucket-aligned, a df
+    * partial, a stats partial. Everything is batch-local map/agg work
+    * plus appends; the existing index is NEVER read or rewritten, which
+    * is what makes continuous ingest O(batch) — the search-time folds in
+    * [[bm25SearchAgainst]] absorb the generations (compaction folds them
+    * physically when file counts matter; the substring family's
+    * temp-table+rename compactor is the template).
+    */
+  def bm25AdmitDocs(batch: DataFrame,
+      postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
+      statsTable: String = Bm25StatsTable): Unit = {
+    val d = batch.selectExpr("doc_id", s"$toks AS tk")
+    val post = bm25PostingsDf(d).persist()
+    try {
+      post.write.mode("append").bucketBy(Bm25Buckets, "token")
+        .saveAsTable(postingsTable)
+      post.groupBy("token").agg(count(lit(1)).cast("bigint").as("df"))
+        .write.mode("append").saveAsTable(dfTable)
+      d.agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(expr("size(tk)")).cast("bigint").as("sum_dl"))
+        .write.mode("append").saveAsTable(statsTable)
+    } finally { post.unpersist(); () }
+  }
+
+  /** Continuous index build: every micro-batch of arriving documents is
+    * admitted as append-only partials. Because tf/dl are per-doc local
+    * and df/stats are additive, ANY chunking that keeps docs whole
+    * folds to the batch-built index exactly — the gate's oracle.
+    */
+  def bm25IngestStream(newDocs: DataFrame,
+      postingsTable: String, dfTable: String, statsTable: String)(
+      onBatch: () => Unit = () => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          bm25AdmitDocs(batch, postingsTable, dfTable, statsTable)
+          onBatch()
+        }
+      }
+      .start()
 
   /** `txt_bm25_indexed`: build-or-reuse the index, then run the standard
     * query set against it — must equal [[bm25Topk]] bit-for-bit (same
@@ -1566,10 +1618,16 @@ object TextAnalysis {
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // same partial-generation folds as bm25SearchAgainst: identity for a
+    // one-shot index, correct against a grown one
+    val dfreq = s.table(dfTable).filter(col("token").isin(terms: _*))
+      .groupBy("token").agg(sum("df").cast("bigint").as("df"))
+    val stats = s.table(statsTable)
+      .agg(sum("n_docs").cast("bigint").as("n_docs"),
+        sum("sum_dl").cast("bigint").as("sum_dl"))
     tf.join(broadcast(queries), "token")
-      .join(broadcast(s.table(dfTable).filter(col("token").isin(terms: _*))),
-        "token")
-      .crossJoin(broadcast(s.table(statsTable)))
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
       .selectExpr("query_id", "doc_id", s"$bm25MicroExpr AS micro")
       .groupBy("query_id", "doc_id").agg(sum("micro").as("score_micro"))
   }

@@ -507,6 +507,33 @@ object StreamGate {
       .orderBy("query_id", "doc_id")
   }
 
+  /** CONTINUOUS INDEX BUILD under the hard gate: the document table is
+    * replayed in chunks and every micro-batch is ADMITTED to an
+    * initially-empty BM25 index as append-only partials (postings
+    * bucket-aligned, df/stats generations) — the existing index is never
+    * read or rewritten inside the stream. After close, the standard
+    * query set against the grown index must answer EXACTLY like the
+    * batch-built index (oracle: the bm25 top-k oracle) — tf/dl are
+    * per-doc local and df/stats additive, so any chunking that keeps
+    * docs whole folds to the same index.
+    */
+  def bm25Ingest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val (p, f, st) = ("bm25_ing_postings", "bm25_ing_df", "bm25_ing_stats")
+    Seq(p, f, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val stream = replayCached(spark, s"docs|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "documents"), col("doc_id")))
+    try {
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = TextAnalysis.bm25IngestStream(stream, p, f, st)()
+        try q.processAllAvailable() finally q.stop()
+      }
+      materialize(TextAnalysis.bm25SearchAgainst(spark,
+          TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir)), p, f, st))
+        .orderBy("query_id", "rk")
+    } finally { Seq(p, f, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); () }
+  }
+
   /** INCREMENTAL LM fit under the hard gate: training docs replayed in
     * chunks, each micro-batch appending its raw count partials (bigrams
     * + token frequencies, NO vocab mapping — see

@@ -841,6 +841,28 @@ class StorageSpec extends SparkSpec {
     } finally { s2.sql("DROP TABLE IF EXISTS mt_nst_t"); () }
   }
 
+  test("bm25 admission: three admitted batches answer exactly like the batch-built index") {
+    import graft.operators.TextAnalysis
+    val s2 = spark.newSession()
+    val tables = Seq("bm25a_post_t", "bm25a_df_t", "bm25a_stats_t")
+    try {
+      val d = graft.core.Tables.load(s2, Sf0001, "documents")
+      // admit three disjoint batches into an initially-empty index
+      (0 to 2).foreach(k => TextAnalysis.bm25AdmitDocs(
+        d.filter(org.apache.spark.sql.functions.col("doc_id") % 3 === k),
+        "bm25a_post_t", "bm25a_df_t", "bm25a_stats_t"))
+      // generations really accumulated (no silent overwrite)
+      assert(s2.table("bm25a_stats_t").count() === 3)
+      val q = d.selectExpr("doc_id", "split(text, '\\\\s+') AS tk")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 37 === 0)
+        .selectExpr("doc_id AS query_id",
+          "explode(array_distinct(slice(tk, 1, 4))) AS token")
+      val grown = TextAnalysis.bm25SearchAgainst(s2, q,
+        "bm25a_post_t", "bm25a_df_t", "bm25a_stats_t").collect()
+      assert(grown.toSeq === TextAnalysis.bm25Topk(s2, Sf0001).collect().toSeq)
+    } finally { tables.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
+  }
+
   test("bm25 against the persisted index: same rows, literal terms prune postings buckets") {
     import graft.operators.TextAnalysis
     val s2 = spark.newSession()
