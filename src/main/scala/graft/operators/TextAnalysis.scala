@@ -1533,6 +1533,53 @@ object TextAnalysis {
     * and df/stats are additive, ANY chunking that keeps docs whole
     * folds to the batch-built index exactly — the gate's oracle.
     */
+  /** Compact a grown index. Postings: dedup + one file per bucket via the
+    * substring family's temp-table+rename rewrite — EXACT-duplicate
+    * posting rows are at-least-once replay copies (tf/dl are
+    * deterministic per doc), so distinct() removes precisely them. Then
+    * df and stats are REBUILT from the deduped postings as single
+    * generations — rebuilding rather than folding is what makes
+    * compaction a REPAIR step: a replayed admission batch double-counts
+    * its df/stats partials, and recomputation from repaired postings
+    * restores the exact batch-built index. Returns the postings
+    * (files-before, files-after) pair.
+    */
+  def compactBm25Index(spark: SparkSession,
+      postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
+      statsTable: String = Bm25StatsTable): (Long, Long) = {
+    val counts = graft.operators.Dedup
+      .compactBucketedTable(spark, postingsTable, "token")
+    val post = spark.table(postingsTable)
+    replaceTable(spark, dfTable,
+      post.groupBy("token").agg(count(lit(1)).cast("bigint").as("df")))
+    replaceTable(spark, statsTable,
+      post.groupBy("doc_id").agg(max("dl").as("dl"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum("dl").cast("bigint").as("sum_dl")))
+    counts
+  }
+
+  /** Checked replace for the small derived tables: write the replacement
+    * to a temp table, then drop + rename. A crash between drop and
+    * rename leaves the finished temp; the promotion guard completes it
+    * on the next call (same recovery contract as the bucketed
+    * compactor). The replacement frame must NOT read the table it
+    * replaces — both call sites derive from postings.
+    */
+  private def replaceTable(spark: SparkSession, table: String,
+      data: DataFrame): Unit = {
+    val catalog = spark.sessionState.catalog
+    val tmp = table + "_compact_tmp"
+    def exists(t: String) = catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    if (!exists(table) && exists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    data.write.saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   def bm25IngestStream(newDocs: DataFrame,
       postingsTable: String, dfTable: String, statsTable: String)(
       onBatch: () => Unit = () => ()): org.apache.spark.sql.streaming.StreamingQuery =

@@ -863,6 +863,39 @@ class StorageSpec extends SparkSpec {
     } finally { tables.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
 
+  test("bm25 compaction repairs an at-least-once replayed admission and folds generations") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val tables = ("bm25c_post_t", "bm25c_df_t", "bm25c_stats_t")
+    val all = Seq(tables._1, tables._2, tables._3, tables._2 + "_compact_tmp",
+      tables._3 + "_compact_tmp")
+    try {
+      val d = graft.core.Tables.load(s2, Sf0001, "documents")
+      (0 to 2).foreach(k => TextAnalysis.bm25AdmitDocs(
+        d.filter(col("doc_id") % 3 === k), tables._1, tables._2, tables._3))
+      // the redelivery a real at-least-once source produces: batch 1 again
+      TextAnalysis.bm25AdmitDocs(
+        d.filter(col("doc_id") % 3 === 1), tables._1, tables._2, tables._3)
+      val q = d.selectExpr("doc_id", "split(text, '\\\\s+') AS tk")
+        .filter(col("doc_id") % 37 === 0)
+        .selectExpr("doc_id AS query_id",
+          "explode(array_distinct(slice(tk, 1, 4))) AS token")
+      val want = TextAnalysis.bm25Topk(s2, Sf0001).collect().toSeq
+      // duplicate delivery really corrupts the scores (repair is not a no-op)
+      val corrupted = TextAnalysis
+        .bm25SearchAgainst(s2, q, tables._1, tables._2, tables._3).collect().toSeq
+      assert(corrupted !== want, "replayed batch should have skewed the scores")
+      val (before, after) =
+        TextAnalysis.compactBm25Index(s2, tables._1, tables._2, tables._3)
+      assert(after <= before)
+      assert(s2.table(tables._3).count() === 1, "stats generations must fold to one")
+      val repaired = TextAnalysis
+        .bm25SearchAgainst(s2, q, tables._1, tables._2, tables._3).collect().toSeq
+      assert(repaired === want)
+    } finally { all.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
+  }
+
   test("bm25 against the persisted index: same rows, literal terms prune postings buckets") {
     import graft.operators.TextAnalysis
     val s2 = spark.newSession()
