@@ -1698,4 +1698,50 @@ object TextAnalysis {
     s"""WITH $bm25ScoreCtes
        |SELECT query_id, doc_id, score_micro FROM score
        |ORDER BY query_id, doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Phrase search (positional postings)
+  // -------------------------------------------------------------------------
+
+  /** PHRASE SEARCH — exact consecutive-token match via POSITIONAL
+    * postings: every [[Bm25QueryStride]]-th document's first two tokens
+    * form a standing phrase; a document matches when the two tokens occur
+    * at adjacent positions. The plan is the classic positional-index
+    * intersection: one posexplode pass cut to phrase terms by a broadcast
+    * membership probe (work scales with the PHRASE terms' postings, not
+    * the corpus), the two position streams equi-join on
+    * (query, doc, pos+1=pos) — never a substring scan over full text.
+    * The oracle states the SAME semantics independently as literal
+    * substring containment over the single-space corpus
+    * (`contains(' '||text||' ', ' '||t1||' '||t2||' ')`), so the two
+    * formulations cross-check each other.
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val d = bm25Corpus(spark, dir)
+    val q = d.filter(col("doc_id") % Bm25QueryStride === 0 && expr("size(tk) >= 2"))
+      .selectExpr("doc_id AS query_id", "tk[0] AS t1", "tk[1] AS t2")
+    val qset = q.selectExpr("t1 AS token").union(q.selectExpr("t2 AS token")).distinct()
+    val pos = d.selectExpr("doc_id", "posexplode(tk) AS (pos, token)")
+      .join(broadcast(qset), "token")
+    val m1 = pos.join(broadcast(q), col("token") === col("t1"))
+      .select(col("query_id"), col("doc_id"), col("pos"))
+    val m2 = pos.join(broadcast(q), col("token") === col("t2"))
+      .select(col("query_id").as("query_id2"), col("doc_id").as("doc_id2"),
+        col("pos").as("pos2"))
+    m1.join(m2, col("query_id") === col("query_id2") &&
+        col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1)
+      .select("query_id", "doc_id").distinct()
+      .orderBy("query_id", "doc_id")
+  }
+
+  val phraseSearchOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id AS query_id, tk[1] AS t1, tk[2] AS t2 FROM d
+       |  WHERE doc_id % $Bm25QueryStride = 0 AND len(tk) >= 2
+       |)
+       |SELECT DISTINCT query_id, d.doc_id AS doc_id
+       |FROM q JOIN d
+       |  ON contains(' ' || d.text || ' ', ' ' || t1 || ' ' || t2 || ' ')
+       |ORDER BY query_id, doc_id""".stripMargin
 }
