@@ -845,4 +845,97 @@ object Similarity {
        |  coalesce(best.cosine, CAST(0.0 AS DOUBLE)) AS match_cos
        |FROM embeddings v LEFT JOIN best ON v.vec_id = best.vec_id
        |ORDER BY v.vec_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of lexical + semantic top-k
+  // -------------------------------------------------------------------------
+
+  /** RRF smoothing constant (the standard k=60 from Cormack et al.). */
+  val RrfK = 60
+
+  /** HYBRID SEARCH — the modern retrieval default: fuse the BM25 lexical
+    * ranking with the embedding-cosine ranking by reciprocal-rank fusion,
+    * rrf(d) = sum over sources of 1 / (k + rank_source(d)). Documents and
+    * embeddings share an id space in the testdata, so every
+    * [[graft.operators.TextAnalysis.Bm25QueryStride]]-th id queries BOTH
+    * sides; a doc missing from one side's top-k contributes only the
+    * other's term (coalesce to 0 in ONE fixed expression, so the
+    * two-term double sum is evaluation-order-free and hash-exact).
+    *
+    * Scale shape: each side is its own already-audited plan (BM25
+    * broadcast-probe + bounded TopK; cosine brute-force with broadcast
+    * query side + bounded TopK); fusion joins two O(queries x k) rank
+    * tables — metadata-scale — full-outer on (query, doc), then one more
+    * bounded TopK. No window sort anywhere.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val lex = TextAnalysis.bm25Topk(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") % TextAnalysis.Bm25QueryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val sem = e.crossJoin(broadcast(q)) // self included: BM25 ranks self too
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.topk(TopK)(col("vec_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk_sem"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .selectExpr("query_id", "doc_id",
+        s"coalesce(1.0 / CAST($RrfK + rk_lex AS DOUBLE), 0.0) + " +
+          s"coalesce(1.0 / CAST($RrfK + rk_sem AS DOUBLE), 0.0) AS rrf")
+    fused.groupBy("query_id")
+      .agg(graft.functions.TopK.topk(TopK)(col("doc_id"), col("rrf")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("col.score").as("rrf"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The oracle restates BOTH rankings through window functions (the
+    * formulation the engine deliberately avoids) — an independent
+    * derivation of every rank that feeds the fusion.
+    */
+  val hybridRrfOracle: String = {
+    val stride = graft.operators.TextAnalysis.Bm25QueryStride
+    s"""WITH ${graft.operators.TextAnalysis.bm25ScoreCtes(stride)},
+       |lex AS (
+       |  SELECT query_id, doc_id, rk AS rk_lex FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rk
+       |    FROM score
+       |  ) WHERE rk <= $TopK
+       |),
+       |e AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |),
+       |sem AS (
+       |  SELECT query_id, doc_id, rk AS rk_sem FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckDot("e.embedding", "q.embedding")} / (e.nrm * q.nrm) DESC,
+       |          e.vec_id) AS rk
+       |    FROM e JOIN e q ON q.vec_id % $stride = 0
+       |  ) WHERE rk <= $TopK
+       |),
+       |fused AS (
+       |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+       |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    coalesce(1.0 / CAST($RrfK + rk_lex AS DOUBLE), 0.0) +
+       |      coalesce(1.0 / CAST($RrfK + rk_sem AS DOUBLE), 0.0) AS rrf
+       |  FROM lex FULL JOIN sem
+       |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+       |)
+       |SELECT query_id, rk, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused
+       |)
+       |WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
 }

@@ -1332,7 +1332,7 @@ object TextAnalysis {
     * `Bm25QueryTerms` tokens (as a SET — slice-then-distinct is order-free,
     * so both engines derive the same term set).
     */
-  private val Bm25QueryStride = 37
+  private[graft] val Bm25QueryStride = 37
   private val Bm25QueryTerms = 4
 
   /** Okapi parameters k1 = 5/4 and b = 3/4: inside the standard tuning
@@ -1602,7 +1602,7 @@ object TextAnalysis {
     bm25SearchAgainst(spark, bm25QueriesOf(bm25Corpus(spark, dir)))
   }
 
-  private def bm25ScoreCtes(stride: Int): String =
+  private[graft] def bm25ScoreCtes(stride: Int): String =
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |q AS (
        |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:$Bm25QueryTerms])) AS token

@@ -1184,6 +1184,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hybrid rrf equals a driver-side fusion of the two verified rankings") {
+    import spark.implicits._
+    val got = Similarity.hybridRrf(spark, Sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val lex = TextAnalysis.bm25Topk(spark, Sf0001)
+      .selectExpr("query_id", "doc_id", "rk").as[(Long, Long, Long)].collect()
+      .map { case (q, d, r) => (q, d) -> r }.toMap
+    // independent semantic ranking: exact cosine in plain Scala
+    val embs = graft.core.Tables.load(spark, Sf0001, "embeddings")
+      .selectExpr("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def dotd(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+    def nrm(a: Array[Float]): Double = math.sqrt(dotd(a, a))
+    val sem = embs.keys.filter(_ % 37 == 0).flatMap { q =>
+      embs.toSeq.map { case (d, v) => (q, d, dotd(v, embs(q)) / (nrm(v) * nrm(embs(q)))) }
+        .sortBy { case (_, d, c) => (-c, d) }.take(10)
+        .zipWithIndex.map { case ((_, d, _), i) => (q, d) -> (i + 1).toLong }
+    }.toMap
+    val want = (lex.keySet ++ sem.keySet).groupBy(_._1).toSeq.flatMap { case (q, keys) =>
+      keys.toSeq.map { k =>
+        val rrf = lex.get(k).map(r => 1.0 / (60 + r).toDouble).getOrElse(0.0) +
+          sem.get(k).map(r => 1.0 / (60 + r).toDouble).getOrElse(0.0)
+        (q, k._2, rrf)
+      }.sortBy { case (_, d, s) => (-s, d) }.take(10)
+        .zipWithIndex.map { case ((_, d, s), i) => (q, (i + 1).toLong, d, s) }
+    }.sortBy(r => (r._1, r._2))
+    assert(got === want)
+  }
+
   test("ppl filter keeps a nonempty strict subset on the corpus-mean threshold") {
     val scored = TextAnalysis.perplexityInline(spark, Sf0001).cache()
     try {

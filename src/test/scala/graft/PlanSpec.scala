@@ -342,6 +342,15 @@ class PlanSpec extends SparkSpec {
       s"nothing in bm25 may shuffle-join (broadcasts + 1-row constants only):\n${p.take(800)}")
   }
 
+  test("hybrid rrf never window-sorts: both rankings and the fusion use bounded TopK") {
+    val p = plan(graft.operators.Similarity.hybridRrf(spark, Sf0001))
+    assert(!p.contains("Window"),
+      s"all three rankings must ride the bounded TopK aggregate:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    assert(!p.contains("SortMergeJoin") || p.contains("FullOuter"),
+      s"only the metadata-scale rank fusion may shuffle-join:\n${p.take(800)}")
+  }
+
   test("whole-stage codegen covers the taxi filter-project pipeline") {
     val df = TaxiQueries.q1Tumble(spark, Sf0001)
     df.collect() // AQE only materializes codegen'd stages in the FINAL plan
