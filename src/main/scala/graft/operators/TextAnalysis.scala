@@ -1756,4 +1756,57 @@ object TextAnalysis {
        |FROM q JOIN d
        |  ON contains(' ' || d.text || ' ', ' ' || t1 || ' ' || t2 || ' ')
        |ORDER BY query_id, doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Snippet extraction (keyword-in-context, the display half of search)
+  // -------------------------------------------------------------------------
+
+  /** Context tokens shown on each side of the hit. */
+  val SnippetContext = 2
+
+  /** SNIPPET EXTRACTION — for every standing query term (each
+    * [[Bm25QueryStride]]-th document's FIRST token) and every document
+    * containing it, the first occurrence position (1-based) and a
+    * +/-[[SnippetContext]]-token window around it. The plan is the
+    * search family's shape: posexplode cut to query terms by a broadcast
+    * membership probe, a (doc, token) min-position aggregate (shuffle
+    * volume = searched-term occurrences), then a map-only slice/concat
+    * back on the doc row — full text never shuffles, only (doc_id,
+    * token, pos) triples do.
+    */
+  def snippet(spark: SparkSession, dir: String): DataFrame = {
+    val d = bm25Corpus(spark, dir)
+    val q = d.filter(col("doc_id") % Bm25QueryStride === 0)
+      .selectExpr("doc_id AS query_id", "tk[0] AS t1")
+    val qset = q.select(col("t1").as("token")).distinct()
+    val firstPos = d
+      .selectExpr("doc_id", "posexplode(tk) AS (p, token)")
+      .join(broadcast(qset), "token")
+      .groupBy("doc_id", "token")
+      .agg(min("p").as("p0")) // 0-based first occurrence
+    firstPos
+      .join(broadcast(q), col("token") === col("t1"))
+      .join(d, "doc_id") // doc side re-joined for the window slice only
+      .selectExpr("query_id", "doc_id", "CAST(p0 + 1 AS BIGINT) AS pos",
+        s"""concat_ws(' ', slice(tk, greatest(p0 - $SnippetContext, 0) + 1,
+           |  least(p0 + $SnippetContext, size(tk) - 1)
+           |    - greatest(p0 - $SnippetContext, 0) + 1)) AS snippet""".stripMargin)
+      .orderBy("query_id", "doc_id")
+  }
+
+  val snippetOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |q AS (
+       |  SELECT doc_id AS query_id, tk[1] AS t1 FROM d
+       |  WHERE doc_id % $Bm25QueryStride = 0
+       |),
+       |hit AS (
+       |  SELECT query_id, d.doc_id AS doc_id, tk,
+       |    CAST(list_position(tk, t1) AS BIGINT) AS pos
+       |  FROM q JOIN d ON list_contains(d.tk, t1)
+       |)
+       |SELECT query_id, doc_id, pos,
+       |  array_to_string(tk[greatest(pos - $SnippetContext, 1):least(pos + $SnippetContext, len(tk))], ' ') AS snippet
+       |FROM hit
+       |ORDER BY query_id, doc_id""".stripMargin
 }
