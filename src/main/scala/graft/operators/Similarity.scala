@@ -703,8 +703,8 @@ object Similarity {
     rankTopK(scored)
   }
 
-  val ivfTopkOracle: String =
-    s"""WITH e AS (
+  private val ivfChainCtes: String =
+    s"""e AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings
@@ -725,15 +725,21 @@ object Similarity {
        |        ORDER BY ${duckDot("q.q_emb", "p.p_emb")} / (q.q_nrm * p.p_nrm) DESC, p.p_label) AS p_rank
        |    FROM q CROSS JOIN pivots p
        |  ) WHERE p_rank <= $NProbe
-       |)
-       |SELECT q_id, rank, neighbor_id, cosine FROM (
-       |  SELECT pr.q_id, e.vec_id AS neighbor_id,
-       |    ${duckDot("e.embedding", "pr.q_emb")} / (e.nrm * pr.q_nrm) AS cosine,
-       |    row_number() OVER (PARTITION BY pr.q_id
-       |      ORDER BY ${duckDot("e.embedding", "pr.q_emb")} / (e.nrm * pr.q_nrm) DESC, e.vec_id) AS rank
-       |  FROM probed pr JOIN e ON e.label = pr.p_label AND e.vec_id <> pr.q_id
-       |)
-       |WHERE rank <= $TopK
+       |),
+       |ivf_ranked AS (
+       |  SELECT q_id, rank, neighbor_id, cosine FROM (
+       |    SELECT pr.q_id, e.vec_id AS neighbor_id,
+       |      ${duckDot("e.embedding", "pr.q_emb")} / (e.nrm * pr.q_nrm) AS cosine,
+       |      row_number() OVER (PARTITION BY pr.q_id
+       |        ORDER BY ${duckDot("e.embedding", "pr.q_emb")} / (e.nrm * pr.q_nrm) DESC, e.vec_id) AS rank
+       |    FROM probed pr JOIN e ON e.label = pr.p_label AND e.vec_id <> pr.q_id
+       |  )
+       |  WHERE rank <= $TopK
+       |)""".stripMargin
+
+  val ivfTopkOracle: String =
+    s"""WITH $ivfChainCtes
+       |SELECT q_id, rank, neighbor_id, cosine FROM ivf_ranked
        |ORDER BY q_id, rank""".stripMargin
 
   /** DuckDB rendering of [[sketched]] — defined once and composed into both
@@ -938,4 +944,77 @@ object Similarity {
        |WHERE rk <= $TopK
        |ORDER BY query_id, rk""".stripMargin
   }
+
+  // -------------------------------------------------------------------------
+  // Ranking evaluation: recall@k / reciprocal rank of an ANN vs the exact baseline
+  // -------------------------------------------------------------------------
+
+  /** RANKING EVALUATION as a first-class query — the measurement loop a
+    * production ANN deployment runs continuously: per query, how much of
+    * the exact top-k the IVF ranking recovered (recall@k) and where the
+    * TRUE nearest neighbor landed (reciprocal rank; 0 when missed).
+    * All metric arithmetic is exact rational (hits/k, 1/rank), so the
+    * numbers hash across engines.
+    *
+    * Scale shape: both inputs are the already-audited rankings — each
+    * O(queries x k) rows — so every join here is metadata-scale; the
+    * expensive work is the rankings themselves, shared with their own
+    * queries (and at steady state served from the persisted index
+    * path).
+    */
+  def evalRecall(spark: SparkSession, dir: String): DataFrame = {
+    val approx = ivfTopk(spark, dir).select("q_id", "rank", "neighbor_id")
+    val exact = topkBruteforce(spark, dir).select("q_id", "rank", "neighbor_id")
+    val hits = approx.join(exact.select("q_id", "neighbor_id"),
+        Seq("q_id", "neighbor_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    val nn = exact.filter(col("rank") === 1)
+      .select(col("q_id").as("nq"), col("neighbor_id").as("nn_id"))
+    val nnr = approx.join(nn,
+        col("q_id") === col("nq") && col("neighbor_id") === col("nn_id"))
+      .select(col("q_id"), col("rank").as("nnrank_raw"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .join(nnr, Seq("q_id"), "left")
+      .selectExpr("q_id",
+        "CAST(coalesce(hits, 0) AS BIGINT) AS hits",
+        s"CAST(coalesce(hits, 0) AS DOUBLE) / $TopK AS recall_at_k",
+        "CAST(coalesce(nnrank_raw, 0) AS BIGINT) AS nn_rank",
+        "coalesce(1.0 / CAST(nnrank_raw AS DOUBLE), 0.0) AS rr")
+      .orderBy("q_id")
+  }
+
+  /** Oracle: both rankings re-derived through the window formulations,
+    * metrics joined per query. `nnrank_raw` keeps a distinct name so
+    * neither engine's lateral-column-alias resolution can bind the rr
+    * expression to the coalesced output column.
+    */
+  val evalRecallOracle: String =
+    s"""WITH $ivfChainCtes,
+       |exact AS (
+       |  SELECT q_id, rank, neighbor_id FROM (
+       |    SELECT q.q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${duckDot("e.embedding", "q.q_emb")} / (e.nrm * q.q_nrm) DESC, e.vec_id) AS rank
+       |    FROM e JOIN q ON e.vec_id <> q.q_id
+       |  ) WHERE rank <= $TopK
+       |),
+       |hits AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM ivf_ranked JOIN exact USING (q_id, neighbor_id) GROUP BY 1
+       |),
+       |nnr AS (
+       |  SELECT a.q_id, a.rank AS nnrank_raw
+       |  FROM ivf_ranked a JOIN (SELECT q_id, neighbor_id FROM exact WHERE rank = 1) nn
+       |    ON a.q_id = nn.q_id AND a.neighbor_id = nn.neighbor_id
+       |)
+       |SELECT qq.q_id AS q_id,
+       |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(hits, 0) AS DOUBLE) / $TopK AS recall_at_k,
+       |  CAST(coalesce(nnrank_raw, 0) AS BIGINT) AS nn_rank,
+       |  coalesce(1.0 / CAST(nnrank_raw AS DOUBLE), 0.0) AS rr
+       |FROM (SELECT DISTINCT q_id FROM exact) qq
+       |LEFT JOIN hits ON qq.q_id = hits.q_id
+       |LEFT JOIN nnr ON qq.q_id = nnr.q_id
+       |ORDER BY q_id""".stripMargin
 }
