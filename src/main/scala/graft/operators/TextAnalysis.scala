@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -1728,9 +1728,19 @@ object TextAnalysis {
     * (`contains(' '||text||' ', ' '||t1||' '||t2||' ')`), so the two
     * formulations cross-check each other.
     */
-  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchWhere(spark, dir, lit(true))
+
+  /** [[phraseSearch]] with an extra predicate on the QUERY-seeding docs —
+    * the fixed-query scale probes pin the query set with it (the standard
+    * set is corpus-derived, so a naive 20x probe compounds query-set
+    * growth with postings growth).
+    */
+  private[graft] def phraseSearchWhere(spark: SparkSession, dir: String,
+      queryPred: Column): DataFrame = {
     val d = bm25Corpus(spark, dir)
-    val q = d.filter(col("doc_id") % Bm25QueryStride === 0 && expr("size(tk) >= 2"))
+    val q = d.filter(col("doc_id") % Bm25QueryStride === 0 && expr("size(tk) >= 2")
+        && queryPred)
       .selectExpr("doc_id AS query_id", "tk[0] AS t1", "tk[1] AS t2")
     val qset = q.selectExpr("t1 AS token").union(q.selectExpr("t2 AS token")).distinct()
     val pos = d.selectExpr("doc_id", "posexplode(tk) AS (pos, token)")
@@ -1774,9 +1784,16 @@ object TextAnalysis {
     * back on the doc row — full text never shuffles, only (doc_id,
     * token, pos) triples do.
     */
-  def snippet(spark: SparkSession, dir: String): DataFrame = {
+  def snippet(spark: SparkSession, dir: String): DataFrame =
+    snippetWhere(spark, dir, lit(true))
+
+  /** [[snippet]] with an extra query-doc predicate (see
+    * [[phraseSearchWhere]]).
+    */
+  private[graft] def snippetWhere(spark: SparkSession, dir: String,
+      queryPred: Column): DataFrame = {
     val d = bm25Corpus(spark, dir)
-    val q = d.filter(col("doc_id") % Bm25QueryStride === 0)
+    val q = d.filter(col("doc_id") % Bm25QueryStride === 0 && queryPred)
       .selectExpr("doc_id AS query_id", "tk[0] AS t1")
     val qset = q.select(col("t1").as("token")).distinct()
     val firstPos = d

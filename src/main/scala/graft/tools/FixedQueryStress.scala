@@ -39,6 +39,14 @@ object FixedQueryStress {
       // queries × 20x postings. Fixing the query ids (present verbatim in
       // the 20x data) isolates per-search cost, which must scale with the
       // searched terms' postings (~20x), not the query-set size.
+      "txt_phrase(fixed-q)" -> { dir =>
+        graft.operators.TextAnalysis.phraseSearchWhere(spark, dir,
+          col("doc_id") < 5000)
+      },
+      "txt_snippet(fixed-q)" -> { dir =>
+        graft.operators.TextAnalysis.snippetWhere(spark, dir,
+          col("doc_id") < 5000)
+      },
       "txt_bm25(fixed-q)" -> { dir =>
         graft.operators.TextAnalysis.persistBm25Index(spark, dir)
         val q = graft.core.Tables.load(spark, dir, "documents")
