@@ -1543,6 +1543,14 @@ object TextAnalysis {
     * its df/stats partials, and recomputation from repaired postings
     * restores the exact batch-built index. Returns the postings
     * (files-before, files-after) pair.
+    *
+    * Crash contract: each of the three rewrites is individually atomic
+    * (temp + rename with torn-run promotion), but a crash BETWEEN them —
+    * postings already deduped, df/stats still holding inflated partials —
+    * leaves the index internally inconsistent until compaction re-runs
+    * to completion. Re-running is always safe (every step derives from
+    * postings alone), so the operational rule is simply: a failed
+    * compaction must be retried before the index is trusted again.
     */
   def compactBm25Index(spark: SparkSession,
       postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
