@@ -769,8 +769,8 @@ object Similarity {
   /** Oracle for [[multiprobeTopk]] — lives below [[duckSketchCte]] (val
     * initialization order).
     */
-  val multiprobeTopkOracle: String =
-    s"""WITH $duckSketchCte,
+  private val multiprobeChainCtes: String =
+    s"""$duckSketchCte,
        |q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
        |  FROM e WHERE vec_id % 20 = 0
@@ -778,16 +778,22 @@ object Similarity {
        |masks AS (
        |  SELECT CAST(unnest(list_filter(range(0, ${1 << NumPlanes}),
        |    m -> list_sum(list_transform(range(0, $NumPlanes), i -> (m >> i) & 1)) <= $ProbeRadius)) AS INT) AS mask
-       |)
-       |SELECT q_id, rank, neighbor_id, cosine FROM (
-       |  SELECT q.q_id, e.vec_id AS neighbor_id,
-       |    ${duckDot("e.embedding", "q.q_emb")} / (e.nrm * q.q_nrm) AS cosine,
-       |    row_number() OVER (PARTITION BY q.q_id
-       |      ORDER BY ${duckDot("e.embedding", "q.q_emb")} / (e.nrm * q.q_nrm) DESC, e.vec_id) AS rank
-       |  FROM q CROSS JOIN masks
-       |  JOIN e ON e.bucket = xor(q.q_bucket, masks.mask) AND e.vec_id <> q.q_id
-       |)
-       |WHERE rank <= $TopK
+       |),
+       |mp_ranked AS (
+       |  SELECT q_id, rank, neighbor_id, cosine FROM (
+       |    SELECT q.q_id, e.vec_id AS neighbor_id,
+       |      ${duckDot("e.embedding", "q.q_emb")} / (e.nrm * q.q_nrm) AS cosine,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${duckDot("e.embedding", "q.q_emb")} / (e.nrm * q.q_nrm) DESC, e.vec_id) AS rank
+       |    FROM q CROSS JOIN masks
+       |    JOIN e ON e.bucket = xor(q.q_bucket, masks.mask) AND e.vec_id <> q.q_id
+       |  )
+       |  WHERE rank <= $TopK
+       |)""".stripMargin
+
+  val multiprobeTopkOracle: String =
+    s"""WITH $multiprobeChainCtes
+       |SELECT q_id, rank, neighbor_id, cosine FROM mp_ranked
        |ORDER BY q_id, rank""".stripMargin
 
   // -------------------------------------------------------------------------
@@ -962,8 +968,19 @@ object Similarity {
     * queries (and at steady state served from the persisted index
     * path).
     */
-  def evalRecall(spark: SparkSession, dir: String): DataFrame = {
-    val approx = ivfTopk(spark, dir).select("q_id", "rank", "neighbor_id")
+  def evalRecall(spark: SparkSession, dir: String): DataFrame =
+    evalAgainstExact(spark, dir, ivfTopk(spark, dir))
+
+  /** The same evaluation over the multi-probe LSH ranking — the eval
+    * harness is family-generic: any (q_id, rank, neighbor_id) ranking
+    * evaluates against the shared exact baseline.
+    */
+  def evalRecallMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    evalAgainstExact(spark, dir, multiprobeTopk(spark, dir))
+
+  private def evalAgainstExact(spark: SparkSession, dir: String,
+      approxDf: DataFrame): DataFrame = {
+    val approx = approxDf.select("q_id", "rank", "neighbor_id")
     val exact = topkBruteforce(spark, dir).select("q_id", "rank", "neighbor_id")
     val hits = approx.join(exact.select("q_id", "neighbor_id"),
         Seq("q_id", "neighbor_id"))
@@ -989,8 +1006,12 @@ object Similarity {
     * neither engine's lateral-column-alias resolution can bind the rr
     * expression to the coalesced output column.
     */
-  val evalRecallOracle: String =
-    s"""WITH $ivfChainCtes,
+  /** Metric tail shared by every family's eval oracle: the chain must
+    * define `e` (corpus + norms) and `q` (query side) plus a ranked CTE
+    * named `ranked` via aliasing in the caller.
+    */
+  private def evalMetricsOracle(chain: String, ranked: String): String =
+    s"""WITH $chain,
        |exact AS (
        |  SELECT q_id, rank, neighbor_id FROM (
        |    SELECT q.q_id, e.vec_id AS neighbor_id,
@@ -1001,11 +1022,11 @@ object Similarity {
        |),
        |hits AS (
        |  SELECT q_id, CAST(count(*) AS BIGINT) AS hits
-       |  FROM ivf_ranked JOIN exact USING (q_id, neighbor_id) GROUP BY 1
+       |  FROM $ranked JOIN exact USING (q_id, neighbor_id) GROUP BY 1
        |),
        |nnr AS (
        |  SELECT a.q_id, a.rank AS nnrank_raw
-       |  FROM ivf_ranked a JOIN (SELECT q_id, neighbor_id FROM exact WHERE rank = 1) nn
+       |  FROM $ranked a JOIN (SELECT q_id, neighbor_id FROM exact WHERE rank = 1) nn
        |    ON a.q_id = nn.q_id AND a.neighbor_id = nn.neighbor_id
        |)
        |SELECT qq.q_id AS q_id,
@@ -1017,4 +1038,9 @@ object Similarity {
        |LEFT JOIN hits ON qq.q_id = hits.q_id
        |LEFT JOIN nnr ON qq.q_id = nnr.q_id
        |ORDER BY q_id""".stripMargin
+
+  val evalRecallOracle: String = evalMetricsOracle(ivfChainCtes, "ivf_ranked")
+
+  val evalRecallMultiprobeOracle: String =
+    evalMetricsOracle(multiprobeChainCtes, "mp_ranked")
 }
