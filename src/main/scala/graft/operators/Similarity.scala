@@ -978,7 +978,7 @@ object Similarity {
   def evalRecallMultiprobe(spark: SparkSession, dir: String): DataFrame =
     evalAgainstExact(spark, dir, multiprobeTopk(spark, dir))
 
-  private def evalAgainstExact(spark: SparkSession, dir: String,
+  private[graft] def evalAgainstExact(spark: SparkSession, dir: String,
       approxDf: DataFrame): DataFrame = {
     val approx = approxDf.select("q_id", "rank", "neighbor_id")
     val exact = topkBruteforce(spark, dir).select("q_id", "rank", "neighbor_id")

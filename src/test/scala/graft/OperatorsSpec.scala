@@ -1184,6 +1184,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("eval harness scores a perfect ranking as perfect: full-probe IVF recall=1, rr=1") {
+    import spark.implicits._
+    val labels = graft.core.Tables.load(spark, Sf0001, "embeddings")
+      .select("label").distinct().count().toInt
+    val rows = Similarity.evalAgainstExact(spark, Sf0001,
+        Similarity.ivfTopkProbe(spark, Sf0001, labels))
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, hits, recall, nnRank, rr) =>
+      assert(hits === 10L && recall === 1.0 && nnRank === 1L && rr === 1.0,
+        s"full probe must reproduce the exact ranking for q=$q: ($hits, $recall, $nnRank, $rr)")
+    }
+  }
+
   test("hybrid rrf equals a driver-side fusion of the two verified rankings") {
     import spark.implicits._
     val got = Similarity.hybridRrf(spark, Sf0001)
