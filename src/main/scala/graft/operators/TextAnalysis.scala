@@ -1650,7 +1650,7 @@ object TextAnalysis {
     * micro-batches); its emission volume is queries x matching docs —
     * quadratic in the corpus when the standing set is corpus-derived —
     * so the gate registers a sparser set and leaves scale claims to the
-    * probes (sf0.1 gate 10.6 s -> ~4 s at identical semantics).
+    * probes (sf0.1 gate 10.6 s -> 5.2 s at identical semantics).
     */
   private val Bm25PercolateStride = 370
 
