@@ -50,9 +50,16 @@ object Similarity {
     * a per-query window sort over all candidates died at 20x scale) with
     * the same (cosine DESC, vec_id ASC) order, so results are unchanged.
     */
-  def topkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+  def topkBruteforce(spark: SparkSession, dir: String): DataFrame =
+    topkBruteforceWhere(spark, dir, lit(true))
+
+  /** [[topkBruteforce]] with an extra predicate on the query side — the
+    * streaming eval gate scores one arriving query batch at a time.
+    */
+  private[graft] def topkBruteforceWhere(spark: SparkSession, dir: String,
+      queryPred: Column): DataFrame = {
     val e = withNorm(spark, dir)
-    val q = e.filter(col("vec_id") % 20 === 0)
+    val q = e.filter(col("vec_id") % 20 === 0 && queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
@@ -175,13 +182,20 @@ object Similarity {
     ivfTopkProbe(spark, dir, NProbe)
 
   /** [[ivfTopk]] with an explicit probe width. */
-  def ivfTopkProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  def ivfTopkProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
+    ivfTopkProbeWhere(spark, dir, nprobe, lit(true))
+
+  /** [[ivfTopkProbe]] with an extra query-side predicate (see
+    * [[topkBruteforceWhere]]).
+    */
+  private[graft] def ivfTopkProbeWhere(spark: SparkSession, dir: String,
+      nprobe: Int, queryPred: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(spark, dir)
     val pivotIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
     val pivots = e.join(pivotIds, Seq("label", "vec_id"))
       .select(col("label").as("p_label"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
-    val q = e.filter(col("vec_id") % 20 === 0)
+    val q = e.filter(col("vec_id") % 20 === 0 && queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("label").as("q_label"))
     // rank labels per query by pivot cosine (tie-break on label)
@@ -979,9 +993,40 @@ object Similarity {
     evalAgainstExact(spark, dir, multiprobeTopk(spark, dir))
 
   private[graft] def evalAgainstExact(spark: SparkSession, dir: String,
-      approxDf: DataFrame): DataFrame = {
+      approxDf: DataFrame): DataFrame =
+    evalCore(approxDf, topkBruteforce(spark, dir))
+
+  /** Evaluate ONE arriving batch of query ids against the frozen corpus:
+    * rankings and metrics are per-query independent, so batch emissions
+    * union to the one-shot evaluation exactly — the continuous
+    * index-quality monitoring loop.
+    */
+  private[graft] def evalBatch(spark: SparkSession, dir: String,
+      qIds: Seq[Long]): DataFrame = {
+    val pred = col("vec_id").isin(qIds: _*)
+    evalCore(ivfTopkProbeWhere(spark, dir, NProbe, pred),
+      topkBruteforceWhere(spark, dir, pred))
+  }
+
+  /** Continuous evaluation: each micro-batch of arriving query vectors is
+    * scored against the frozen corpus (both rankings restricted to the
+    * batch's ids — a bounded driver value, it IS the arriving queries).
+    */
+  def evalStream(newQueries: DataFrame, dir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newQueries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val ids = batch.select("vec_id").collect().map(_.getLong(0)).toSeq
+          sink(evalBatch(batch.sparkSession, dir, ids))
+        }
+      }
+      .start()
+
+  private def evalCore(approxDf: DataFrame, exactDf: DataFrame): DataFrame = {
     val approx = approxDf.select("q_id", "rank", "neighbor_id")
-    val exact = topkBruteforce(spark, dir).select("q_id", "rank", "neighbor_id")
+    val exact = exactDf.select("q_id", "rank", "neighbor_id")
     val hits = approx.join(exact.select("q_id", "neighbor_id"),
         Seq("q_id", "neighbor_id"))
       .groupBy("q_id").agg(count(lit(1)).as("hits"))

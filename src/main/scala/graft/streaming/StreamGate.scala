@@ -507,6 +507,31 @@ object StreamGate {
       .orderBy("query_id", "doc_id")
   }
 
+  /** CONTINUOUS INDEX-QUALITY MONITORING under the hard gate: the query
+    * vectors (every 20th embedding) arrive as a replayed stream; each
+    * micro-batch is evaluated — IVF vs exact, recall@10 and reciprocal
+    * rank — against the FROZEN corpus. Rankings and metrics are
+    * per-query independent, so the emission union must equal the batch
+    * evaluation (oracle: the sim_eval_recall oracle).
+    */
+  def evalRecallStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val stream = replayCached(spark, s"evalq|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "embeddings").filter(col("vec_id") % 20 === 0),
+        col("vec_id")))
+    val schema = Similarity.evalRecall(spark, dir).schema
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    withGateParallelism(spark, GateStatePartitions) {
+      val q = Similarity.evalStream(stream, dir) { v =>
+        buf.synchronized { buf ++= v.collect() }; ()
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      .orderBy("q_id")
+  }
+
   /** CONTINUOUS INDEX BUILD under the hard gate: the document table is
     * replayed in chunks and every micro-batch is ADMITTED to an
     * initially-empty BM25 index as append-only partials (postings
