@@ -1063,14 +1063,22 @@ object TextAnalysis {
       vocabTable: String = LmVocabTable, modelTable: String = LmModelTable,
       ctxTable: String = LmCtxTable): Unit = {
     lazy val vocab = lmVocabDf(spark, dir).collect().map(_.getString(0)).toSeq
-    lazy val model = lmModelDf(spark, dir, vocab).cache()
-    graft.core.ModelTables.persistGroupIfStale(spark, dir, LmFingerprint)(
+    // cache shared by the model and ctx writes of one refit, released
+    // DETERMINISTICALLY after the group write (a bare lazy cached val
+    // leaked one cached frame per refit to the GC-timed cleaner)
+    var cachedModel: DataFrame = null
+    def model: DataFrame = {
+      if (cachedModel == null) cachedModel = lmModelDf(spark, dir, vocab).cache()
+      cachedModel
+    }
+    try graft.core.ModelTables.persistGroupIfStale(spark, dir, LmFingerprint)(
       vocabTable -> (() =>
         lmVocabDf(spark, dir).write.mode("overwrite").saveAsTable(vocabTable)),
       modelTable -> (() =>
         model.write.mode("overwrite").saveAsTable(modelTable)),
       ctxTable -> (() =>
         lmCtxDf(model).write.mode("overwrite").saveAsTable(ctxTable)))
+    finally if (cachedModel != null) { cachedModel.unpersist(); () }
   }
 
   /** Per-document negative log-likelihood under the trained bigram LM
@@ -1145,8 +1153,18 @@ object TextAnalysis {
     * post-mapping, because the capped vocab is itself a corpus aggregate
     * that isn't known until the end.
     */
+  /** BOS sentinel in the RAW (pre-mapping) space: contains a space, so
+    * no token from split(text, ' ') can collide with it. The batch path
+    * maps corpus tokens FIRST and prepends its '<s>' BOS after, so a
+    * literal '<s>' token in text goes through the vocab CASE like any
+    * other; storing raw partials with a plain '<s>' marker would
+    * conflate the two and break the fold's bit-for-bit batch parity.
+    * [[lmModelFromRaw]] re-keys the sentinel to the batch BOS symbol.
+    */
+  private val LmRawBos = "<s> "
+
   private[graft] def lmRawBigramCounts(d: DataFrame): DataFrame =
-    d.selectExpr("concat(array('<s>'), split(text, ' ')) AS m")
+    d.selectExpr(s"concat(array('$LmRawBos'), split(text, ' ')) AS m")
       .selectExpr("explode(transform(sequence(1, size(m) - 1), " +
         "i -> struct(m[i-1] AS l, m[i] AS r))) AS pr")
       .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
@@ -1170,7 +1188,7 @@ object TextAnalysis {
       .map(t => "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'")
       .mkString("array(", ", ", ")")
     def mapped(c: String) =
-      s"CASE WHEN $c = '<s>' THEN $c " + // BOS is a context, never <unk>
+      s"CASE WHEN $c = '$LmRawBos' THEN '<s>' " + // BOS sentinel -> batch BOS
         s"WHEN array_contains($lit, $c) THEN $c ELSE '<unk>' END"
     bi.selectExpr(s"${mapped("l")} AS l", s"${mapped("r")} AS r", "cnt")
       .groupBy("l", "r").agg(sum("cnt").as("cnt"))
@@ -1183,11 +1201,14 @@ object TextAnalysis {
     * corpus never re-read).
     */
   def lmFitStream(trainDocs: DataFrame)(
-      sink: (DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: (Long, DataFrame, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     trainDocs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) sink(lmRawBigramCounts(batch), lmRawTokenCounts(batch))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // the batchId rides along so the sink can make its writes
+        // IDEMPOTENT (foreachBatch is at-least-once: a retried batch
+        // must overwrite its own partial generation, never append twice)
+        if (!batch.isEmpty) sink(id, lmRawBigramCounts(batch), lmRawTokenCounts(batch))
       }
       .start()
 
@@ -1241,17 +1262,19 @@ object TextAnalysis {
     */
   def pplFilter(spark: SparkSession, dir: String): DataFrame = {
     persistLmModel(spark, dir)
-    // the threshold is an aggregate OF the scores, so the plan reads the
-    // scored table twice (1-row mean, then the filter) — persist the
-    // per-doc frame (O(docs) rows, ~40 B each; MEMORY_AND_DISK spills,
-    // never recomputes) so the corpus-scale tokenize/explode/probe
-    // pipeline runs ONCE, not once per consumer. 20x probe: steady
-    // 2.7x -> the corpus scan is the whole cost, as it should be.
+    // The threshold is an aggregate OF the scores: compute it FIRST as a
+    // driver scalar (1 row), then run one filtering scan with the scalar
+    // inlined — two corpus-scale passes, ZERO pinned cache. The earlier
+    // persist()-based single-scan variant never unpersisted its per-doc
+    // frame, leaving release to the GC-timed ContextCleaner — the same
+    // nondeterministic-release class as the dead state-store providers
+    // this round evicted from the gates; two explicit passes cost about
+    // the cached frame's write+read and release deterministically.
     val scored = perplexityAgainst(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val global = scored.agg(
-      (sum("nll_micro").cast("double") / sum("n_bigrams")).as("corpus_avg"))
-    scored.crossJoin(broadcast(global))
+    val avg = scored
+      .agg((sum("nll_micro").cast("double") / sum("n_bigrams")).as("corpus_avg"))
+      .collect()(0).getDouble(0)
+    scored.withColumn("corpus_avg", lit(avg))
       .filter(col("avg_nll") <= col("corpus_avg"))
       .select("doc_id", "source", "avg_nll", "corpus_avg")
       .orderBy("doc_id")

@@ -113,6 +113,13 @@ object StreamGate {
     * source's mtime ordering is burned in at staging), which is what
     * makes sharing safe. Roots are deleted once, at JVM exit, preserving
     * the no-accumulation contract across repeated bench runs in one JVM.
+    *
+    * The key deliberately does NOT include a content fingerprint of the
+    * source dir: every gate input is immutable for a JVM's lifetime
+    * (read-only /root/testdata; the 20x corpus is regenerated only by a
+    * separate Stress20x JVM). A caller replaying a dir it rewrites
+    * IN-PROCESS would replay stale bytes — fingerprint the dir into
+    * `key` (ModelTables' guard pattern) before doing that.
     */
   private val chunkCache = scala.collection.concurrent.TrieMap.empty[(String, Int), Path]
   private val cacheHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -580,9 +587,13 @@ object StreamGate {
     val (biDir, tokDir) = (root.resolve("bi").toString, root.resolve("tok").toString)
     try {
       withGateParallelism(spark, GateStatePartitions) {
-        val q = TextAnalysis.lmFitStream(stream) { (bi, toks) =>
-          bi.write.mode("append").parquet(biDir)
-          toks.write.mode("append").parquet(tokDir)
+        // batchId-keyed subdir + overwrite = idempotent under foreachBatch
+        // retries (an append-only sink would double-count a replayed
+        // batch's partials and corrupt the fold); the batch=N dirname
+        // surfaces as a partition column the fold's selectExpr ignores
+        val q = TextAnalysis.lmFitStream(stream) { (id, bi, toks) =>
+          bi.write.mode("overwrite").parquet(s"$biDir/batch=$id")
+          toks.write.mode("overwrite").parquet(s"$tokDir/batch=$id")
         }
         try q.processAllAvailable() finally q.stop()
       }

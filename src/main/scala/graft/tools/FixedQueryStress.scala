@@ -48,13 +48,13 @@ object FixedQueryStress {
           col("doc_id") < 5000)
       },
       "txt_bm25(fixed-q)" -> { dir =>
-        graft.operators.TextAnalysis.persistBm25Index(spark, dir)
-        val q = graft.core.Tables.load(spark, dir, "documents")
-          .filter(col("doc_id") % 37 === 0 && col("doc_id") < 5000)
-          .selectExpr("doc_id", "split(text, '\\\\s+') AS tk")
-          .selectExpr("doc_id AS query_id",
-            "explode(array_distinct(slice(tk, 1, 4))) AS token")
-        graft.operators.TextAnalysis.bm25SearchAgainst(spark, q)
+        import graft.operators.TextAnalysis
+        TextAnalysis.persistBm25Index(spark, dir)
+        // reuse the operator's own query derivation so the probe can never
+        // silently measure a different query convention than the gated op
+        TextAnalysis.bm25SearchAgainst(spark,
+          TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir))
+            .filter(col("query_id") < 5000))
       })
     // optional comma-separated substring filter over op names
     val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty))
