@@ -896,6 +896,36 @@ class StorageSpec extends SparkSpec {
     } finally { all.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
 
+  test("bm25 compaction recovers a torn derived-table swap: finished temp promoted, then repairs") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val t = ("bm25t_post_t", "bm25t_df_t", "bm25t_stats_t")
+    val all = Seq(t._1, t._2, t._3, t._2 + "_compact_tmp", t._3 + "_compact_tmp")
+    try {
+      val d = graft.core.Tables.load(s2, Sf0001, "documents")
+      (0 to 1).foreach(k => TextAnalysis.bm25AdmitDocs(
+        d.filter(col("doc_id") % 2 === k), t._1, t._2, t._3))
+      // simulate the crash window: a previous compaction finished writing
+      // the df temp, dropped the canonical df table, and died before the
+      // rename — searches would now fail on the missing table
+      val dfRows = s2.table(t._2).groupBy("token")
+        .agg(org.apache.spark.sql.functions.sum("df").cast("bigint").as("df"))
+      dfRows.write.saveAsTable(t._2 + "_compact_tmp")
+      s2.sql(s"DROP TABLE ${t._2}")
+      // recovery: the promotion guard must complete the swap, then the
+      // normal repair runs — the repaired index answers like batch
+      TextAnalysis.compactBm25Index(s2, t._1, t._2, t._3)
+      assert(s2.table(t._3).count() === 1)
+      val q = d.selectExpr("doc_id", "split(text, '\\\\s+') AS tk")
+        .filter(col("doc_id") % 37 === 0)
+        .selectExpr("doc_id AS query_id",
+          "explode(array_distinct(slice(tk, 1, 4))) AS token")
+      assert(TextAnalysis.bm25SearchAgainst(s2, q, t._1, t._2, t._3).collect().toSeq
+        === TextAnalysis.bm25Topk(s2, Sf0001).collect().toSeq)
+    } finally { all.foreach(x => s2.sql(s"DROP TABLE IF EXISTS $x")); () }
+  }
+
   test("bm25 against the persisted index: same rows, literal terms prune postings buckets") {
     import graft.operators.TextAnalysis
     val s2 = spark.newSession()
