@@ -226,18 +226,46 @@ object Similarity {
       .select("label", "vec_id", "embedding", "nrm")
       .write.mode("overwrite").bucketBy(buckets, "label").saveAsTable(table)
 
+  /** The standing IVF index table the hybrid-retrieval apply path serves
+    * from, maintained under the [[graft.core.ModelTables]] fit-once
+    * staleness discipline: rebuilt only when the source dir's content
+    * changes, so repeated hybrid searches (and the eval loop) pay the
+    * index build exactly once per corpus snapshot.
+    */
+  val IvfIndexTable = "ivf_index"
+  private val IvfIndexFingerprint = "ivf-flat-v1:buckets=8"
+
+  def persistIvfIndexIfStale(spark: SparkSession, dir: String): Unit =
+    graft.core.ModelTables.persistIfStale(spark, dir, IvfIndexTable,
+      IvfIndexFingerprint) {
+      withNorm(spark, dir)
+        .select("label", "vec_id", "embedding", "nrm")
+        .write.bucketBy(8, "label").saveAsTable(IvfIndexTable)
+    }
+
   /** [[ivfTopk]] against a pre-built index table: identical results, but
     * the corpus is never re-normed or re-shuffled — pivots come from a
     * shuffle-free aggregate over the bucketed table, and the probe join
     * reads the corpus in place.
     */
-  def ivfTopkAgainst(spark: SparkSession, dir: String, table: String): DataFrame = {
+  def ivfTopkAgainst(spark: SparkSession, dir: String, table: String): DataFrame =
+    ivfAgainstCore(spark, dir, table, NProbe, queryStride = 20, includeSelf = false)
+
+  /** The shared apply path behind [[ivfTopkAgainst]] and the hybrid
+    * retrieval semantic leg: IVF probe search against a persisted index
+    * with a caller-chosen query stride and self-match policy (the eval
+    * family excludes the query vector itself; hybrid fusion keeps it
+    * because the BM25 leg ranks the query's own document too).
+    */
+  private[graft] def ivfAgainstCore(spark: SparkSession, dir: String,
+      table: String, nprobe: Int, queryStride: Int,
+      includeSelf: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = spark.table(table)
     val pivotIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
     val pivots = e.join(pivotIds, Seq("label", "vec_id"))
       .select(col("label").as("p_label"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
-    val q = withNorm(spark, dir).filter(col("vec_id") % 20 === 0)
+    val q = withNorm(spark, dir).filter(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val probeW = Window.partitionBy("q_id")
@@ -245,9 +273,11 @@ object Similarity {
     val probed = q.crossJoin(broadcast(pivots))
       .withColumn("p_cos", dot(col("q_emb"), col("p_emb")) / (col("q_nrm") * col("p_nrm")))
       .withColumn("p_rank", row_number().over(probeW))
-      .filter(col("p_rank") <= NProbe)
+      .filter(col("p_rank") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p_label"))
-    val scored = probed.join(e, e("label") === probed("p_label") && col("vec_id") =!= col("q_id"))
+    val listJoin = e("label") === probed("p_label")
+    val cond = if (includeSelf) listJoin else listJoin && col("vec_id") =!= col("q_id")
+    val scored = probed.join(e, cond)
       .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
     rankTopK(scored)
   }
@@ -717,39 +747,51 @@ object Similarity {
     rankTopK(scored)
   }
 
-  private val ivfChainCtes: String =
-    s"""e AS (
+  /** The IVF probe-search CTE chain, parameterized the same way
+    * [[ivfAgainstCore]] is (query stride, self-match policy) plus a CTE
+    * name prefix so the chain can be composed next to CTE sets that
+    * already define `q`/`e` (the hybrid oracle composes it with the BM25
+    * score chain).
+    */
+  private def ivfChainFor(stride: Int, includeSelf: Boolean,
+      p: String): String = {
+    val selfGuard = if (includeSelf) "" else " AND e.vec_id <> pr.q_id"
+    s"""${p}e AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings
        |),
-       |pivots AS (
+       |${p}pivots AS (
        |  SELECT e.label AS p_label, e.embedding AS p_emb, e.nrm AS p_nrm
-       |  FROM e JOIN (SELECT label, min(vec_id) AS vec_id FROM e GROUP BY label) m
+       |  FROM ${p}e e JOIN (SELECT label, min(vec_id) AS vec_id FROM ${p}e GROUP BY label) m
        |    ON e.label = m.label AND e.vec_id = m.vec_id
        |),
-       |q AS (
+       |${p}q AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
-       |  FROM e WHERE vec_id % 20 = 0
+       |  FROM ${p}e WHERE vec_id % $stride = 0
        |),
-       |probed AS (
+       |${p}probed AS (
        |  SELECT q_id, q_emb, q_nrm, p_label FROM (
        |    SELECT q.q_id, q.q_emb, q.q_nrm, p.p_label,
        |      row_number() OVER (PARTITION BY q.q_id
        |        ORDER BY ${duckDot("q.q_emb", "p.p_emb")} / (q.q_nrm * p.p_nrm) DESC, p.p_label) AS p_rank
-       |    FROM q CROSS JOIN pivots p
+       |    FROM ${p}q q CROSS JOIN ${p}pivots p
        |  ) WHERE p_rank <= $NProbe
        |),
-       |ivf_ranked AS (
+       |${p}ivf_ranked AS (
        |  SELECT q_id, rank, neighbor_id, cosine FROM (
        |    SELECT pr.q_id, e.vec_id AS neighbor_id,
        |      ${duckDot("e.embedding", "pr.q_emb")} / (e.nrm * pr.q_nrm) AS cosine,
        |      row_number() OVER (PARTITION BY pr.q_id
        |        ORDER BY ${duckDot("e.embedding", "pr.q_emb")} / (e.nrm * pr.q_nrm) DESC, e.vec_id) AS rank
-       |    FROM probed pr JOIN e ON e.label = pr.p_label AND e.vec_id <> pr.q_id
+       |    FROM ${p}probed pr JOIN ${p}e e ON e.label = pr.p_label$selfGuard
        |  )
        |  WHERE rank <= $TopK
        |)""".stripMargin
+  }
+
+  private val ivfChainCtes: String =
+    ivfChainFor(stride = 20, includeSelf = false, p = "")
 
   val ivfTopkOracle: String =
     s"""WITH $ivfChainCtes
@@ -896,8 +938,6 @@ object Similarity {
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis
-    val lex = TextAnalysis.bm25Topk(spark, dir)
-      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
     val e = withNorm(spark, dir)
     val q = e.filter(col("vec_id") % TextAnalysis.Bm25QueryStride === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -909,6 +949,49 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("doc_id"),
         (col("pos") + 1).cast("long").as("rk_sem"))
+    rrfFuse(bm25Leg(spark, dir), sem)
+  }
+
+  /** HYBRID SEARCH ON THE INDEX — the same RRF fusion with its semantic
+    * leg served from the persisted bucketed IVF index
+    * ([[persistIvfIndexIfStale]] + [[ivfAgainstCore]]) instead of the
+    * brute-force corpus scan. This is the 100x-scale form: the exact leg
+    * scans corpus x queries every time, while here the corpus is read in
+    * place (bucketed by list, probe join co-located) and only the probed
+    * lists are scored. [[evalHybrid]] publishes what the swap costs in
+    * recall against the exact fusion.
+    */
+  def hybridRrfIvf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfIvfProbe(spark, dir, NProbe)
+
+  /** [[hybridRrfIvf]] with an explicit probe width — the recall knob the
+    * report sweeps.
+    */
+  def hybridRrfIvfProbe(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    persistIvfIndexIfStale(spark, dir)
+    val sem = ivfAgainstCore(spark, dir, IvfIndexTable, nprobe,
+        queryStride = graft.operators.TextAnalysis.Bm25QueryStride,
+        includeSelf = true) // BM25 ranks self too — keep parity with hybridRrf
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rk_sem"))
+    rrfFuse(bm25Leg(spark, dir), sem)
+  }
+
+  /** The lexical leg both hybrid forms share: the BM25 top-k ranking. */
+  private def bm25Leg(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.bm25Topk(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+
+  /** Reciprocal-rank fusion of two (query_id, doc_id, rank) tables —
+    * parameterized over the semantic ranking so any ANN family member
+    * (brute-force exact, IVF, multi-probe LSH) can serve that leg. A doc
+    * missing from one side contributes only the other's term (coalesce
+    * to 0 in ONE fixed expression, so the two-term double sum is
+    * evaluation-order-free and hash-exact). Both inputs are O(queries x
+    * k) rank tables, so everything here is metadata-scale.
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
     val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .selectExpr("query_id", "doc_id",
         s"coalesce(1.0 / CAST($RrfK + rk_lex AS DOUBLE), 0.0) + " +
@@ -965,6 +1048,44 @@ object Similarity {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** Oracle for [[hybridRrfIvf]]: the BM25 score chain plus the IVF probe
+    * chain (stride = the BM25 query stride, self kept), both re-derived
+    * through the window formulations the engine avoids, fused by the same
+    * two-term coalesce expression. The IVF chain's CTEs are prefixed `v`
+    * because the BM25 chain already defines `q`.
+    */
+  val hybridRrfIvfOracle: String = {
+    val stride = graft.operators.TextAnalysis.Bm25QueryStride
+    s"""WITH ${graft.operators.TextAnalysis.bm25ScoreCtes(stride)},
+       |lex AS (
+       |  SELECT query_id, doc_id, rk AS rk_lex FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rk
+       |    FROM score
+       |  ) WHERE rk <= $TopK
+       |),
+       |${ivfChainFor(stride, includeSelf = true, p = "v")},
+       |sem AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id, rank AS rk_sem
+       |  FROM vivf_ranked
+       |),
+       |fused AS (
+       |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+       |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    coalesce(1.0 / CAST($RrfK + rk_lex AS DOUBLE), 0.0) +
+       |      coalesce(1.0 / CAST($RrfK + rk_sem AS DOUBLE), 0.0) AS rrf
+       |  FROM lex FULL JOIN sem
+       |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+       |)
+       |SELECT query_id, rk, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused
+       |)
+       |WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Ranking evaluation: recall@k / reciprocal rank of an ANN vs the exact baseline
   // -------------------------------------------------------------------------
@@ -991,6 +1112,20 @@ object Similarity {
     */
   def evalRecallMultiprobe(spark: SparkSession, dir: String): DataFrame =
     evalAgainstExact(spark, dir, multiprobeTopk(spark, dir))
+
+  /** Recall@k / MRR of the index-served hybrid ranking ([[hybridRrfIvf]])
+    * against the exact fusion ([[hybridRrf]]) — the number that certifies
+    * swapping the brute-force semantic leg for the persisted IVF index.
+    * Both rankings are O(queries x k); the harness is the same generic
+    * metric core every ANN family member evaluates through.
+    */
+  def evalHybrid(spark: SparkSession, dir: String): DataFrame = {
+    def asRanking(df: DataFrame): DataFrame =
+      df.select(col("query_id").as("q_id"), col("rk").as("rank"),
+        col("doc_id").as("neighbor_id"))
+    evalCore(asRanking(hybridRrfIvf(spark, dir)),
+      asRanking(hybridRrf(spark, dir)))
+  }
 
   private[graft] def evalAgainstExact(spark: SparkSession, dir: String,
       approxDf: DataFrame): DataFrame =
@@ -1088,4 +1223,80 @@ object Similarity {
 
   val evalRecallMultiprobeOracle: String =
     evalMetricsOracle(multiprobeChainCtes, "mp_ranked")
+
+  /** Oracle for [[evalHybrid]]: BOTH fused rankings re-derived in SQL —
+    * the exact fusion (brute-force semantic leg) as the baseline, the
+    * IVF-probe fusion as the candidate — then the same hits / recall@k /
+    * nn-rank / rr metric tail as every other eval oracle. The two
+    * rankings share the lexical CTE, exactly as the engine shares
+    * [[bm25Leg]].
+    */
+  val evalHybridOracle: String = {
+    val stride = graft.operators.TextAnalysis.Bm25QueryStride
+    def fuse(sem: String): String =
+      s"""SELECT query_id, doc_id, rk FROM (
+         |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rk
+         |  FROM (
+         |    SELECT coalesce(lex.query_id, s.query_id) AS query_id,
+         |      coalesce(lex.doc_id, s.doc_id) AS doc_id,
+         |      coalesce(1.0 / CAST($RrfK + rk_lex AS DOUBLE), 0.0) +
+         |        coalesce(1.0 / CAST($RrfK + rk_sem AS DOUBLE), 0.0) AS rrf
+         |    FROM lex FULL JOIN $sem s
+         |      ON lex.query_id = s.query_id AND lex.doc_id = s.doc_id
+         |  )
+         |) WHERE rk <= $TopK""".stripMargin
+    s"""WITH ${graft.operators.TextAnalysis.bm25ScoreCtes(stride)},
+       |lex AS (
+       |  SELECT query_id, doc_id, rk AS rk_lex FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rk
+       |    FROM score
+       |  ) WHERE rk <= $TopK
+       |),
+       |xe AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |),
+       |xsem AS (
+       |  SELECT query_id, doc_id, rk AS rk_sem FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckDot("e.embedding", "q.embedding")} / (e.nrm * q.nrm) DESC,
+       |          e.vec_id) AS rk
+       |    FROM xe e JOIN xe q ON q.vec_id % $stride = 0
+       |  ) WHERE rk <= $TopK
+       |),
+       |${ivfChainFor(stride, includeSelf = true, p = "v")},
+       |vsem AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id, rank AS rk_sem
+       |  FROM vivf_ranked
+       |),
+       |exact AS (
+       |  SELECT query_id AS q_id, doc_id AS neighbor_id, rk AS rank
+       |  FROM (${fuse("xsem")})
+       |),
+       |approx AS (
+       |  SELECT query_id AS q_id, doc_id AS neighbor_id, rk AS rank
+       |  FROM (${fuse("vsem")})
+       |),
+       |hits AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM approx JOIN exact USING (q_id, neighbor_id) GROUP BY 1
+       |),
+       |nnr AS (
+       |  SELECT a.q_id, a.rank AS nnrank_raw
+       |  FROM approx a JOIN (SELECT q_id, neighbor_id FROM exact WHERE rank = 1) nn
+       |    ON a.q_id = nn.q_id AND a.neighbor_id = nn.neighbor_id
+       |)
+       |SELECT qq.q_id AS q_id,
+       |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(hits, 0) AS DOUBLE) / $TopK AS recall_at_k,
+       |  CAST(coalesce(nnrank_raw, 0) AS BIGINT) AS nn_rank,
+       |  coalesce(1.0 / CAST(nnrank_raw AS DOUBLE), 0.0) AS rr
+       |FROM (SELECT DISTINCT q_id FROM exact) qq
+       |LEFT JOIN hits ON qq.q_id = hits.q_id
+       |LEFT JOIN nnr ON qq.q_id = nnr.q_id
+       |ORDER BY q_id""".stripMargin
+  }
 }

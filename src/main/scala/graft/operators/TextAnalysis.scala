@@ -1505,6 +1505,13 @@ object TextAnalysis {
   def bm25SearchAgainst(spark: SparkSession, queries: DataFrame,
       postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
       statsTable: String = Bm25StatsTable): DataFrame = {
+    // a compaction that died mid-window (postings already deduped, df/
+    // stats still holding the pre-compaction partials) left its marker
+    // behind — repair before scoring rather than silently using the
+    // inflated statistics. Re-running compaction is always safe: every
+    // step derives from postings alone.
+    if (bm25CompactionTorn(spark, postingsTable))
+      compactBm25Index(spark, postingsTable, dfTable, statsTable)
     val terms = queries.select("token").distinct()
       .collect().map(_.getString(0)).toSeq
     // df/stats are PARTIAL-GENERATION tables (one row set per admitted
@@ -1568,18 +1575,36 @@ object TextAnalysis {
     * (files-before, files-after) pair.
     *
     * Crash contract: each of the three rewrites is individually atomic
-    * (temp + rename with torn-run promotion), but a crash BETWEEN them —
-    * postings already deduped, df/stats still holding inflated partials —
-    * leaves the index internally inconsistent until compaction re-runs
-    * to completion. Re-running is always safe (every step derives from
-    * postings alone), so the operational rule is simply: a failed
-    * compaction must be retried before the index is trusted again.
+    * (temp + rename with torn-run promotion), and the window BETWEEN them
+    * is fenced by a durable in-progress marker (the cascade sink's
+    * marker discipline, [[graft.streaming.StreamingQueries]]): published
+    * BEFORE the first rewrite, removed only after ALL three finished. A
+    * crash inside the window — postings already deduped, df/stats still
+    * holding inflated partials — leaves the marker behind, so
+    * [[bm25SearchAgainst]] detects the torn state and repairs (re-runs
+    * the compaction, always safe: every step derives from postings
+    * alone) instead of silently scoring with inflated statistics.
     */
   def compactBm25Index(spark: SparkSession,
       postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
-      statsTable: String = Bm25StatsTable): (Long, Long) = {
+      statsTable: String = Bm25StatsTable): (Long, Long) =
+    compactBm25IndexHooked(spark, postingsTable, dfTable, statsTable)(() => ())
+
+  /** [[compactBm25Index]] with a crash-injection seam between the
+    * postings rewrite and the derived-table rebuilds — the window the
+    * marker exists to fence. Test-only hook; production callers go
+    * through the no-op default.
+    */
+  private[graft] def compactBm25IndexHooked(spark: SparkSession,
+      postingsTable: String, dfTable: String, statsTable: String)(
+      afterPostings: () => Unit): (Long, Long) = {
+    val marker = compactMarkerPath(spark, postingsTable)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write("compacting\n".getBytes("UTF-8")) finally out.close()
     val counts = graft.operators.Dedup
       .compactBucketedTable(spark, postingsTable, "token")
+    afterPostings()
     val post = spark.table(postingsTable)
     replaceTable(spark, dfTable,
       post.groupBy("token").agg(count(lit(1)).cast("bigint").as("df")))
@@ -1587,7 +1612,27 @@ object TextAnalysis {
       post.groupBy("doc_id").agg(max("dl").as("dl"))
         .agg(count(lit(1)).cast("bigint").as("n_docs"),
           sum("dl").cast("bigint").as("sum_dl")))
+    fs.delete(marker, false)
     counts
+  }
+
+  /** The durable compaction fence, one per postings table, living next
+    * to the warehouse tables it protects. Its PRESENCE is the signal:
+    * a partially-written marker (crash during publish) still reads as
+    * in-progress, and the false positive costs one harmless re-compaction.
+    */
+  private def compactMarkerPath(spark: SparkSession,
+      postingsTable: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$postingsTable.compacting")
+
+  /** True when a previous [[compactBm25Index]] died inside its rewrite
+    * window, leaving the index internally inconsistent.
+    */
+  private[graft] def bm25CompactionTorn(spark: SparkSession,
+      postingsTable: String = Bm25PostingsTable): Boolean = {
+    val m = compactMarkerPath(spark, postingsTable)
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
   }
 
   /** Checked replace for the small derived tables: write the replacement

@@ -67,6 +67,16 @@ object RecallReport {
       println(f"[recall] multiprobe_lsh radius=$h%-2d recall@10=" +
         f"${recall(neighborSets(Similarity.multiprobeTopkRadius(spark, dir, h)), cosineTruth)}%.3f  (vs cosine exact)")
 
+    // hybrid retrieval: the IVF-served fusion vs the exact fusion — what
+    // swapping the brute-force semantic leg for the persisted index costs
+    def fusedSets(df: DataFrame): Map[Long, Set[Long]] =
+      neighborSets(df.select(col("query_id").as("q_id"),
+        col("doc_id").as("neighbor_id")))
+    val hybridTruth = fusedSets(Similarity.hybridRrf(spark, dir))
+    for (np <- Seq(1, 3, 5, 10))
+      println(f"[recall] hybrid_rrf_ivf nprobe=$np%-2d recall@10=" +
+        f"${recall(fusedSets(Similarity.hybridRrfIvfProbe(spark, dir, np)), hybridTruth)}%.3f  (vs exact-fused rrf)")
+
     val pqTruth = exactQuantizedTopk(spark, dir)
     Similarity.persistPqModel(spark, dir)
     for (np <- Seq(1, 3, 5, 10))

@@ -351,6 +351,27 @@ class PlanSpec extends SparkSpec {
       s"only the metadata-scale rank fusion may shuffle-join:\n${p.take(800)}")
   }
 
+  test("hybrid rrf on the ivf index: probed-list equi-join, bounded TopK everywhere") {
+    graft.operators.Similarity.persistIvfIndexIfStale(spark, Sf0001)
+    val p = plan(graft.operators.Similarity.hybridRrfIvf(spark, Sf0001))
+    // the ONLY window ranks the broadcast pivot set per query (K rows per
+    // query, bounded — and Spark caps it further with WindowGroupLimit);
+    // candidate scoring and fusion ride the TopK aggregate. Count `Window [`
+    // operator nodes, not the substring: WindowGroupLimit pushdown nodes
+    // also contain "Window" and are exactly what we WANT to see.
+    assert(p.linesIterator.count(_.contains("Window [")) <= 1,
+      s"a second window means a data-scale ranking fell off the TopK aggregate:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    // semantic candidates must come from the probed-list hash equi-join
+    // against the bucketed index, never a corpus scan
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join must hash-join the bucketed index:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no unkeyed join may touch the corpus:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") || p.contains("FullOuter"),
+      s"only the metadata-scale rank fusion may shuffle-join:\n${p.take(800)}")
+  }
+
   test("whole-stage codegen covers the taxi filter-project pipeline") {
     val df = TaxiQueries.q1Tumble(spark, Sf0001)
     df.collect() // AQE only materializes codegen'd stages in the FINAL plan

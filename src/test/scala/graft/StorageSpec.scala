@@ -926,6 +926,47 @@ class StorageSpec extends SparkSpec {
     } finally { all.foreach(x => s2.sql(s"DROP TABLE IF EXISTS $x")); () }
   }
 
+  test("bm25 search detects a compaction torn between postings and df rebuild, auto-repairs") {
+    import graft.operators.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val t = ("bm25m_post_t", "bm25m_df_t", "bm25m_stats_t")
+    val all = Seq(t._1, t._2, t._3, t._2 + "_compact_tmp", t._3 + "_compact_tmp")
+    try {
+      val d = graft.core.Tables.load(s2, Sf0001, "documents")
+      (0 to 2).foreach(k => TextAnalysis.bm25AdmitDocs(
+        d.filter(col("doc_id") % 3 === k), t._1, t._2, t._3))
+      // at-least-once redelivery so the compaction actually changes state
+      TextAnalysis.bm25AdmitDocs(
+        d.filter(col("doc_id") % 3 === 1), t._1, t._2, t._3)
+      val q = d.selectExpr("doc_id", "split(text, '\\\\s+') AS tk")
+        .filter(col("doc_id") % 37 === 0)
+        .selectExpr("doc_id AS query_id",
+          "explode(array_distinct(slice(tk, 1, 4))) AS token")
+      val want = TextAnalysis.bm25Topk(s2, Sf0001).collect().toSeq
+      // crash INSIDE the fenced window: postings rewritten + deduped,
+      // df/stats still holding the doubled partials
+      val boom = intercept[RuntimeException] {
+        TextAnalysis.compactBm25IndexHooked(s2, t._1, t._2, t._3)(
+          () => throw new RuntimeException("injected crash"))
+      }
+      assert(boom.getMessage === "injected crash")
+      assert(TextAnalysis.bm25CompactionTorn(s2, t._1),
+        "the in-progress marker must survive the crash")
+      // the index IS inconsistent right now: deduped postings, inflated
+      // df/stats. A search must not score against that silently — it
+      // repairs first and lands exactly on the batch answer.
+      val got = TextAnalysis
+        .bm25SearchAgainst(s2, q, t._1, t._2, t._3).collect().toSeq
+      assert(got === want)
+      assert(!TextAnalysis.bm25CompactionTorn(s2, t._1),
+        "the repair must clear the marker")
+      // and the repaired index keeps answering without further repairs
+      assert(TextAnalysis.bm25SearchAgainst(s2, q, t._1, t._2, t._3)
+        .collect().toSeq === want)
+    } finally { all.foreach(x => s2.sql(s"DROP TABLE IF EXISTS $x")); () }
+  }
+
   test("bm25 against the persisted index: same rows, literal terms prune postings buckets") {
     import graft.operators.TextAnalysis
     val s2 = spark.newSession()

@@ -49,6 +49,21 @@ class TablesEncodingSpec extends SparkSpec {
     assert(!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
   }
 
+  test("a raw-INT64 ts file is refused loudly, never silently div-1000'd") {
+    // a future testdata generation storing ts as a PLAIN int64 column
+    // (raw micros, say) also reads as LongType — but WITHOUT the
+    // TIMESTAMP(NANOS) fallback firing. Guessing a divisor would corrupt
+    // every instant 1000x with no error; the loader must refuse instead.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val dir = java.nio.file.Files.createTempDirectory("enc_raw").toString
+    spark.range(5)
+      .selectExpr("id AS event_id", "1700000000000000 + id AS ts",
+        "id AS user_id", "'click' AS event_type", "CAST(id AS DOUBLE) AS value")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] { Tables.events(spark, dir) }
+    assert(e.getMessage.contains("refusing to guess"), e.getMessage)
+  }
+
   test("live testdata events reads clean at sf0.001") {
     val df = Tables.events(spark, Sf0001)
     assert(df.schema("ts").dataType === TimestampType)
