@@ -36,49 +36,91 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val path = s"$dir/events.parquet"
-    // Track whether the nanosAsLong fallback actually fired: a LongType ts
-    // is only ns-since-epoch when it came from that fallback. A future file
-    // storing ts as a PLAIN INT64 column (raw micros, say) also reads as
-    // LongType but without the exception — dividing that by 1000 would
-    // corrupt every instant 1000x with no error, so it must fail loudly.
-    // Already-set conf (a previous events() call this session) means a clean
-    // read can still surface nanos-as-long, so it counts as fired too.
-    // KNOWN HOLE this opens: once the fallback has fired once, a later
-    // plain-INT64 file in the SAME session reads as LongType without the
-    // exception and is mis-scaled by the div-1000 branch instead of
-    // refused. Closing it needs a per-file discriminator (reading the
-    // parquet footer's logical type), not session-conf state; today's
-    // testdata has exactly one encoding per session, so the refusal
-    // branch below still covers the realistic single-read case.
-    var nanosFallbackFired =
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")
-    val df =
-      try spark.read.parquet(path) // current encodings read clean, conf untouched
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
-          // Legacy TIMESTAMP(NANOS) file. The conf must be a *session* conf:
-          // executor-side footer conversion re-reads it at scan time, after
-          // this method returns (the DataFrame is lazy), so a scoped
-          // set/restore or a per-read option cannot work. Leaving it set is
-          // benign — it only changes how TIMESTAMP(NANOS) columns are read,
-          // and no other testdata table has one.
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          nanosFallbackFired = true
-          spark.read.parquet(path)
-      }
+    // PER-FILE discriminator: classify ts by the parquet footers' logical
+    // type annotation instead of session-conf state. The previous
+    // fallback-fired heuristic had a documented hole — once the
+    // nanosAsLong conf was set by one legacy read, a later PLAIN-INT64
+    // file in the same session read as LongType without any exception and
+    // was silently mis-scaled 1000x by the div-1000 branch. Footers are
+    // ground truth per file, so the refusal no longer depends on what was
+    // read earlier in the session.
+    val kinds = tsFooterKinds(spark, path)
+    if (kinds.contains("PLAIN_INT64")) throw new IllegalStateException(
+      s"$path: ts stored as PLAIN INT64 (no timestamp annotation) — " +
+        "unknown epoch unit, refusing to guess a divisor")
+    if (kinds.size > 1) throw new IllegalStateException(
+      s"$path: mixed ts encodings across files ($kinds) — one generation " +
+        "per directory is the loader's contract")
+    if (kinds == Set("NANOS"))
+      // Legacy TIMESTAMP(NANOS) file, which the reader otherwise rejects.
+      // The conf must be a *session* conf: executor-side footer conversion
+      // re-reads it at scan time, after this method returns (the DataFrame
+      // is lazy), so a scoped set/restore or a per-read option cannot
+      // work. Leaving it set is benign — it only changes how
+      // TIMESTAMP(NANOS) columns are read, no other testdata table has
+      // one, and the footer check above refuses plain INT64 regardless.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
     df.schema("ts").dataType match {
-      case LongType if nanosFallbackFired =>
+      case LongType if kinds == Set("NANOS") =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case LongType => throw new IllegalStateException(
-        s"$path: ts read as plain INT64 without the TIMESTAMP(NANOS) fallback " +
-          "firing — unknown epoch unit, refusing to guess a divisor")
+        s"$path: ts read as plain INT64 but footers say $kinds — " +
+          "unknown epoch unit, refusing to guess a divisor")
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"$path: unsupported physical type for ts: $other " +
           "(expected INT64 TIMESTAMP(NANOS), timestamp[us] NTZ, or timestamp[us] UTC)")
     }
+  }
+
+  /** The ts column's parquet encoding per data file under `path` (a file
+    * or a directory tree), read straight from the footers:
+    * `"NANOS"`/`"MICROS"`/`"MILLIS"` for INT64 timestamp annotations,
+    * `"PLAIN_INT64"` for an unannotated INT64 (the encoding the loader
+    * must refuse — no epoch unit recorded), the primitive name otherwise,
+    * `"absent"` when the file has no ts. Driver-side metadata reads, one
+    * footer per file — the same O(files) listing cost Spark's own scan
+    * planning pays; a catalog-backed deployment would read this from
+    * table metadata instead.
+    */
+  private def tsFooterKinds(spark: SparkSession, path: String): Set[String] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    def dataFiles(p: Path): Seq[Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq
+          .filterNot(s => s.getPath.getName.startsWith("_") ||
+            s.getPath.getName.startsWith("."))
+          .flatMap(s => dataFiles(s.getPath))
+      else Seq(p)
+    }
+    dataFiles(root).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) "absent"
+        else {
+          val t = schema.getType(Seq("ts"): _*)
+          if (!t.isPrimitive) "group"
+          else {
+            val prim = t.asPrimitiveType()
+            (prim.getPrimitiveTypeName.toString, prim.getLogicalTypeAnnotation) match {
+              case ("INT64", ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                ts.getUnit.toString
+              case ("INT64", null) => "PLAIN_INT64"
+              case (p2, _) => p2: String
+            }
+          }
+        }
+      } finally r.close()
+    }.toSet
   }
 
   /** Register every table of `dir` as a temp view (idempotent, lazy scans). */

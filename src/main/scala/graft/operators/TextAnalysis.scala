@@ -1001,11 +1001,11 @@ object TextAnalysis {
     * context: `<s> m1 m2 …` where `m_i = token if in-vocab else '<unk>'`.
     * The vocab is inlined as an array literal — a MODEL-PARAMETER pull,
     * the same discipline as the k-means `centroidExpr` and the BPE merge
-    * list: ≤[[LmVocabSize]] strings ride the plan, never a join. At a
-    * real 32k+ vocabulary the literal stops being reasonable and the
-    * mapping becomes a broadcast left-join on token (explode with
-    * position, map, re-collect per doc); the CASE keeps the whole doc →
-    * bigram pipeline a single codegen'd projection here.
+    * list: ≤[[LmVocabSize]] strings ride the plan, never a join, and the
+    * whole doc → bigram pipeline stays a single codegen'd projection.
+    * `array_contains` is O(V) per token, so past
+    * [[LmVocabJoinThreshold]] the dispatch in [[lmMapped]] switches to
+    * the broadcast hash probe of [[lmMappedViaJoin]] instead.
     */
   private def lmMapExpr(vocab: Seq[String]): String = {
     val lit = vocab
@@ -1015,12 +1015,58 @@ object TextAnalysis {
       s"t -> CASE WHEN array_contains($lit, t) THEN t ELSE '<unk>' END))"
   }
 
+  /** Vocab size above which the token→event mapping leaves the inlined
+    * CASE literal for the broadcast join: a 32k-term array literal makes
+    * every task pay an O(V) linear scan PER TOKEN (and bloats the
+    * serialized plan), while a broadcast hash join probes in O(1). At
+    * the gated V=20 the literal wins (no re-collect shuffle), so the
+    * threshold sits where the linear scan starts to bite; the two paths
+    * are proven bit-for-bit equal by spec at V=20, so flipping the
+    * constant is a pure plan-shape decision.
+    */
+  private[graft] val LmVocabJoinThreshold = 1024
+
+  /** The vocab-scale token→event mapping: posexplode each doc's tokens,
+    * broadcast-LEFT-join the vocabulary on token (O(1) hash probe per
+    * token instead of the literal's O(V) array scan), map misses to
+    * `<unk>`, re-collect per doc in position order, prepend BOS. Costs
+    * one doc_id-keyed shuffle (the re-collect) that the literal path
+    * avoids — the price of not shipping a 32k-term literal through every
+    * task — and the vocabulary broadcast is V strings, the same payload
+    * the literal would have carried in the plan itself.
+    */
+  private[graft] def lmMappedViaJoin(d: DataFrame, vocab: Seq[String]): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val v = vocab.toDF("token").withColumn("in_vocab", lit(true))
+    d.selectExpr("doc_id", "source", "posexplode(split(text, ' ')) AS (pos, token)")
+      .join(broadcast(v), Seq("token"), "left")
+      .selectExpr("doc_id", "source", "pos",
+        "CASE WHEN in_vocab THEN token ELSE '<unk>' END AS mt")
+      .groupBy("doc_id", "source")
+      .agg(concat(array(lit("<s>")),
+        expr("transform(array_sort(collect_list(struct(pos, mt))), p -> p.mt)")).as("m"))
+  }
+
+  /** Token→event mapping dispatch: the codegen'd CASE literal below the
+    * threshold, the broadcast join above it. Both yield the same
+    * (doc_id, source, m) frame; `forceJoin` lets the equality spec pin
+    * the join path at the gated V=20.
+    */
+  private[graft] def lmMapped(d: DataFrame, vocab: Seq[String],
+      forceJoin: Boolean = false): DataFrame =
+    if (forceJoin || vocab.length > LmVocabJoinThreshold) lmMappedViaJoin(d, vocab)
+    else d.selectExpr("doc_id", "source", s"${lmMapExpr(vocab)} AS m")
+
   /** One row per bigram occurrence (l = context, r = predicted token),
     * including the (BOS, first-token) pair — n_bigrams = n_tokens, so
     * the per-doc average is over every token position.
     */
   private def lmBigrams(d: DataFrame, vocab: Seq[String]): DataFrame =
-    d.selectExpr("doc_id", "source", s"${lmMapExpr(vocab)} AS m")
+    lmBigramsFrom(lmMapped(d, vocab))
+
+  private[graft] def lmBigramsFrom(mapped: DataFrame): DataFrame =
+    mapped
       .selectExpr("doc_id", "source",
         "explode(transform(sequence(1, size(m) - 1), " +
           "i -> struct(m[i-1] AS l, m[i] AS r))) AS pr")
@@ -1726,9 +1772,11 @@ object TextAnalysis {
     * registered alerts a percolator holds).
     */
   private[graft] def bm25StandingQueries(spark: SparkSession,
-      dir: String): Seq[(Long, String)] =
+      dir: String,
+      seedWhere: org.apache.spark.sql.Column = lit(true)): Seq[(Long, String)] =
     bm25Corpus(spark, dir)
       .filter(col("doc_id") % Bm25PercolateStride === 0)
+      .filter(seedWhere)
       .selectExpr("doc_id AS query_id",
         s"explode(array_distinct(slice(tk, 1, $Bm25QueryTerms))) AS token")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -1739,11 +1787,17 @@ object TextAnalysis {
     * percolator semantics: a new document is scored in the indexed
     * corpus's statistic space, so registered alerts fire consistently
     * no matter when a document arrives. Emits every (query, doc) pair
-    * sharing at least one term — match emission, no top-k truncation.
+    * sharing at least one term — match emission, no top-k truncation —
+    * unless `minScoreMicro` bounds it: with a threshold, only matches
+    * scoring at least that many micro-nats emit, which is what keeps a
+    * standing set derived from a large corpus from emitting
+    * quadratically (every alert×every arriving doc). The filter is
+    * per-(query, doc) and stateless, so it composes with the streaming
+    * form unchanged.
     */
   private[graft] def bm25ScoreDocs(batch: DataFrame,
       standing: Seq[(Long, String)], dfTable: String,
-      statsTable: String): DataFrame = {
+      statsTable: String, minScoreMicro: Option[Long] = None): DataFrame = {
     val s = batch.sparkSession
     import s.implicits._
     val queries = standing.toDF("query_id", "token")
@@ -1760,12 +1814,68 @@ object TextAnalysis {
     val stats = s.table(statsTable)
       .agg(sum("n_docs").cast("bigint").as("n_docs"),
         sum("sum_dl").cast("bigint").as("sum_dl"))
-    tf.join(broadcast(queries), "token")
+    val scored = tf.join(broadcast(queries), "token")
       .join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
       .selectExpr("query_id", "doc_id", s"$bm25MicroExpr AS micro")
       .groupBy("query_id", "doc_id").agg(sum("micro").as("score_micro"))
+    minScoreMicro.fold(scored)(t => scored.filter(col("score_micro") >= t))
   }
+
+  /** Emission bound for [[bm25PercolateBounded]]: −4 micro-nat-millions.
+    * BM25 scores here are routinely NEGATIVE (the standing queries' lead
+    * tokens are corpus-common, so Robertson idf < 0 for most terms); the
+    * constant sits inside the observed score range at every test SF
+    * (keeps ~16–30 % of raw emissions at sf0.001/0.01/0.1, and every
+    * standing query retains at least one match), so both branches of the
+    * bound are exercised wherever the row is gated. Because idf depends
+    * on df/N — a RATIO — the band is roughly scale-invariant, which is
+    * what lets one constant stay non-vacuous across SFs.
+    */
+  val Bm25PercolateMinMicro: Long = -4000000L
+
+  /** BOUNDED percolation as a batch row: the standing alert set scored
+    * over the whole corpus-as-arriving-batch, emissions cut at
+    * [[Bm25PercolateMinMicro]]. This is the production shape for a
+    * standing set that is itself corpus-derived — raw match emission is
+    * queries×matching-docs (quadratic when both grow with the corpus);
+    * the score bound caps it at the rows anyone would alert on. The
+    * unbounded form stays gated by `stream_bm25_percolate`.
+    */
+  def bm25PercolateBounded(spark: SparkSession, dir: String): DataFrame =
+    bm25PercolateBoundedWhere(spark, dir, lit(true))
+
+  /** [[bm25PercolateBounded]] with a predicate pinning the standing-seed
+    * docs — the fixed-standing-set 20x probe uses it (the standard set is
+    * corpus-derived, so a naive 20x probe compounds standing-set growth
+    * with corpus growth).
+    */
+  private[graft] def bm25PercolateBoundedWhere(spark: SparkSession,
+      dir: String, seedWhere: org.apache.spark.sql.Column): DataFrame = {
+    persistBm25Index(spark, dir)
+    bm25ScoreDocs(docs(spark, dir),
+        bm25StandingQueries(spark, dir, seedWhere),
+        Bm25DfTable, Bm25StatsTable,
+        minScoreMicro = Some(Bm25PercolateMinMicro))
+      .orderBy("query_id", "doc_id")
+  }
+
+  /** The raw (unbounded) emission over the same inputs — the spec's
+    * reference for proving the bound is a pure filter.
+    */
+  private[graft] def bm25PercolateRawForSpec(spark: SparkSession,
+      dir: String): DataFrame = {
+    persistBm25Index(spark, dir)
+    bm25ScoreDocs(docs(spark, dir), bm25StandingQueries(spark, dir),
+        Bm25DfTable, Bm25StatsTable)
+      .orderBy("query_id", "doc_id")
+  }
+
+  val bm25PercolateBoundedOracle: String =
+    s"""WITH ${bm25ScoreCtes(Bm25PercolateStride)}
+       |SELECT query_id, doc_id, score_micro FROM score
+       |WHERE score_micro >= $Bm25PercolateMinMicro
+       |ORDER BY query_id, doc_id""".stripMargin
 
   /** Continuous percolation: each micro-batch of arriving documents is
     * scored against the standing queries with the frozen index stats —

@@ -926,6 +926,43 @@ object StreamGate {
     } finally rmrf(ck)
   }
 
+  /** The retract encoding again, through [[LakeRetractStream]] — the
+    * cluster-scale form where last-emitted state lives in a parquet
+    * upsert lake and the (is_add, row) records land in an append-only
+    * emission log, nothing via the driver. The gate folds the emission
+    * LOG as a multiset exactly like [[q4Retract]] folds the driver
+    * callback records (every multiplicity must end at 1), but the fold
+    * itself is a distributed groupBy over the log. Oracle:
+    * q4Level1OracleSql — same as the driver-map form, so the two
+    * encodings are certified interchangeable.
+    */
+  def q4RetractLake(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-gate-retractlake")
+    val retr = new LakeRetractStream(tmp.resolve("retract").toString, Seq("cell"))
+    val stream = ridesReplay(spark, dir)
+    try {
+      withGateParallelism(spark, 4) {
+        val q = StreamingQueries.q4Level1(stream).writeStream
+          .outputMode("update")
+          .option("checkpointLocation", tmp.resolve("ck").toString)
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            if (!b.isEmpty) retr.onBatch(b.toDF(), id)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      val folded = retr.emitted(spark)
+        .groupBy("cell", "dept_cnt")
+        .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
+      // a correct changelog folds every superseded (cell, cnt) pair to 0
+      // (its add canceled by its retract) and every surviving row to
+      // exactly 1 — anything else is a missed/double retraction
+      val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
+      require(bad == 0, s"lake retract fold left $bad non-unit multiplicities")
+      materialize(folded.filter(col("mult") === 1L)
+        .select(col("cell"), col("dept_cnt")).orderBy("cell"))
+    } finally rmrf(tmp)
+  }
+
   /** Per-user funnel through micro-batches: [[FunnelStream]]'s update-mode
     * snapshots keyed-upserted into a memory store; the final state per
     * user is the answer. A far-future sentinel of a filtered-out event

@@ -159,6 +159,71 @@ class RetractStream(keyFields: Seq[String]) extends Serializable {
   }
 }
 
+/** [[RetractStream]]'s cluster-scale form: the last-emitted row per key
+  * lives in a [[graft.sinks.ParquetUpsertSink]] lake and the retract
+  * records land in an append-only per-batch parquet log — no row data
+  * ever transits the driver. Per batch, the encoding is three
+  * distributed steps: (1) left-semi-join the state lake against the
+  * batch's keys — those are the previously-emitted rows this batch
+  * replaces, emitted as (is_add=false, row); (2) emit the batch itself
+  * as (is_add=true, row); (3) upsert the batch into the lake. First
+  * sight of a key finds no lake row, so only the add emits — the same
+  * contract as the driver-map form.
+  *
+  * Crash contract under foreachBatch's at-least-once replay: a batch's
+  * emission log is derived against the lake BEFORE that batch's upsert
+  * and published ATOMICALLY (written to a dot-tmp dir, renamed into
+  * `emitted/batch=<id>`). A retried batch that finds its log already
+  * published reuses it verbatim — the failed attempt may have partially
+  * or fully upserted the lake, and re-deriving retractions against that
+  * mutated lake would retract rows that were never emitted — then
+  * re-runs the idempotent upsert (the sink's own crash-safe bucket
+  * publish reconverges any torn state). Publish-before-mutate plus
+  * reuse-on-replay is the cascade marker protocol in miniature.
+  */
+class LakeRetractStream(root: String, keyFields: Seq[String],
+    nBuckets: Int = 8) extends Serializable {
+  import org.apache.hadoop.fs.Path
+
+  private val lake = new graft.sinks.ParquetUpsertSink(
+    s"$root/state", keyFields, nBuckets)
+  private val emitRoot = s"$root/emitted"
+
+  def onBatch(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(s"$emitRoot/batch=$batchId")
+    if (!fs.exists(dest)) {
+      // one plan execution feeds both the retract join and the upsert
+      val b = batch.persist()
+      try {
+        val retracts =
+          if (!fs.exists(new Path(s"$root/state")))
+            b.filter(lit(false)) // empty lake: first batch only adds
+          else lake.snapshot(spark)
+            .join(b.select(keyFields.map(col): _*).distinct(), keyFields, "left_semi")
+        val out = retracts.withColumn("is_add", lit(false))
+          .unionByName(b.withColumn("is_add", lit(true)))
+          .select((col("is_add") +: batch.columns.map(col)): _*)
+        val tmp = new Path(s"$emitRoot/.tmp-batch-$batchId")
+        out.write.mode("overwrite").parquet(tmp.toString)
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(tmp, dest) && !fs.exists(dest))
+          sys.error(s"could not publish retract log for batch $batchId")
+        lake.upsert(b)
+      } finally { b.unpersist(); () }
+    } else lake.upsert(batch) // replay after publish: log is truth, re-upsert
+    ()
+  }
+
+  /** Every (is_add, row) record emitted so far, batch id as a partition
+    * column — the cluster-scale consumer reads this lake instead of a
+    * driver callback.
+    */
+  def emitted(spark: SparkSession): DataFrame =
+    spark.read.parquet(emitRoot)
+}
+
 /** Stateful two-level cascade for Q4 (TaxiRideQueries.scala:148-167),
   * merged DISTRIBUTIVELY — no row data ever transits the driver.
   *

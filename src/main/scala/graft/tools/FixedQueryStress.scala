@@ -47,6 +47,15 @@ object FixedQueryStress {
         graft.operators.TextAnalysis.snippetWhere(spark, dir,
           col("doc_id") < 5000)
       },
+      // bounded percolation with the standing set pinned to the replica-0
+      // seeds (present verbatim at 20x): arriving volume grows 20x, the
+      // standing set doesn't, so the measured ratio isolates per-doc
+      // match-and-score cost — and the score bound keeps emission at the
+      // alertable rows instead of queries x matches
+      "txt_percolate(fixed-standing)" -> { dir =>
+        graft.operators.TextAnalysis.bm25PercolateBoundedWhere(spark, dir,
+          col("doc_id") < 5000)
+      },
       "txt_bm25(fixed-q)" -> { dir =>
         import graft.operators.TextAnalysis
         TextAnalysis.persistBm25Index(spark, dir)

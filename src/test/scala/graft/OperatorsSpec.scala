@@ -1107,6 +1107,34 @@ class OperatorsSpec extends SparkSpec {
     } finally { tables.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
 
+  test("LM vocab-scale mapping: broadcast-join path is bit-for-bit equal to the CASE literal") {
+    val d = graft.core.Tables.load(spark, Sf0001, "documents")
+      .select("doc_id", "source", "text")
+    val vocab = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS token")
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(TextAnalysis.LmVocabSize)
+      .collect().map(_.getString(0)).toSeq
+    // the join path must reproduce the literal path's mapped token arrays
+    // exactly — same docs, same order within each doc, same BOS, same
+    // <unk> decisions — so the downstream bigram/count/score pipeline is
+    // path-independent by construction
+    val viaCase = TextAnalysis.lmMapped(d, vocab)
+      .orderBy("doc_id").collect()
+    val viaJoin = TextAnalysis.lmMapped(d, vocab, forceJoin = true)
+      .orderBy("doc_id").collect()
+    assert(viaJoin.toSeq === viaCase.toSeq)
+    // and the dispatch defaults: literal at the gated V=20, join above
+    // the threshold (the constant is a plan-shape decision, not semantics)
+    assert(vocab.length <= TextAnalysis.LmVocabJoinThreshold)
+    // the bigram tables (the model's input) agree too
+    val biCase = TextAnalysis.lmBigramsFrom(TextAnalysis.lmMapped(d, vocab))
+      .groupBy("l", "r").agg(count(lit(1)).as("cnt")).orderBy("l", "r").collect()
+    val biJoin = TextAnalysis.lmBigramsFrom(TextAnalysis.lmMapped(d, vocab, forceJoin = true))
+      .groupBy("l", "r").agg(count(lit(1)).as("cnt")).orderBy("l", "r").collect()
+    assert(biJoin.toSeq === biCase.toSeq)
+  }
+
   test("LM fit is incremental: raw-partial fold over arbitrary doc splits equals the batch fit") {
     val train = graft.core.Tables.load(spark, Sf0001, "documents")
       .filter(col("source") === TextAnalysis.LmTrainSource)
@@ -1120,6 +1148,25 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("l", "r").collect()
     val batch = TextAnalysis.lmTrain(spark, Sf0001).collect()
     assert(folded.toSeq === batch.toSeq)
+  }
+
+  test("bounded percolation: threshold keeps a strict, per-query-nonempty subset of raw emission") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val bounded = TextAnalysis.bm25PercolateBounded(s2, Sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    val raw = TextAnalysis.bm25PercolateRawForSpec(s2, Sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    val t = TextAnalysis.Bm25PercolateMinMicro
+    // the bound is a pure filter of the raw match emission...
+    assert(bounded.toSet === raw.filter(_._3 >= t).toSet)
+    // ...and it is non-vacuous on the gated corpus: both branches live
+    assert(bounded.nonEmpty && bounded.size < raw.size,
+      s"threshold $t is vacuous: ${bounded.size} of ${raw.size} rows survive")
+    assert(bounded.forall(_._3 >= t))
+    // every standing query still fires on something (the bound caps
+    // emission volume; it must not silence whole alerts on this corpus)
+    assert(raw.map(_._1).toSet === bounded.map(_._1).toSet)
   }
 
   test("bm25 top-k matches an independent per-query brute force") {

@@ -106,6 +106,47 @@ class StreamingSpec extends SparkSpec {
     assert(log.toList === List((true, 1L), (false, 1L), (true, 2L)), s"got $log")
   }
 
+  test("lake retract stream emits the same changelog as the driver-map form; replay reuses the published log") {
+    import graft.streaming.LakeRetractStream
+    val input = MemoryStream[(Long, Boolean, Timestamp, Timestamp, Float, Float, Float, Float, Short)](spark)
+    val rides = input.toDF().toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", when(col("isStart"), col("startTime")).otherwise(col("endTime")))
+    val root = Files.createTempDirectory("lakeretract")
+    val retr = new LakeRetractStream(root.resolve("r").toString, Seq("cell"))
+    var lastBatch: (org.apache.spark.sql.DataFrame, Long) = null
+    val q = StreamingQueries.q4Level1(rides).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", root.resolve("ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().cache()
+          lastBatch = (b, id)
+          retr.onBatch(b, id)
+        }; ()
+      }
+      .start()
+    input.addData(ride(1, "2013-01-01 00:01:00"))
+    q.processAllAvailable()
+    input.addData(ride(2, "2013-01-01 00:02:00")) // same cell: count 1 -> 2
+    q.processAllAvailable()
+    q.stop()
+    val log = retr.emitted(spark)
+      .orderBy("batch", "is_add", "dept_cnt")
+      .select("is_add", "dept_cnt")
+      .collect().map(r => (r.getBoolean(0), r.getLong(1))).toList
+    // same changelog as the driver-map RetractStream: add(1) in batch 1,
+    // then retract(1), add(2) in batch 2
+    assert(log === List((true, 1L), (false, 1L), (true, 2L)), s"got $log")
+    // at-least-once replay: re-running the LAST batch must not re-derive
+    // (the lake already holds the post-batch state — a recompute would
+    // retract the never-emitted count 2) nor duplicate the log
+    retr.onBatch(lastBatch._1, lastBatch._2)
+    val replayed = retr.emitted(spark).count()
+    assert(replayed === 3L, s"replay duplicated the emission log: $replayed rows")
+    lastBatch._1.unpersist()
+  }
+
   test("Q4 cascade: changelog replay equals batch two-level aggregate") {
     val cells = TrieMap.empty[Int, Long]
     val hist = TrieMap.empty[Long, Long]

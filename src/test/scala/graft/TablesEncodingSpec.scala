@@ -62,6 +62,16 @@ class TablesEncodingSpec extends SparkSpec {
       .write.parquet(s"$dir/events.parquet")
     val e = intercept[IllegalStateException] { Tables.events(spark, dir) }
     assert(e.getMessage.contains("refusing to guess"), e.getMessage)
+    // the refusal is PER-FILE (parquet footer), not session-conf state:
+    // even after a legacy NANOS read has set nanosAsLong (under which a
+    // raw-INT64 file reads as LongType with no exception — the old
+    // heuristic's documented hole), the footer says there is no timestamp
+    // annotation and the loader still refuses
+    Tables.events(spark, fixture("enc_nanos")).count() // sets the conf
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+    val e2 = intercept[IllegalStateException] { Tables.events(spark, dir) }
+    assert(e2.getMessage.contains("refusing to guess"), e2.getMessage)
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
   }
 
   test("live testdata events reads clean at sf0.001") {
