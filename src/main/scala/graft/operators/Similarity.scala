@@ -259,13 +259,14 @@ object Similarity {
     */
   private[graft] def ivfAgainstCore(spark: SparkSession, dir: String,
       table: String, nprobe: Int, queryStride: Int,
-      includeSelf: Boolean): DataFrame = {
+      includeSelf: Boolean, queryWhere: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = spark.table(table)
     val pivotIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
     val pivots = e.join(pivotIds, Seq("label", "vec_id"))
       .select(col("label").as("p_label"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
     val q = withNorm(spark, dir).filter(col("vec_id") % queryStride === 0)
+      .filter(queryWhere)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val probeW = Window.partitionBy("q_id")
@@ -977,6 +978,50 @@ object Similarity {
         col("rank").as("rk_sem"))
     rrfFuse(bm25Leg(spark, dir), sem)
   }
+
+  /** Serve ONE arriving batch of hybrid queries entirely from the
+    * PERSISTED indexes — lexical leg from the bucketed BM25 postings
+    * ([[graft.operators.TextAnalysis.bm25SearchAgainst]], identical rows
+    * to the inline ranking by the `txt_bm25_indexed` gate), semantic leg
+    * from the bucketed IVF index restricted to the batch's query ids.
+    * Per-query stateless and both models frozen, so the union of batch
+    * emissions equals the batch [[hybridRrfIvf]] table for any chunking
+    * of the query set — the serving shape of a deployed retrieval tier:
+    * queries arrive continuously, the indexes only change through the
+    * separate ingest/compaction path.
+    */
+  private[graft] def hybridServeBatch(spark: SparkSession, dir: String,
+      qIds: Seq[Long]): DataFrame = {
+    import graft.operators.TextAnalysis
+    val lex = TextAnalysis.bm25SearchAgainst(spark,
+        TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir))
+          .filter(col("query_id").isin(qIds: _*)))
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val sem = ivfAgainstCore(spark, dir, IvfIndexTable, NProbe,
+        queryStride = graft.operators.TextAnalysis.Bm25QueryStride,
+        includeSelf = true, queryWhere = col("vec_id").isin(qIds: _*))
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rk_sem"))
+    rrfFuse(lex, sem)
+  }
+
+  /** Continuous hybrid serving: each micro-batch of arriving query ids
+    * is answered from the frozen persisted indexes ([[hybridServeBatch]]).
+    * The caller persists the two indexes BEFORE starting the stream —
+    * the frozen-model inference discipline shared with
+    * [[graft.operators.TextAnalysis.perplexityStream]].
+    */
+  def hybridServeStream(newQueries: DataFrame, dir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newQueries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val ids = batch.select("vec_id").collect().map(_.getLong(0)).toSeq
+          sink(hybridServeBatch(batch.sparkSession, dir, ids))
+        }
+      }
+      .start()
 
   /** The lexical leg both hybrid forms share: the BM25 top-k ranking. */
   private def bm25Leg(spark: SparkSession, dir: String): DataFrame =

@@ -267,12 +267,32 @@ object StreamGate {
     */
   private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    // Changelog checkpointing: commit the per-batch DELTA instead of a
+    // full RocksDB snapshot per store per batch. Probed on this box
+    // (stream_ttl_count_v2, sf0.1 steady runs): 5.5 s -> 5.3 s — within
+    // the noise band, because local-FS snapshot uploads of a few-MB store
+    // are nearly free. Kept anyway: against a REMOTE checkpoint store
+    // (the deployment shape) the full-snapshot upload is the dominant
+    // per-batch cost and the delta log is the accepted fix, so the gates
+    // should exercise the configuration the cluster would run. Partition
+    // width was probed the same session (explicit-4 gates at 2:
+    // cascade_v2 5.8 -> 8.5 s, ttl_v2 flat) — 4 stands. Scoped and
+    // restored like the provider itself.
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(provKey)
+    val prevCl = spark.conf.getOption(clKey)
     spark.conf.set(provKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prev match {
-      case Some(v) => spark.conf.set(provKey, v)
-      case None => spark.conf.unset(provKey)
+    spark.conf.set(clKey, "true")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      prevCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
     }
   }
 
@@ -537,6 +557,39 @@ object StreamGate {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
       .orderBy("q_id")
+  }
+
+  /** CONTINUOUS HYBRID SERVING under the hard gate: retrieval queries
+    * (the shared doc/vec id space, every
+    * [[graft.operators.TextAnalysis.Bm25QueryStride]]-th id) arrive as a
+    * replayed stream; each micro-batch is answered entirely from the
+    * FROZEN persisted indexes — BM25 postings for the lexical leg, the
+    * bucketed IVF index for the semantic leg — and fused by RRF
+    * ([[graft.operators.Similarity.hybridServeBatch]]). Per-query
+    * stateless + frozen models, so the emission union must equal the
+    * batch index-served fusion (oracle: hybridRrfIvfOracle). This is the
+    * serving tier of a deployed retrieval stack: queries stream, the
+    * indexes change only through the separate ingest/compaction path.
+    */
+  def hybridServe(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Similarity, TextAnalysis}
+    TextAnalysis.persistBm25Index(spark, dir)
+    Similarity.persistIvfIndexIfStale(spark, dir)
+    val stream = replayCached(spark, s"hybridq|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "embeddings")
+         .filter(col("vec_id") % TextAnalysis.Bm25QueryStride === 0),
+        col("vec_id")))
+    val schema = Similarity.hybridRrfIvf(spark, dir).schema
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    withGateParallelism(spark, GateStatePartitions) {
+      val q = Similarity.hybridServeStream(stream, dir) { v =>
+        buf.synchronized { buf ++= v.collect() }; ()
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      .orderBy("query_id", "rk")
   }
 
   /** CONTINUOUS INDEX BUILD under the hard gate: the document table is
