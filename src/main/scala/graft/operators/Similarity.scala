@@ -601,11 +601,14 @@ object Similarity {
         "aggregate(zip_with(q_q, rec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
     // ADC nomination: bounded top-PqRefine per query. TopK orders
     // (score DESC, id ASC); each operand is a quantized vector with
-    // coords up to ~2^21 in magnitude, so a per-dim difference reaches
-    // ~2^22 and the dim-64 sum is bounded by 64 × (2^22)² = 2^50 — still
-    // exact in double (< 2^53), so -dist is a safe descending key. At
-    // this coordinate scale exactness holds up to dim ≤ 2^9; a larger
-    // dim or coarser quantization bump must revisit this bound.
+    // coords of magnitude <= 2^21, so a per-dim difference is <= 2^22
+    // (two coords at opposite extremes), its square <= 2^44, and the
+    // dim-64 sum <= 2^6 * 2^44 = 2^50 — three bits under the 2^53
+    // double-exact ceiling, so -dist is a safe descending key. The bound
+    // scales linearly with dim: every integer <= 2^53 is exactly
+    // representable, so exactness holds through dim = 2^9 (sum <= 2^53)
+    // and fails one doubling later; a larger dim or coarser quantization
+    // bump must revisit this arithmetic.
     val pool = scored
       .groupBy("q_id")
       .agg(graft.functions.TopK.topk(refine)(col("vec_id"), -col("adc_dist").cast("double")).as("top"))

@@ -1579,6 +1579,52 @@ object TextAnalysis {
     bm25Rank(term)
   }
 
+  /** MASS-QUERY indexed search — the scale path for query sets that are
+    * themselves data-scale (re-scoring a crawl against the index, batch
+    * re-ranking): the same postings/df/stats generation folds as
+    * [[bm25SearchAgainst]], but the query set stays a DATAFRAME end to
+    * end — no driver collect, no literal IN. Term membership becomes a
+    * semi-join on token (the postings table is bucketBy(token), so the
+    * probe co-locates with the stored buckets), the df fold is
+    * restricted by the same semi-join, and the stats fold is unchanged
+    * (a handful of 2-long rows). Trade-off vs the literal form: no
+    * bucket pruning at the scan — every postings bucket is read — which
+    * is exactly right when the term set touches most buckets anyway;
+    * the literal IN stays the alert/search default where a bounded term
+    * set prunes whole buckets. Identical rows to the literal form by
+    * construction (same folds, same ranking) — the `txt_bm25_mass`
+    * oracle pins it.
+    */
+  def bm25SearchAgainstDf(spark: SparkSession, queries: DataFrame,
+      postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
+      statsTable: String = Bm25StatsTable): DataFrame = {
+    if (bm25CompactionTorn(spark, postingsTable))
+      compactBm25Index(spark, postingsTable, dfTable, statsTable)
+    val qTerms = queries.select("token").distinct()
+    val dfreq = spark.table(dfTable)
+      .join(qTerms, Seq("token"), "left_semi")
+      .groupBy("token").agg(sum("df").cast("bigint").as("df"))
+    val stats = spark.table(statsTable)
+      .agg(sum("n_docs").cast("bigint").as("n_docs"),
+        sum("sum_dl").cast("bigint").as("sum_dl"))
+    val term = spark.table(postingsTable)
+      .join(queries, "token")
+      .join(dfreq, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .selectExpr("query_id", "doc_id", s"$bm25MicroExpr AS micro")
+    bm25Rank(term)
+  }
+
+  /** Gated entry for the mass path: the standard query set served
+    * through [[bm25SearchAgainstDf]] — rows must equal the literal-IN
+    * indexed search and the inline ranking (same oracle).
+    */
+  def bm25Mass(spark: SparkSession, dir: String): DataFrame = {
+    persistBm25Index(spark, dir)
+    bm25SearchAgainstDf(spark,
+      bm25QueriesOf(bm25Corpus(spark, dir)))
+  }
+
   /** ADMISSION: append one batch of documents to a (possibly empty)
     * index as pure partials — postings rows bucket-aligned, a df
     * partial, a stats partial. Everything is batch-local map/agg work

@@ -1169,6 +1169,35 @@ class OperatorsSpec extends SparkSpec {
     assert(raw.map(_._1).toSet === bounded.map(_._1).toSet)
   }
 
+  test("mass-query BM25: DataFrame query set builds collect-free and equals the literal-IN search") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val s2 = spark.newSession()
+    TextAnalysis.persistBm25Index(s2, Sf0001)
+    val queries = TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(s2, Sf0001))
+    // plan CONSTRUCTION must run zero Spark jobs — the literal form pays
+    // a term-set collect up front (right for bounded alert sets); the
+    // mass form must not, or a corpus-derived query set would
+    // materialize on the driver
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val massPlan =
+      try {
+        val df = TextAnalysis.bm25SearchAgainstDf(s2, queries)
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 30000)
+        assert(jobs.get() === 0,
+          s"mass-path plan construction ran ${jobs.get()} jobs — a collect leaked in")
+        df
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // same rows as the literal-IN indexed search (and thus the inline
+    // ranking, by the txt_bm25_indexed gate)
+    val mass = massPlan.collect()
+    val lit = TextAnalysis.bm25SearchAgainst(s2, queries).collect()
+    assert(mass.toSeq === lit.toSeq)
+  }
+
   test("bm25 top-k matches an independent per-query brute force") {
     import spark.implicits._
     val got = TextAnalysis.bm25Topk(spark, Sf0001)
