@@ -979,6 +979,35 @@ object StreamGate {
     } finally rmrf(ck)
   }
 
+  /** The LEVEL-2 changelog (upserts AND deletes — the reference sink's
+    * full contract, ElasticUpsertTableSink.scala:144-148) retract-encoded
+    * through [[LakeRetractStream.onChangelog]]: the cascade's histogram
+    * changelog feeds a retract mirror where a delete is Flink's
+    * retract-without-add. The emission log's multiset fold must leave
+    * exactly the live histogram (superseded AND deleted rows at 0,
+    * survivors at 1) and hash-match the batch q4 oracle — deletes DO
+    * fire on this replay (the net-sink gate proves delivery of the same
+    * stream), so the retract-without-add branch is exercised, not dead.
+    */
+  def q4RetractL2(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-gate-retractl2")
+    val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
+    val retr = new LakeRetractStream(tmp.resolve("retract").toString, Seq("dept_cnt"))
+    val stream = ridesReplay(spark, dir, chunks = 3)
+    try withGateParallelism(spark, 4) {
+      val q = CascadeQ4.startToParquetFrom(StreamingQueries.q4Level1(stream), sink,
+        tmp.resolve("ck").toString, retract = retr)
+      q.awaitTermination()
+      val folded = retr.emitted(spark)
+        .groupBy("dept_cnt", "cnt_freq")
+        .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
+      val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
+      require(bad == 0, s"level-2 retract fold left $bad non-unit multiplicities")
+      materialize(folded.filter(col("mult") === 1L)
+        .select(col("dept_cnt"), col("cnt_freq")).orderBy("dept_cnt"))
+    } finally rmrf(tmp)
+  }
+
   /** The retract encoding again, through [[LakeRetractStream]] — the
     * cluster-scale form where last-emitted state lives in a parquet
     * upsert lake and the (is_add, row) records land in an append-only

@@ -189,31 +189,54 @@ class LakeRetractStream(root: String, keyFields: Seq[String],
     s"$root/state", keyFields, nBuckets)
   private val emitRoot = s"$root/emitted"
 
-  def onBatch(batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
+  def onBatch(batch: DataFrame, batchId: Long): Unit =
+    onChangelog(batch, null, batchId)
+
+  /** The full changelog form: `upserts` emit (false, old) + (true, new);
+    * `deletes` (rows whose KEY columns name the departing entries — the
+    * reference sink's delete stream) emit only (false, old) — Flink's
+    * retract-without-add for a key leaving the table
+    * (ElasticUpsertTableSink.scala:144-146). A key must not appear on
+    * both sides of one changelog (the cascade derives deletes by
+    * anti-join, so they are disjoint by construction). Same
+    * publish-before-mutate / reuse-on-replay protocol as the
+    * upsert-only form.
+    */
+  def onChangelog(upserts: DataFrame, deletes: DataFrame,
+      batchId: Long): Unit = {
+    val spark = upserts.sparkSession
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dest = new Path(s"$emitRoot/batch=$batchId")
     if (!fs.exists(dest)) {
       // one plan execution feeds both the retract join and the upsert
-      val b = batch.persist()
+      val b = upserts.persist()
+      val delKeys = Option(deletes)
+        .map(_.select(keyFields.map(col): _*).distinct().persist())
       try {
+        // every key this changelog touches retracts its last-emitted row
+        val touchedKeys = delKeys.fold(
+          b.select(keyFields.map(col): _*).distinct())(
+          b.select(keyFields.map(col): _*).distinct().unionByName(_).distinct())
         val retracts =
           if (!fs.exists(new Path(s"$root/state")))
             b.filter(lit(false)) // empty lake: first batch only adds
-          else lake.snapshot(spark)
-            .join(b.select(keyFields.map(col): _*).distinct(), keyFields, "left_semi")
+          else lake.snapshot(spark).join(touchedKeys, keyFields, "left_semi")
         val out = retracts.withColumn("is_add", lit(false))
           .unionByName(b.withColumn("is_add", lit(true)))
-          .select((col("is_add") +: batch.columns.map(col)): _*)
+          .select((col("is_add") +: upserts.columns.map(col)): _*)
         val tmp = new Path(s"$emitRoot/.tmp-batch-$batchId")
         out.write.mode("overwrite").parquet(tmp.toString)
         fs.mkdirs(dest.getParent)
         if (!fs.rename(tmp, dest) && !fs.exists(dest))
           sys.error(s"could not publish retract log for batch $batchId")
-        lake.upsert(b)
-      } finally { b.unpersist(); () }
-    } else lake.upsert(batch) // replay after publish: log is truth, re-upsert
-    ()
+        lake.upsert(b, delKeys.orNull)
+      } finally {
+        b.unpersist()
+        delKeys.foreach(_.unpersist()); ()
+      }
+    } else lake.upsert(upserts,
+      Option(deletes).map(_.select(keyFields.map(col): _*).distinct()).orNull)
+    () // replay after publish: log is truth, re-upsert
   }
 
   /** Every (is_add, row) record emitted so far, batch id as a partition
@@ -358,7 +381,8 @@ object CascadeQ4 {
   private[graft] def applyBatch(level1: ParquetUpsertSink, level2: ParquetUpsertSink,
                                     markers: org.apache.hadoop.fs.Path,
                                     batch: Dataset[Row], batchId: Long,
-                                    mirror: NetworkUpsertSink = null): Unit = {
+                                    mirror: NetworkUpsertSink = null,
+                                    retract: LakeRetractStream = null): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -395,6 +419,9 @@ object CascadeQ4 {
             // upsert/delete stream; replay after a crash re-sends full
             // documents, which the keyed store absorbs idempotently
             if (mirror != null) mirror.applyChangelog(fresh, dels)
+            // ... and the same changelog retract-encodes: delete =
+            // retract-without-add (the mirror's own (false, row) path)
+            if (retract != null) retract.onChangelog(fresh, dels, batchId)
           } finally { fresh.unpersist(); () }
         case None =>
           // histogram domain too wide for a driver-side id list: recompute
@@ -407,6 +434,7 @@ object CascadeQ4 {
             .withColumn("cnt_freq", lit(0L))).orNull
           level2.upsert(freshAll, dels)
           if (mirror != null) mirror.applyChangelog(freshAll, dels)
+          if (retract != null) retract.onChangelog(freshAll, dels, batchId)
       }
       // lakes now agree with level-1 truth for every marked bucket
       clearMarkers(fs, markers)
@@ -436,7 +464,8 @@ object CascadeQ4 {
     */
   def startToParquetFrom(level1Changelog: DataFrame, sink: ParquetUpsertSink,
                      checkpoint: String,
-                     mirror: NetworkUpsertSink = null): StreamingQuery = {
+                     mirror: NetworkUpsertSink = null,
+                     retract: LakeRetractStream = null): StreamingQuery = {
     val level1 = new ParquetUpsertSink(
       new org.apache.hadoop.fs.Path(checkpoint, "graft-cascade-level1").toString,
       Seq("cell"), sink.nBuckets)
@@ -446,7 +475,7 @@ object CascadeQ4 {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(level1, sink, markers, batch, batchId, mirror)
+        applyBatch(level1, sink, markers, batch, batchId, mirror, retract)
       }
       .trigger(Trigger.AvailableNow())
       .start()

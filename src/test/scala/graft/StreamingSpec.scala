@@ -147,6 +147,28 @@ class StreamingSpec extends SparkSpec {
     lastBatch._1.unpersist()
   }
 
+  test("lake retract changelog: a delete emits retract-without-add and clears state") {
+    import graft.streaming.LakeRetractStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("lakeretract-del")
+    val retr = new LakeRetractStream(root.resolve("r").toString, Seq("k"))
+    retr.onChangelog(Seq((1L, 10L)).toDF("k", "v"), null, 0L)
+    // delete of k=1 alongside an unrelated upsert: the delete must emit
+    // ONLY the retract of the last-emitted row (Flink's delete encoding)
+    retr.onChangelog(Seq((2L, 5L)).toDF("k", "v"),
+      Seq((1L, 0L)).toDF("k", "v"), 1L)
+    val log = retr.emitted(spark).orderBy("batch", "is_add", "k")
+      .select("is_add", "k", "v").collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2))).toList
+    assert(log === List((true, 1L, 10L), (false, 1L, 10L), (true, 2L, 5L)), s"got $log")
+    // the delete cleared the state lake: a re-add of k=1 is a FIRST
+    // sight again — add only, no retract of the long-gone row
+    retr.onChangelog(Seq((1L, 7L)).toDF("k", "v"), null, 2L)
+    val b2 = retr.emitted(spark).filter(col("batch") === 2)
+      .select("is_add", "k").collect().map(r => (r.getBoolean(0), r.getLong(1))).toList
+    assert(b2 === List((true, 1L)), s"got $b2")
+  }
+
   test("Q4 cascade: changelog replay equals batch two-level aggregate") {
     val cells = TrieMap.empty[Int, Long]
     val hist = TrieMap.empty[Long, Long]
