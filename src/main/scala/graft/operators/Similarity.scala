@@ -226,6 +226,37 @@ object Similarity {
       .select("label", "vec_id", "embedding", "nrm")
       .write.mode("overwrite").bucketBy(buckets, "label").saveAsTable(table)
 
+  /** ADMISSION: append one batch of vectors to a (possibly empty) IVF
+    * index — the ANN twin of
+    * [[graft.operators.TextAnalysis.bm25AdmitDocs]]. Pure map-side work:
+    * norms are batch-local, rows land bucket-aligned by coarse label,
+    * and the existing index is NEVER read or rewritten, which is what
+    * makes continuous ingest O(batch). Unlike BM25 — whose df/stats are
+    * corpus aggregates that admission stores as generations and search
+    * folds — the IVF-Flat index carries no cross-vector statistics at
+    * all, so a grown index IS the batch-built index up to row order and
+    * file count, and search needs no fold.
+    */
+  def ivfAdmitVectors(batch: DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    batch.withColumn("nrm", norm(col("embedding")))
+      .select("label", "vec_id", "embedding", "nrm")
+      .write.mode("append").bucketBy(buckets, "label").saveAsTable(table)
+
+  /** Continuous index build: every micro-batch of arriving vectors is
+    * admitted append-only ([[ivfAdmitVectors]]); the batchId rides along
+    * so a sink that needs idempotence can fence replays (the gate's
+    * single-writer replay makes the plain append exact).
+    */
+  def ivfIngestStream(newVectors: DataFrame, table: String)(
+      ): org.apache.spark.sql.streaming.StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) ivfAdmitVectors(batch.toDF(), table)
+      }
+      .start()
+
   /** The standing IVF index table the hybrid-retrieval apply path serves
     * from, maintained under the [[graft.core.ModelTables]] fit-once
     * staleness discipline: rebuilt only when the source dir's content

@@ -559,6 +559,32 @@ object StreamGate {
       .orderBy("q_id")
   }
 
+  /** CONTINUOUS ANN INDEX BUILD under the hard gate — the vector twin of
+    * [[bm25Ingest]]: the embedding table is replayed in chunks and every
+    * micro-batch is ADMITTED to an initially-empty IVF index as a
+    * bucket-aligned append ([[graft.operators.Similarity.ivfAdmitVectors]]
+    * — norms batch-local, the existing index never read or rewritten).
+    * After close, the standard query set against the grown index must
+    * answer EXACTLY like the batch-built index (oracle: the sim_ivf_topk
+    * oracle) — the index carries no cross-vector statistics, so any
+    * chunking that keeps vectors whole grows the identical index.
+    */
+  def ivfIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val table = "ivf_ing_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val stream = replayCached(spark, s"emb|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "embeddings"), col("vec_id")))
+    try {
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = Similarity.ivfIngestStream(stream, table)()
+        try q.processAllAvailable() finally q.stop()
+      }
+      materialize(Similarity.ivfTopkAgainst(spark, dir, table))
+        .orderBy("q_id", "rank")
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $table"); () }
+  }
+
   /** CONTINUOUS HYBRID SERVING under the hard gate: retrieval queries
     * (the shared doc/vec id space, every
     * [[graft.operators.TextAnalysis.Bm25QueryStride]]-th id) arrive as a
