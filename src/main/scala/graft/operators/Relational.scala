@@ -1031,4 +1031,129 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Slowly-changing dimension (SCD type 2) build + temporal (as-of) table join
+  // -------------------------------------------------------------------------
+
+  /** "Open interval" sentinel for the newest version of each key — kept a
+    * literal long (not NULL) so the version table has no nullable columns
+    * and the containment predicate needs no null branch.
+    */
+  val Scd2OpenUs: Long = Long.MaxValue
+
+  /** SCD type-2 version table of each user's activity segment (their
+    * latest non-purchase event type), built from the events changelog:
+    * consecutive runs of the same segment collapse to one version row
+    * `(user_id, seg, valid_from_us, valid_to_us, version_no)` with
+    * contiguous `[valid_from, valid_to)` intervals per user and the open
+    * tail at [[Scd2OpenUs]]. This is the dimension-side half of Flink's
+    * temporal table join (the reference's framework models it as a
+    * versioned table function over a changelog; here the changelog IS a
+    * table and the build is two window passes).
+    *
+    * Determinism: run boundaries order by (ts_us, event_id); same-
+    * microsecond changes collapse to the LAST event so valid_from is
+    * strictly increasing per user — no empty intervals, and an as-of
+    * lookup is uniquely defined at every instant.
+    *
+    * Scale: both window passes partition by user_id — one shuffle of the
+    * (bounded) change rows, no cross-key sort; version count is bounded by
+    * the changelog's change count, not the fact volume.
+    */
+  def scd2Versions(events: DataFrame): DataFrame = {
+    val ev = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("seg"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val ord = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val changes = ev
+      .withColumn("prev_seg", lag(col("seg"), 1).over(ord))
+      .filter(col("prev_seg").isNull || col("prev_seg") =!= col("seg"))
+    val tsW = Window.partitionBy("user_id", "ts_us").orderBy(col("event_id").desc)
+    val uniq = changes.withColumn("rn", row_number().over(tsW)).filter(col("rn") === 1)
+    val vw = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    uniq
+      .withColumn("version_no", row_number().over(vw))
+      .withColumn("valid_to_us", coalesce(lead(col("ts_us"), 1).over(vw), lit(Scd2OpenUs)))
+      .select(col("user_id"), col("seg"), col("ts_us").as("valid_from_us"),
+        col("valid_to_us"), col("version_no"))
+  }
+
+  def scd2Build(spark: SparkSession, dir: String): DataFrame =
+    scd2Versions(t(spark, dir, "events")).orderBy("user_id", "version_no")
+
+  /** Shared CTE text: the oracle-side replica of [[scd2Versions]]. */
+  private val scd2Cte: String =
+    """ev AS (
+      |  SELECT user_id, event_type AS seg, epoch_us(ts) AS ts_us, event_id
+      |  FROM events WHERE event_type <> 'purchase'
+      |), changes AS (
+      |  SELECT * FROM (
+      |    SELECT *, lag(seg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_seg
+      |    FROM ev) WHERE prev_seg IS NULL OR prev_seg <> seg
+      |), uniq AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+      |    FROM changes) WHERE rn = 1
+      |), dim AS (
+      |  SELECT user_id, seg, ts_us AS valid_from_us,
+      |    coalesce(lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id),
+      |             9223372036854775807) AS valid_to_us,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS INT) AS version_no
+      |  FROM uniq
+      |)""".stripMargin
+
+  val scd2BuildOracle: String =
+    s"""WITH $scd2Cte
+       |SELECT user_id, seg, valid_from_us, valid_to_us, version_no
+       |FROM dim ORDER BY user_id, version_no""".stripMargin
+
+  /** The purchase facts a temporal join enriches: one row per purchase
+    * event with its exact event-time microsecond.
+    */
+  def purchaseFacts(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+
+  /** Temporal (event-time as-of) table join: each fact row joins the
+    * dimension version valid AT ITS EVENT TIME — Flink's
+    * `FOR SYSTEM_TIME AS OF` temporal join, the version-aware upgrade of
+    * the reference's enrichment joins. Spark has no native as-of join;
+    * the scalable composition is a hash EQUI-join on the key with the
+    * interval containment as a post-join filter: versions of one key are
+    * bounded by its change count, so the equi-join's fan-out is bounded
+    * and there is no range cross-join or per-row sort. The dimension side
+    * is broadcast here (a version table is change-bounded, orders of
+    * magnitude smaller than the fact stream); at dimension volumes past
+    * broadcast size the same plan shuffles both sides on user_id —
+    * nothing in the shape changes.
+    *
+    * Facts with no version yet valid (before the key's first change) drop,
+    * matching ASOF JOIN inner semantics — the oracle states the same join
+    * through DuckDB's NATIVE `ASOF JOIN`, an independent formulation.
+    */
+  def temporalJoinOn(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts.join(broadcast(dim),
+        facts("user_id") === dim("user_id") &&
+          dim("valid_from_us") <= facts("ts_us") &&
+          facts("ts_us") < dim("valid_to_us"))
+      .select(facts("event_id"), facts("user_id"), dim("seg"),
+        dim("version_no").as("seg_version"), facts("ts_us"), facts("value"))
+
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    temporalJoinOn(purchaseFacts(events), scd2Versions(events))
+      .orderBy("event_id")
+  }
+
+  val temporalJoinOracle: String =
+    s"""WITH $scd2Cte, facts AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+       |  FROM events WHERE event_type = 'purchase'
+       |)
+       |SELECT f.event_id, f.user_id, d.seg, d.version_no AS seg_version, f.ts_us, f.value
+       |FROM facts f ASOF JOIN dim d
+       |  ON f.user_id = d.user_id AND f.ts_us >= d.valid_from_us
+       |ORDER BY f.event_id""".stripMargin
 }

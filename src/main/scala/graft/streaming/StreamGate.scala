@@ -48,6 +48,37 @@ object StreamGate {
     */
   val Chunks = 6
 
+  /** Scratch root for gate checkpoints, lakes, and staged replay chunks.
+    * Micro-batch commit machinery writes MANY small files per batch
+    * (offset log, commit log, one state-store delta + CRC per partition
+    * per stateful operator) — on this box that IO lands on a spinning
+    * /tmp and is pure harness overhead, not operator work. Gate scratch
+    * therefore prefers the RAM-backed /dev/shm when it exists and is
+    * writable, falling back to java.io.tmpdir. This moves only the
+    * VERIFICATION harness's scratch: operator output contracts
+    * (ParquetUpsertSink lakes a caller persists, ModelTables) are
+    * unaffected, and a real deployment points checkpoints at durable
+    * storage — the per-batch delta/changelog SHAPE the gates exercise is
+    * identical either way. SPARK_GRAFT_GATE_SCRATCH overrides (e.g. to
+    * force disk when measuring the IO cost itself).
+    */
+  private val scratchRoot: Path = {
+    val chosen = sys.env.get("SPARK_GRAFT_GATE_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .orElse(Some(java.nio.file.Paths.get("/dev/shm"))
+        .filter(p => Files.isDirectory(p) && Files.isWritable(p)))
+    chosen match {
+      case Some(base) =>
+        val d = base.resolve("graft-gate-scratch")
+        Files.createDirectories(d)
+        d
+      case None => java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+  }
+
+  private def gateTmp(prefix: String): Path =
+    Files.createTempDirectory(scratchRoot, prefix)
+
   private val runId = new AtomicInteger(0)
 
   private def rmrf(p: Path): Unit = {
@@ -193,7 +224,7 @@ object StreamGate {
     * ([[ingestAdmit]]).
     */
   private def stageChunkFiles(df: DataFrame, orderMs: Column, chunks: Int): (Path, Seq[Path]) = {
-    val root = Files.createTempDirectory("graft-stream-gate")
+    val root = gateTmp("graft-stream-gate")
     // a failure mid-staging (bounds agg, chunk write, moves) must not leak
     // the just-created root — no caller holds it yet
     try {
@@ -299,7 +330,7 @@ object StreamGate {
   private def runToMemory(out: DataFrame, mode: String): DataFrame = {
     val spark = out.sparkSession
     val name = s"graft_gate_${runId.incrementAndGet()}"
-    val ck = Files.createTempDirectory("graft-gate-ck")
+    val ck = gateTmp("graft-gate-ck")
     // view drop + checkpoint removal must run on FAILURE paths too (a
     // failed processAllAvailable would otherwise pin the memory table for
     // the session's life and accumulate checkpoints across bench runs)
@@ -380,7 +411,7 @@ object StreamGate {
     * snapshot. Oracle: the batch q4 oracle.
     */
   def q4Cascade(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-gate-q4")
+    val tmp = gateTmp("graft-gate-q4")
     // 3 chunks and a narrow lake: each cascade micro-batch pays ~6 fixed
     // Spark actions (pre-image join, one-job lake merges, marker IO,
     // level-2 recompute), so the gate's cost is batches x per-action
@@ -559,6 +590,37 @@ object StreamGate {
       .orderBy("q_id")
   }
 
+  /** TEMPORAL TABLE JOIN under the hard gate: the SCD2 version table is
+    * built once from the full events history and FROZEN (cached — the
+    * deployed shape is a persisted dimension snapshot); purchase facts
+    * are replayed in event-time-ordered chunks and every micro-batch is
+    * as-of joined against it. Stateless per fact + frozen dimension, so
+    * the emission union must equal the batch temporal join (oracle: the
+    * rel_temporal_join ASOF JOIN oracle) for any chunking.
+    */
+  def temporalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val events = Tables.load(spark, dir, "events")
+    val dim = Relational.scd2Versions(events).cache()
+    try {
+      dim.count() // freeze the dimension before the stream starts
+      val stream = replayCached(spark, s"purchases|$dir", chunks = 3)(
+        (events.filter(col("event_type") === "purchase"), unix_micros(col("ts"))))
+      val schema = Relational.temporalJoinOn(
+        Relational.purchaseFacts(events), dim).schema
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = StreamingQueries.temporalJoinStream(stream, dim) { v =>
+          buf.synchronized { buf ++= v.collect() }; ()
+        }
+        try q.processAllAvailable() finally q.stop()
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+        .orderBy("event_id")
+    } finally { dim.unpersist(); () }
+  }
+
   /** CONTINUOUS ANN INDEX BUILD under the hard gate — the vector twin of
     * [[bm25Ingest]]: the embedding table is replayed in chunks and every
     * micro-batch is ADMITTED to an initially-empty IVF index as a
@@ -662,7 +724,7 @@ object StreamGate {
     val stream = replayCached(spark, s"lmtrain|$dir", chunks = 3)(
       (Tables.load(spark, dir, "documents")
         .filter(col("source") === TextAnalysis.LmTrainSource), col("doc_id")))
-    val root = Files.createTempDirectory("graft-gate-lmfit")
+    val root = gateTmp("graft-gate-lmfit")
     val (biDir, tokDir) = (root.resolve("bi").toString, root.resolve("tok").toString)
     try {
       withGateParallelism(spark, GateStatePartitions) {
@@ -730,7 +792,7 @@ object StreamGate {
     val incoming = Dedup.ingestArrivals(spark, dir)
     val files = stagedFilesCached(spark, s"ingest|$dir", chunks = 3)(
       (incoming, col("doc_id")))
-    val root = Files.createTempDirectory("graft-gate-ingest")
+    val root = gateTmp("graft-gate-ingest")
     val watched = root.resolve("watched")
     Files.createDirectories(watched)
     try {
@@ -778,7 +840,7 @@ object StreamGate {
   def ttlCount(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TaxiQueries
     val sink = new MemoryUpsertSink(Seq("cell"))
-    val ck = Files.createTempDirectory("graft-gate-ttl-ck")
+    val ck = gateTmp("graft-gate-ttl-ck")
     val stream = ridesReplay(spark, dir)
     try {
       withGateParallelism(spark, 4) {
@@ -805,7 +867,7 @@ object StreamGate {
   def ttlCountV2(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TaxiQueries
     val sink = new MemoryUpsertSink(Seq("cell"))
-    val ck = Files.createTempDirectory("graft-gate-ttlv2-ck")
+    val ck = gateTmp("graft-gate-ttlv2-ck")
     val stream = ridesReplay(spark, dir)
     try {
       // transformWithState requires the RocksDB provider; scoped to this
@@ -856,7 +918,7 @@ object StreamGate {
     val sentinel = Seq((-1L, new Timestamp(maxMs + 600000L), "gate_sentinel"))
       .toDF("user_id", "ts", "event_type")
     val sink = new MemoryUpsertSink(Seq("user_id"))
-    val ck = Files.createTempDirectory("graft-gate-funnelv2-ck")
+    val ck = gateTmp("graft-gate-funnelv2-ck")
     val stream = replayCached(spark, s"eventsfunnel|$dir")(
       (ev.unionByName(sentinel), unix_millis(col("ts"))))
     try {
@@ -889,7 +951,7 @@ object StreamGate {
     */
   def q4CascadeNet(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-gate-q4net")
+    val tmp = gateTmp("graft-gate-q4net")
     val storeId = s"gate-q4net-${runId.incrementAndGet()}"
     MemoryDocStore.clear(storeId)
     val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
@@ -914,7 +976,7 @@ object StreamGate {
     * layers are untouched; only the level-1 state engine changes.
     */
   def q4CascadeV2(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-gate-q4v2")
+    val tmp = gateTmp("graft-gate-q4v2")
     val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
     val stream = ridesReplay(spark, dir, chunks = 3)
     try withRocksDb(spark) {
@@ -940,7 +1002,7 @@ object StreamGate {
     import graft.operators.TaxiQueries
     val dim = TaxiQueries.zoneDim(spark, dir)
     val stream = ridesReplay(spark, dir)
-    val ck = Files.createTempDirectory("graft-gate-szj-ck")
+    val ck = gateTmp("graft-gate-szj-ck")
     // keyed by ride_id, not appended: foreachBatch is at-least-once, so a
     // retried micro-batch must overwrite its own rows, not duplicate them
     // (the idempotence MemoryUpsertSink gives the update-mode gates)
@@ -976,7 +1038,7 @@ object StreamGate {
     val retr = new RetractStream(Seq("cell"))
     val counts = scala.collection.mutable.Map.empty[Row, Int]
     val stream = ridesReplay(spark, dir)
-    val ck = Files.createTempDirectory("graft-gate-retract-ck")
+    val ck = gateTmp("graft-gate-retract-ck")
     try {
       val schema = StreamingQueries.q4Level1(Rides.fromEvents(spark, dir)).schema
       withGateParallelism(spark, 4) {
@@ -1016,7 +1078,7 @@ object StreamGate {
     * stream), so the retract-without-add branch is exercised, not dead.
     */
   def q4RetractL2(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-gate-retractl2")
+    val tmp = gateTmp("graft-gate-retractl2")
     val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
     val retr = new LakeRetractStream(tmp.resolve("retract").toString, Seq("dept_cnt"))
     val stream = ridesReplay(spark, dir, chunks = 3)
@@ -1045,7 +1107,7 @@ object StreamGate {
     * encodings are certified interchangeable.
     */
   def q4RetractLake(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-gate-retractlake")
+    val tmp = gateTmp("graft-gate-retractlake")
     val retr = new LakeRetractStream(tmp.resolve("retract").toString, Seq("cell"))
     val stream = ridesReplay(spark, dir)
     try {
@@ -1087,7 +1149,7 @@ object StreamGate {
     val sentinel = Seq((-1L, new Timestamp(maxMs + 600000L), "gate_sentinel"))
       .toDF("user_id", "ts", "event_type")
     val sink = new MemoryUpsertSink(Seq("user_id"))
-    val ck = Files.createTempDirectory("graft-gate-funnel-ck")
+    val ck = gateTmp("graft-gate-funnel-ck")
     val stream = replayCached(spark, s"eventsfunnel|$dir")(
       (ev.unionByName(sentinel), unix_millis(col("ts"))))
     try {

@@ -123,6 +123,33 @@ object StreamingQueries {
       .select(col("rideId"), Taxi.toCellId(col("startLon"), col("startLat")).as("cell"))
       .groupBy("cell")
       .agg(count(col("rideId")).as("dept_cnt"))
+
+  /** Temporal (as-of) table join of a fact STREAM against a frozen SCD2
+    * dimension — Flink's `FOR SYSTEM_TIME AS OF` enrichment in its
+    * processing shape: every arriving fact micro-batch equi-joins the
+    * version table on the key and keeps the version whose
+    * `[valid_from, valid_to)` interval contains the fact's event time.
+    * Stateless per fact with the dimension frozen, so the emission union
+    * equals the batch [[graft.operators.Relational.temporalJoinOn]] for
+    * any chunking — which is exactly what the `stream_temporal_join` gate
+    * hash-checks. A LIVE dimension composes the same way: snapshot the
+    * version table per batch (the lake's upsert snapshot) instead of
+    * capturing one DataFrame.
+    *
+    * `facts` carries raw event rows; the purchase projection happens here
+    * so the gate replays the same bytes the batch query reads.
+    */
+  def temporalJoinStream(facts: DataFrame, dim: DataFrame)(
+      sink: DataFrame => Unit): StreamingQuery =
+    facts.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.Relational.temporalJoinOn(
+            graft.operators.Relational.purchaseFacts(batch), dim))
+        }
+      }
+      .start()
 }
 
 /** Spark analogue of Flink's `toRetractStream[Row]`

@@ -693,6 +693,43 @@ class OperatorsSpec extends SparkSpec {
     assert(got.exists(_._5 === 3) && got.exists(_._5 < 3), "fixture should split funnel depths")
   }
 
+  test("scd2 + temporal join: versions partition time per user; as-of matches a per-fact scan") {
+    val events = graft.core.Tables.load(spark, Sf0001, "events")
+    val dim = graft.operators.Relational.scd2Versions(events)
+      .as[(Long, String, Long, Long, Int)].collect().toSeq
+    // SCD2 invariants: per user, version_no dense from 1, valid_from
+    // strictly increasing, intervals contiguous ([to) of v_n == [from) of
+    // v_n+1), exactly one open tail
+    dim.groupBy(_._1).foreach { case (uid, vs) =>
+      val s = vs.sortBy(_._5)
+      assert(s.map(_._5) === (1 to s.length), s"user $uid: version_no not dense")
+      s.sliding(2).foreach {
+        case Seq((_, _, f1, t1, _), (_, _, f2, _, _)) =>
+          assert(f1 < f2, s"user $uid: valid_from not strictly increasing")
+          assert(t1 === f2, s"user $uid: intervals not contiguous")
+        case _ => ()
+      }
+      assert(s.count(_._4 === graft.operators.Relational.Scd2OpenUs) === 1,
+        s"user $uid: open-tail count wrong")
+    }
+    // temporal join vs brute force: for each purchase, the version whose
+    // interval contains its timestamp (scanning all of the user's versions)
+    val facts = events.filter("event_type = 'purchase'")
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS ts_us", "value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val byUser = dim.groupBy(_._1)
+    val expected = facts.flatMap { case (eid, uid, ts, v) =>
+      byUser.getOrElse(uid, Seq.empty)
+        .find { case (_, _, f, t, _) => f <= ts && ts < t }
+        .map { case (_, seg, _, _, ver) => (eid, uid, seg, ver, ts, v) }
+    }.sortBy(_._1)
+    val got = graft.operators.Relational.temporalJoin(spark, Sf0001)
+      .as[(Long, Long, String, Int, Long, Double)].collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < facts.size,
+      "fixture should exercise both matched and before-first-version facts")
+  }
+
   test("gapfill: dense grid covers the full range, zero rows where no events") {
     val rows = graft.operators.Relational.gapfill(spark, Sf0001)
       .as[(String, Long, Long)].collect()

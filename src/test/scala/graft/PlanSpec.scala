@@ -372,6 +372,14 @@ class PlanSpec extends SparkSpec {
       s"only the metadata-scale rank fusion may shuffle-join:\n${p.take(800)}")
   }
 
+  test("temporal join is a hash equi-join on the key with interval filter — no range join") {
+    val p = plan(Relational.temporalJoin(spark, Sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the as-of join must equi-join on user_id (interval as post-join filter):\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"an unkeyed range join would scan facts x versions:\n${p.take(800)}")
+  }
+
   test("whole-stage codegen covers the taxi filter-project pipeline") {
     val df = TaxiQueries.q1Tumble(spark, Sf0001)
     df.collect() // AQE only materializes codegen'd stages in the FINAL plan
