@@ -867,6 +867,138 @@ object Pipeline {
        |  FROM documents
        |)
        |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Corpus-distribution drift monitor (continuous ingest QA)
+  // -------------------------------------------------------------------------
+
+  /** Length-bin width / count for the drift histogram. 64-char bins capped
+    * at [[DriftBins]]-1 cover the synthetic corpus (48..553 chars) with ~9
+    * populated bins; real deployments retune both — the emission contract
+    * is bin-count agnostic.
+    */
+  val DriftBinChars = 64
+  val DriftBins = 16
+
+  /** Arrival chunks the drift monitor segments the corpus into — matches
+    * the docs-replay chunking so the streaming gate sees one chunk per
+    * micro-batch.
+    */
+  val DriftChunks = 3
+
+  /** Relative deviation that flags a bin as drifted: |obs/chunk_total −
+    * ref/corpus_total| > ref/corpus_total × 1/[[DriftTolInv]]. Stated in
+    * exact integer cross-multiplication so both engines decide
+    * identically — no float division anywhere in the contract.
+    */
+  val DriftTolInv = 20
+
+  /** Corpus-distribution drift report: each arrival chunk's document-
+    * length histogram against the FROZEN full-corpus reference
+    * distribution — the continuous-ingest QA a production corpus pipeline
+    * runs so a scraper regression (suddenly-truncated pages, boilerplate
+    * floods) surfaces as a drifted bin, not as silent corpus rot three
+    * training runs later.
+    *
+    * Emission: one row per (chunk × reference bin) — a bin the chunk never
+    * observed still emits (observed = 0), because a VANISHED bin is drift
+    * just as much as a flooded one. All columns are exact integers except
+    * the boolean verdict, itself integer cross-multiplication
+    * ([[DriftTolInv]]), so the streaming emission hash-matches the batch
+    * twin bit-for-bit.
+    *
+    * Scale: one scan computes per-(chunk, bin) counts; the reference
+    * histogram is [[DriftBins]] rows and the grid is chunks × bins —
+    * metadata-scale frames joined below a broadcast, data-proportional
+    * work is only the count aggregation (the rel_gapfill discipline).
+    */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bounds = d.agg(min("doc_id").as("t0"),
+      (max("doc_id") - min("doc_id") + 1).as("span"))
+    // exact integer floor division on both engines (Spark `/` is double
+    // division; DIV here, `//` in the oracle)
+    val binned = d.join(broadcast(bounds))
+      .withColumn("chunk",
+        expr(s"CAST((doc_id - t0) * $DriftChunks DIV span AS INT)"))
+      .withColumn("bin",
+        expr(s"CAST(least(n_chars DIV $DriftBinChars, ${DriftBins - 1}) AS INT)"))
+    driftReport(
+      binned.groupBy("chunk", "bin").agg(count(lit(1)).as("observed")),
+      binned.groupBy("bin").agg(count(lit(1)).as("corpus_cnt")))
+      .orderBy("chunk", "bin")
+  }
+
+  /** The chunk-vs-reference comparison shared by the batch twin and the
+    * per-micro-batch monitor: grid = every chunk × every REFERENCE bin,
+    * left-joined with observations, flagged by integer cross-multiply.
+    */
+  private[graft] def driftReport(observed: DataFrame, reference: DataFrame): DataFrame = {
+    val chunkTotals = observed.groupBy("chunk").agg(sum("observed").as("chunk_total"))
+    val corpusTotal = reference.agg(sum("corpus_cnt").as("corpus_total"))
+    val grid = chunkTotals.join(broadcast(reference)).join(broadcast(corpusTotal))
+    grid.join(observed, Seq("chunk", "bin"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+      .withColumn("drifted",
+        abs(col("observed") * col("corpus_total") - col("corpus_cnt") * col("chunk_total")) *
+          DriftTolInv > col("corpus_cnt") * col("chunk_total"))
+      .select(col("chunk"), col("bin"), col("observed"), col("chunk_total"),
+        col("corpus_cnt"), col("corpus_total"), col("drifted"))
+  }
+
+  /** The frozen reference a deployed monitor would persist: the corpus
+    * length-bin histogram (≤[[DriftBins]] rows).
+    */
+  def referenceHistogram(d: DataFrame): DataFrame =
+    d.select(expr(s"CAST(least(n_chars DIV $DriftBinChars, ${DriftBins - 1}) AS INT) AS bin"))
+      .groupBy("bin").agg(count(lit(1)).as("corpus_cnt"))
+
+  /** Continuous form: every arriving micro-batch (one arrival chunk, per
+    * the replay contract) is binned, counted, and compared against the
+    * FROZEN reference histogram + chunking bounds captured when the
+    * monitor started. Per-chunk completeness within a batch makes the
+    * emission union equal [[qualityDrift]] bit-for-bit — which is what
+    * the `stream_quality_drift` gate hash-checks.
+    */
+  def qualityDriftStream(newDocs: DataFrame, reference: DataFrame, t0: Long, span: Long)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val binned = batch
+            .withColumn("chunk", expr(s"CAST((doc_id - $t0) * $DriftChunks DIV $span AS INT)"))
+            .withColumn("bin",
+              expr(s"CAST(least(n_chars DIV $DriftBinChars, ${DriftBins - 1}) AS INT)"))
+          sink(driftReport(
+            binned.groupBy("chunk", "bin").agg(count(lit(1)).as("observed")), reference))
+        }
+      }
+      .start()
+
+  val qualityDriftOracle: String =
+    s"""WITH bounds AS (
+       |  SELECT min(doc_id) AS t0, max(doc_id) - min(doc_id) + 1 AS span FROM documents
+       |), binned AS (
+       |  SELECT CAST((doc_id - t0) * $DriftChunks // span AS INT) AS chunk,
+       |         CAST(least(n_chars // $DriftBinChars, ${DriftBins - 1}) AS INT) AS bin
+       |  FROM documents, bounds
+       |), obs AS (
+       |  SELECT chunk, bin, count(*) AS observed FROM binned GROUP BY 1, 2
+       |), ref AS (
+       |  SELECT bin, count(*) AS corpus_cnt FROM binned GROUP BY 1
+       |), totals AS (
+       |  SELECT chunk, CAST(sum(observed) AS BIGINT) AS chunk_total FROM obs GROUP BY 1
+       |), corpus AS (
+       |  SELECT CAST(sum(corpus_cnt) AS BIGINT) AS corpus_total FROM ref
+       |)
+       |SELECT t.chunk, r.bin, coalesce(o.observed, 0) AS observed,
+       |  t.chunk_total, r.corpus_cnt, c.corpus_total,
+       |  abs(coalesce(o.observed, 0) * c.corpus_total - r.corpus_cnt * t.chunk_total) *
+       |    $DriftTolInv > r.corpus_cnt * t.chunk_total AS drifted
+       |FROM totals t CROSS JOIN ref r CROSS JOIN corpus c
+       |LEFT JOIN obs o ON o.chunk = t.chunk AND o.bin = r.bin
+       |ORDER BY t.chunk, r.bin""".stripMargin
 }
 
 /** The stable content-hash expressions (Spark and DuckDB renderings),

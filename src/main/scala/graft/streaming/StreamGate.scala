@@ -621,6 +621,35 @@ object StreamGate {
     } finally { dim.unpersist(); () }
   }
 
+  /** CONTINUOUS CORPUS-DRIFT MONITORING under the hard gate: the
+    * reference histogram + chunking bounds are computed from the full
+    * corpus and FROZEN; the document table replays in chunks and every
+    * micro-batch's length distribution is compared against the reference.
+    * One arrival chunk per batch (the replay contract) makes each chunk's
+    * counts complete within its batch, so the emission union must equal
+    * the batch drift report (oracle: the pipe_quality_drift oracle).
+    */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val d = Tables.load(spark, dir, "documents")
+    val b = d.agg(min("doc_id"), max("doc_id")).head()
+    val (t0, span) = (b.getLong(0), b.getLong(1) - b.getLong(0) + 1)
+    val reference = materialize(Pipeline.referenceHistogram(d))
+    val stream = replayCached(spark, s"docs|$dir", chunks = 3)(
+      (d, col("doc_id")))
+    val schema = Pipeline.qualityDrift(spark, dir).schema
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    withGateParallelism(spark, GateStatePartitions) {
+      val q = Pipeline.qualityDriftStream(stream, reference, t0, span) { v =>
+        buf.synchronized { buf ++= v.collect() }; ()
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      .orderBy("chunk", "bin")
+  }
+
   /** CONTINUOUS ANN INDEX BUILD under the hard gate — the vector twin of
     * [[bm25Ingest]]: the embedding table is replayed in chunks and every
     * micro-batch is ADMITTED to an initially-empty IVF index as a

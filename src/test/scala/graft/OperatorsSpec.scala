@@ -730,6 +730,30 @@ class OperatorsSpec extends SparkSpec {
       "fixture should exercise both matched and before-first-version facts")
   }
 
+  test("quality drift: full chunk x reference-bin grid, exact totals, integer verdicts") {
+    import graft.operators.Pipeline
+    val rows = Pipeline.qualityDrift(spark, Sf0001)
+      .as[(Int, Int, Long, Long, Long, Long, Boolean)].collect().toSeq
+    val chunks = rows.map(_._1).distinct.sorted
+    val bins = rows.map(_._2).distinct.sorted
+    assert(chunks === (0 until Pipeline.DriftChunks), "every chunk must report")
+    assert(rows.size === chunks.size * bins.size,
+      "every (chunk, reference bin) cell must emit — a vanished bin is drift too")
+    val corpusTotal = rows.head._6
+    assert(rows.map(_._3).sum === corpusTotal, "observed counts must cover the corpus")
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      assert(rs.map(_._3).sum === rs.head._4, s"chunk $c: chunk_total mismatch")
+    }
+    bins.foreach { b =>
+      val rs = rows.filter(_._2 === b)
+      assert(rs.map(_._3).sum === rs.head._5, s"bin $b: corpus_cnt mismatch")
+    }
+    rows.foreach { case (c, b, obs, ct, cc, tot, drifted) =>
+      val expect = (obs * tot - cc * ct).abs * Pipeline.DriftTolInv > cc * ct
+      assert(drifted === expect, s"($c,$b): verdict must be the integer cross-multiply")
+    }
+  }
+
   test("gapfill: dense grid covers the full range, zero rows where no events") {
     val rows = graft.operators.Relational.gapfill(spark, Sf0001)
       .as[(String, Long, Long)].collect()
