@@ -273,11 +273,18 @@ object StreamGate {
     *
     * SPARK_GRAFT_GATE_PARTITIONS overrides it — the operational knob a
     * real deployment re-chooses per workload (frozen per checkpoint).
-    * Probed both ways on the heaviest row-bound gate (dedup_events,
-    * doubled input) at sf0.1/20x: width 8 = 4.7 s / 32.7 s, width 32 =
-    * 7.6 s / 35.0 s — commit overhead dominates at both probed scales,
-    * so 8 stands; the override exists for workloads where per-partition
-    * state or per-batch compute outgrows it.
+    * Probed on the heaviest row-bound gate (dedup_events, doubled input)
+    * at sf0.1/20x: width 8 = 4.7 s / 32.7 s, width 32 = 7.6 s / 35.0 s —
+    * commit overhead dominates at both probed scales. Re-probed across
+    * the FULL 29-gate set at sf0.1 (r15, shm scratch): width 8 = 117.5 s,
+    * width 4 = 108.6 s, with the state-heaviest gates (q8 pair join's 4
+    * stores/partition, the OVER buffers, funnel, bm25 ingest) gaining
+    * 15-30% and every regression inside the box's ±25 % noise band — so 4
+    * is the default; the override exists for workloads where
+    * per-partition state or per-batch compute outgrows it (the 20x
+    * dedup_events probe re-measured at width 4: 33.4 s steady vs width
+    * 8's 32.7 s — per-row state insertion, not partition width; README
+    * scale notes carry the full table).
     */
   private val GateStatePartitions =
     sys.env.get("SPARK_GRAFT_GATE_PARTITIONS") match {
@@ -286,10 +293,10 @@ object StreamGate {
         // invalid and fail every gate at runtime with an opaque error —
         // reject loudly and fall back
         System.err.println(
-          s"SPARK_GRAFT_GATE_PARTITIONS='$raw' rejected (need a positive int); using 8")
-        8
+          s"SPARK_GRAFT_GATE_PARTITIONS='$raw' rejected (need a positive int); using 4")
+        4
       }
-      case None => 8
+      case None => 4
     }
 
   /** Run `body` with the RocksDB state-store provider set on the session
