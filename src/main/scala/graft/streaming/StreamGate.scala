@@ -628,6 +628,37 @@ object StreamGate {
     } finally { dim.unpersist(); () }
   }
 
+  /** INCREMENTAL SCD2 BUILD under the hard gate: the dimension-side
+    * changelog (non-purchase events) replays in event-time chunks;
+    * [[Scd2Stream]] maintains per-key open versions in state and emits an
+    * upsert changelog keyed (user_id, version_no). The gate folds the
+    * upserts (each key at most once per batch — order-free) and the final
+    * fold must hash-match the BATCH version table (the rel_scd2_build
+    * oracle): versions opened in one micro-batch and closed in a later
+    * one land as one row with the closing batch's valid_to.
+    */
+  def scd2Build(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val stream = replayCached(spark, s"evnonpurch|$dir")(
+      (Tables.load(spark, dir, "events").filter(col("event_type") =!= "purchase"),
+        unix_micros(col("ts"))))
+    val schema = Relational.scd2Build(spark, dir).schema
+    val acc = scala.collection.concurrent.TrieMap.empty[(Long, Int), Row]
+    withGateParallelism(spark, GateStatePartitions) {
+      val q = Scd2Stream.scd2Stream(stream).toDF().writeStream
+        .outputMode("update")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          b.collect().foreach(r => acc((r.getLong(0), r.getInt(4))) = r)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(acc.values.toList.asJava, schema)
+      .orderBy("user_id", "version_no")
+  }
+
   /** CONTINUOUS CORPUS-DRIFT MONITORING under the hard gate: the
     * reference histogram + chunking bounds are computed from the full
     * corpus and FROZEN; the document table replays in chunks and every

@@ -979,3 +979,78 @@ object Q4Level1V2 {
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
   }
 }
+
+/** STREAMING SCD2 BUILD — the slowly-changing dimension maintained
+  * INCREMENTALLY as its changelog arrives: the continuous form of
+  * [[graft.operators.Relational.scd2Versions]], and the missing half of a
+  * live temporal-join stack (facts enrich against the version lake this
+  * stream maintains; the frozen-dimension form is
+  * [[StreamingQueries.temporalJoinStream]]).
+  *
+  * Emission is an UPSERT changelog keyed (user_id, version_no) — Flink's
+  * upsert stream, the same contract the cascade's level-2 sink consumes:
+  * opening a version emits it with the open-tail sentinel; the change
+  * that closes it re-emits the same key with its real valid_to. Each key
+  * is emitted at most once per micro-batch (the handler folds
+  * open-then-close within a batch into the closed row), so the upsert
+  * fold is order-free inside a batch.
+  *
+  * Correctness argument: the batch build detects change rows against the
+  * previous EVENT (not the previous change) in (ts_us, event_id) order,
+  * then collapses same-microsecond changes to the last event. The replay
+  * contract delivers events time-ordered across batches and whole
+  * microseconds within one batch (chunk id is a monotone function of
+  * ts), so per-key state of (last event's seg, the open version) is
+  * exactly the fold cursor of that derivation — the upsert-fold of the
+  * emission equals the batch version table after any prefix of complete
+  * chunks.
+  *
+  * Scale: state is 2 strings + 2 longs per key; emission is one row per
+  * version change. Nothing re-reads history.
+  */
+object Scd2Stream {
+  import graft.operators.Relational.Scd2OpenUs
+
+  case class Scd2Event(user_id: Long, seg: String, ts_us: Long, event_id: Long)
+  case class Scd2State(prevSeg: String, openSeg: String, openFrom: Long, openVer: Int)
+  case class Scd2Version(user_id: Long, seg: String, valid_from_us: Long,
+      valid_to_us: Long, version_no: Int)
+
+  private def update(key: Long, rows: Iterator[Scd2Event],
+      state: GroupState[Scd2State]): Iterator[Scd2Version] = {
+    val prev = state.getOption.getOrElse(Scd2State(null, null, 0L, 0))
+    // change detection runs against the previous EVENT in (ts, id) order
+    var prevSeg = prev.prevSeg
+    val changes = scala.collection.mutable.ArrayBuffer.empty[Scd2Event]
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      if (prevSeg == null || prevSeg != e.seg) changes += e
+      prevSeg = e.seg
+    }
+    // same-microsecond changes collapse to the last event (the batch
+    // build's uniq step); sorted order makes that the group's last entry
+    val collapsed = changes.toSeq.groupBy(_.ts_us).toSeq.sortBy(_._1).map(_._2.last)
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, Scd2Version]
+    var (openSeg, openFrom, openVer) = (prev.openSeg, prev.openFrom, prev.openVer)
+    collapsed.foreach { c =>
+      if (openSeg != null)
+        out(openVer) = Scd2Version(key, openSeg, openFrom, c.ts_us, openVer)
+      openVer += 1; openSeg = c.seg; openFrom = c.ts_us
+      out(openVer) = Scd2Version(key, openSeg, openFrom, Scd2OpenUs, openVer)
+    }
+    state.update(Scd2State(prevSeg, openSeg, openFrom, openVer))
+    out.valuesIterator.toList.iterator
+  }
+
+  /** Non-purchase events stream (raw rows) -> SCD2 upsert changelog. */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Version] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("seg"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[Scd2Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+}

@@ -739,4 +739,48 @@ class StreamingSpec extends SparkSpec {
       assert(got === Map(mainCell -> 3L, otherCell -> 1L))
     }
   }
+
+  test("incremental SCD2: upsert-fold across micro-batches equals the batch build") {
+    import graft.streaming.Scd2Stream
+    // (event_id, ts, user_id, event_type): user 10 changes segment across
+    // batches (version opened in batch 1 must be CLOSED by batch 2's
+    // change); user 20 has a same-microsecond change pair (collapse keeps
+    // the later event_id) and a no-change repeat; 'purchase' rows are
+    // dimension-irrelevant and must be ignored
+    def ev(id: Long, us: Long, uid: Long, t: String) =
+      (id, new Timestamp(us / 1000), uid, t, 0.0, "")
+    val batch1 = Seq(
+      ev(1, 1000000L, 10L, "view"), ev(2, 2000000L, 10L, "view"),
+      ev(3, 2500000L, 10L, "purchase"),
+      ev(4, 1000000L, 20L, "signup"), ev(5, 3000000L, 20L, "click"),
+      ev(6, 3000000L, 20L, "error"))
+    val batch2 = Seq(
+      ev(7, 5000000L, 10L, "click"), ev(8, 6000000L, 10L, "click"),
+      ev(9, 7000000L, 20L, "error"), ev(10, 8000000L, 20L, "view"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)](spark)
+    val acc = scala.collection.mutable.Map.empty[(Long, Int), (String, Long, Long)]
+    val q = Scd2Stream.scd2Stream(input.toDF().toDF(cols: _*)).toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", Files.createTempDirectory("scd2ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => acc((r.getLong(0), r.getInt(4))) =
+          (r.getString(1), r.getLong(2), r.getLong(3)))
+        ()
+      }
+      .start()
+    input.addData(batch1: _*); q.processAllAvailable()
+    input.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val expected = graft.operators.Relational
+      .scd2Versions((batch1 ++ batch2).toDF(cols: _*))
+      .as[(Long, String, Long, Long, Int)].collect()
+      .map { case (u, seg, f, t, v) => (u, v) -> (seg, f, t) }.toMap
+    assert(acc.toMap === expected)
+    // the cross-batch closure actually happened: user 10's view version
+    // opened in batch 1 is closed at batch 2's click microsecond
+    assert(acc((10L, 1))._3 === 5000000L)
+    // and the same-microsecond pair collapsed to the later event (error)
+    assert(acc((20L, 2))._1 === "error")
+  }
 }
