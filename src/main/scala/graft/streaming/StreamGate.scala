@@ -628,6 +628,54 @@ object StreamGate {
     } finally { dim.unpersist(); () }
   }
 
+  /** CHECKPOINT RECOVERY under the hard gate: the tumbling-window query
+    * is STOPPED mid-replay (after half the chunks) and a NEW query
+    * instance restarts from the same checkpoint while the rest of the
+    * history arrives — the deployed failure/upgrade path (offsets + state
+    * restore; Spark's exactly-once contract). The recovered query's final
+    * table must hash-match the batch q1 oracle: nothing double-counted
+    * across the restart boundary, no window lost with the first JVM's
+    * state. The watched dir is private (staged files COPIED in two
+    * steps); mtimes carry over so replay order is preserved.
+    */
+  def q1Restart(spark: SparkSession, dir: String): DataFrame = {
+    val files = stagedFilesCached(spark, s"ridesfiles|$dir", Chunks)(
+      (Rides.fromEvents(spark, dir), unix_millis(col("rowtime"))))
+    val root = gateTmp("graft-gate-restart")
+    val watch = root.resolve("watch")
+    Files.createDirectories(watch)
+    val ck = root.resolve("ck")
+    val name = s"graft_restart_${runId.incrementAndGet()}"
+    def copyIn(fs: Seq[Path]): Unit = fs.foreach { f =>
+      val dst = watch.resolve(f.getFileName)
+      Files.copy(f, dst)
+      if (!dst.toFile.setLastModified(f.toFile.lastModified()))
+        throw new java.io.IOException(s"cannot set mtime on $dst")
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(watch.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch.toString)
+      val q = StreamingQueries.q1Tumble(stream).writeStream
+        .format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", ck.toString).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      withGateParallelism(spark, GateStatePartitions) {
+        copyIn(files.take(Chunks / 2))
+        runOnce() // first instance sees half the history, then STOPS
+        copyIn(files.drop(Chunks / 2))
+        runOnce() // recovery: offsets + window state restore, replay completes
+        materialize(spark.table(name)).orderBy("dept_time", "cell")
+      }
+    } finally {
+      spark.catalog.dropTempView(name)
+      rmrf(root)
+    }
+  }
+
   /** INCREMENTAL SCD2 BUILD under the hard gate: the dimension-side
     * changelog (non-purchase events) replays in event-time chunks;
     * [[Scd2Stream]] maintains per-key open versions in state and emits an
