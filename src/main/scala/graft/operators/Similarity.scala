@@ -243,10 +243,26 @@ object Similarity {
       .select("label", "vec_id", "embedding", "nrm")
       .write.mode("append").bucketBy(buckets, "label").saveAsTable(table)
 
+  /** Replay repair for the continuous IVF build — the vector twin of
+    * `compactBm25Index`: an at-least-once source re-delivers whole
+    * micro-batches, and a duplicated vector is WRONG at serving time
+    * (the same vec_id fills two top-k slots). Admission rows are
+    * deterministic per vector — (label, vec_id, embedding, nrm), norms
+    * batch-local — so replay copies are EXACT duplicates and compaction
+    * is the substring family's distinct rewrite of the bucketed index.
+    * Unlike BM25 there are no derived df/stats generations, so this is a
+    * single atomic temp+rename step: no torn window, no marker needed.
+    * Returns the (files-before, files-after) pair.
+    */
+  def compactIvfIndex(spark: SparkSession, table: String): (Long, Long) =
+    graft.operators.Dedup.compactBucketedTable(spark, table, "label")
+
   /** Continuous index build: every micro-batch of arriving vectors is
     * admitted append-only ([[ivfAdmitVectors]]); the batchId rides along
     * so a sink that needs idempotence can fence replays (the gate's
-    * single-writer replay makes the plain append exact).
+    * single-writer replay makes the plain append exact — and
+    * [[compactIvfIndex]] is the repair when the source actually
+    * re-delivers).
     */
   def ivfIngestStream(newVectors: DataFrame, table: String)(
       ): org.apache.spark.sql.streaming.StreamingQuery =

@@ -676,6 +676,68 @@ object StreamGate {
     }
   }
 
+  /** LIVE TEMPORAL JOIN under the hard gate — the full stack: TWO
+    * concurrent streaming queries over a SHARED time-chunk grid.
+    * [[Scd2Stream]] maintains the version lake (upserts keyed
+    * (user_id, version_no) into a ParquetUpsertSink); the fact query
+    * as-of joins each purchase micro-batch against the lake's CURRENT
+    * snapshot. Per grid step the dimension chunk applies FIRST, so the
+    * lake has seen every change up to the fact batch's max event time —
+    * which makes the per-batch join equal the batch as-of join row for
+    * row (a still-open version joins identically because the output
+    * doesn't depend on valid_to beyond interval membership). Oracle: the
+    * same rel_temporal_join ASOF JOIN oracle — nothing about the
+    * continuous execution may show in the result.
+    */
+  def temporalJoinLive(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val events = Tables.load(spark, dir, "events")
+    val files = stagedFilesCached(spark, s"eventsall|$dir", Chunks)(
+      (events, unix_micros(col("ts"))))
+    val schema = spark.read.parquet(files.head.getParent.toString).schema
+    val root = gateTmp("graft-gate-tjlive")
+    val dimWatch = root.resolve("dim")
+    val factWatch = root.resolve("facts")
+    Files.createDirectories(dimWatch)
+    Files.createDirectories(factWatch)
+    val lake = new graft.sinks.ParquetUpsertSink(
+      root.resolve("dimlake").toString, Seq("user_id", "version_no"), 4)
+    val joinSchema = Relational.temporalJoinOn(
+      Relational.purchaseFacts(events), Relational.scd2Versions(events)).schema
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      withGateParallelism(spark, GateStatePartitions) {
+        def watch(p: Path) = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(p.toString)
+        val dimQ = Scd2Stream.scd2Stream(watch(dimWatch)).toDF().writeStream
+          .outputMode("update")
+          .option("checkpointLocation", root.resolve("dimck").toString)
+          .foreachBatch { (b: Dataset[Row], _: Long) =>
+            if (!b.isEmpty) lake.upsert(b.toDF()); ()
+          }
+          .start()
+        val factQ = StreamingQueries.temporalJoinLiveStream(watch(factWatch), lake) { v =>
+          buf.synchronized { buf ++= v.collect() }; ()
+        }
+        try {
+          files.zipWithIndex.foreach { case (f, i) =>
+            def feed(dst: Path): Unit = {
+              val d = dst.resolve(f.getFileName)
+              Files.copy(f, d)
+              if (!d.toFile.setLastModified((i + 1) * 60000L))
+                throw new java.io.IOException(s"cannot set mtime on $d")
+            }
+            feed(dimWatch); dimQ.processAllAvailable()  // dimension first
+            feed(factWatch); factQ.processAllAvailable()
+          }
+        } finally { dimQ.stop(); factQ.stop() }
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.synchronized(buf.toList).asJava, joinSchema)
+        .orderBy("event_id")
+    } finally rmrf(root)
+  }
+
   /** INCREMENTAL SCD2 BUILD under the hard gate: the dimension-side
     * changelog (non-purchase events) replays in event-time chunks;
     * [[Scd2Stream]] maintains per-key open versions in state and emits an

@@ -150,6 +150,30 @@ object StreamingQueries {
         }
       }
       .start()
+
+  /** [[temporalJoinStream]] against a LIVE dimension: each fact
+    * micro-batch re-snapshots the version lake that [[Scd2Stream]] is
+    * concurrently maintaining, instead of capturing one frozen DataFrame.
+    * Correct whenever the dimension has seen every change up to the fact
+    * batch's max event time (the gate's shared chunk grid with dim-first
+    * ordering guarantees it): a version whose closing change is still in
+    * flight joins as the open tail, and the join's output (seg,
+    * version_no) does not depend on valid_to beyond interval membership —
+    * so every fact row matches the batch as-of join exactly.
+    */
+  def temporalJoinLiveStream(facts: DataFrame,
+      lake: graft.sinks.ParquetUpsertSink)(
+      sink: DataFrame => Unit): StreamingQuery =
+    facts.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.operators.Relational.temporalJoinOn(
+            graft.operators.Relational.purchaseFacts(batch),
+            lake.snapshot(batch.sparkSession)))
+        }
+      }
+      .start()
 }
 
 /** Spark analogue of Flink's `toRetractStream[Row]`

@@ -896,6 +896,32 @@ class StorageSpec extends SparkSpec {
     } finally { all.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
 
+  test("ivf compaction repairs an at-least-once replayed vector admission") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val table = "ivfc_index_t"
+    try {
+      val e = graft.core.Tables.load(s2, Sf0001, "embeddings")
+      (0 to 2).foreach(k =>
+        Similarity.ivfAdmitVectors(e.filter(col("vec_id") % 3 === k), table))
+      val want = Similarity.ivfTopk(s2, Sf0001).collect().toSeq
+      assert(Similarity.ivfTopkAgainst(s2, Sf0001, table).collect().toSeq === want,
+        "cleanly admitted index must equal the batch-built answer")
+      // the redelivery a real at-least-once source produces: batch 1 again
+      Similarity.ivfAdmitVectors(e.filter(col("vec_id") % 3 === 1), table)
+      val corrupted = Similarity.ivfTopkAgainst(s2, Sf0001, table).collect().toSeq
+      assert(corrupted !== want,
+        "duplicated vectors should have corrupted the top-k (repair is not a no-op)")
+      val (before, after) = Similarity.compactIvfIndex(s2, table)
+      assert(after <= before)
+      assert(Similarity.ivfTopkAgainst(s2, Sf0001, table).collect().toSeq === want)
+    } finally {
+      s2.sql(s"DROP TABLE IF EXISTS $table")
+      s2.sql(s"DROP TABLE IF EXISTS ${table}_compact_tmp"); ()
+    }
+  }
+
   test("bm25 compaction recovers a torn derived-table swap: finished temp promoted, then repairs") {
     import graft.operators.TextAnalysis
     import org.apache.spark.sql.functions.col
