@@ -1156,4 +1156,47 @@ object Relational {
        |FROM facts f ASOF JOIN dim d
        |  ON f.user_id = d.user_id AND f.ts_us >= d.valid_from_us
        |ORDER BY f.event_id""".stripMargin
+
+  /** The SAME logical as-of join as [[temporalJoinOn]], planned for the
+    * regime where the equi-join form degrades: a dimension too big to
+    * broadcast AND hot keys with huge version counts (the equi-join
+    * fan-out is facts × versions per key before the interval filter).
+    * This form is the sort-merge as-of: union the tagged version and fact
+    * rows, ONE shuffle on the key, one per-partition sort, and a
+    * running `last(..., ignoreNulls)` carries each key's current version
+    * onto every fact row — zero joins, zero fan-out, cost O(facts +
+    * versions) regardless of per-key version counts (the
+    * [[asofAttribution]] pattern generalized to two tables). Versions
+    * sort BEFORE facts at equal timestamps (`is_dim` DESC) so a version
+    * opening at the fact's exact microsecond is visible, matching the
+    * equi-join form's `valid_from <= ts`.
+    *
+    * Same output, same ASOF oracle — an equality spec pins the two plans
+    * to each other, and PlanSpec pins this one to exactly one exchange
+    * and no join operator.
+    */
+  def temporalJoinSorted(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+    val dim = scd2Versions(events).select(
+      col("user_id"), col("seg"), col("valid_from_us").as("ts_us"),
+      col("version_no"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+      lit(1).as("is_dim"))
+    val facts = purchaseFacts(events).select(
+      col("user_id"), lit(null).cast("string").as("seg"), col("ts_us"),
+      lit(null).cast("int").as("version_no"),
+      col("event_id"), col("value"), lit(0).as("is_dim"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc_nulls_last, col("is_dim").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(facts)
+      .withColumn("cur_seg",
+        last(when(col("is_dim") === 1, col("seg")), ignoreNulls = true).over(w))
+      .withColumn("cur_ver",
+        last(when(col("is_dim") === 1, col("version_no")), ignoreNulls = true).over(w))
+      .filter(col("is_dim") === 0 && col("cur_seg").isNotNull)
+      .select(col("event_id"), col("user_id"), col("cur_seg").as("seg"),
+        col("cur_ver").as("seg_version"), col("ts_us"), col("value"))
+      .orderBy("event_id")
+  }
 }

@@ -730,6 +730,15 @@ class OperatorsSpec extends SparkSpec {
       "fixture should exercise both matched and before-first-version facts")
   }
 
+  test("as-of join: the equi-join and sort-merge forms return identical rows") {
+    val a = graft.operators.Relational.temporalJoin(spark, Sf0001)
+      .as[(Long, Long, String, Int, Long, Double)].collect().toSeq
+    val b = graft.operators.Relational.temporalJoinSorted(spark, Sf0001)
+      .as[(Long, Long, String, Int, Long, Double)].collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("quality drift: full chunk x reference-bin grid, exact totals, integer verdicts") {
     import graft.operators.Pipeline
     val rows = Pipeline.qualityDrift(spark, Sf0001)

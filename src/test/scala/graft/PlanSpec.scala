@@ -380,6 +380,16 @@ class PlanSpec extends SparkSpec {
       s"an unkeyed range join would scan facts x versions:\n${p.take(800)}")
   }
 
+  test("sorted as-of join: one exchange, zero joins") {
+    val p = plan(Relational.temporalJoinSorted(spark, Sf0001))
+    assert(!p.contains("Join"),
+      s"the sort-merge as-of must be join-free (union + window):\n${p.take(800)}")
+    // one exchange partitions the union by user_id; the second is the
+    // output orderBy's range partitioning
+    val ex = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(ex <= 2, s"expected key-shuffle + output-sort exchanges only, got $ex:\n${p.take(800)}")
+  }
+
   test("whole-stage codegen covers the taxi filter-project pipeline") {
     val df = TaxiQueries.q1Tumble(spark, Sf0001)
     df.collect() // AQE only materializes codegen'd stages in the FINAL plan
