@@ -182,4 +182,29 @@ object ModelTables {
     writes.foreach { case (_, write) => write() }
     writes.foreach { case (table, _) => stamp(spark, table, key) }
   }
+
+  /** [[persistGroupIfStale]] for groups whose steady state is a MUTATION
+    * of the built tables (the right-to-be-forgotten indexes: build from
+    * the full corpus, then rewrite the forgotten rows out). `mutate` runs
+    * after every build succeeded and may drop + recreate the tables
+    * (anti-join rewrites do); the stamps are applied LAST, to the mutated
+    * tables — so a current group skips both the build and the mutation,
+    * and a crash anywhere before the final stamp (mid-build, mid-rewrite)
+    * leaves at least one table unstamped and forces a full
+    * build-then-mutate on the next call instead of serving a
+    * half-forgotten index. The mutation must be idempotent over its own
+    * output (an anti-join of already-absent keys is), which every retry
+    * path here relies on.
+    */
+  def persistGroupMutatedIfStale(spark: SparkSession, dir: String,
+      params: String = "")(writes: (String, () => Unit)*)(
+      mutate: () => Unit): Unit = {
+    writes.foreach { case (table, _) => requireSimpleName(table) }
+    val key = srcKey(spark, dir, params)
+    if (writes.forall { case (table, _) => isCurrentKey(spark, table, key) }) return
+    writes.foreach { case (table, _) => dropBothLayers(spark, table) }
+    writes.foreach { case (_, write) => write() }
+    mutate()
+    writes.foreach { case (table, _) => stamp(spark, table, key) }
+  }
 }

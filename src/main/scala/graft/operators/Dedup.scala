@@ -278,7 +278,7 @@ object Dedup {
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashBandsOf(shingles(spark, dir))
 
-  private def minhashBandsOf(sh: DataFrame): DataFrame = {
+  private[operators] def minhashBandsOf(sh: DataFrame): DataFrame = {
     val numBands = NumPerms / BandRows
     val hashes = (0 until NumPerms)
       .map(p => s"(${affineA(p)}L * h31 + ${affineB(p)}L) % ${P31}L").mkString("array(", ", ", ")")
@@ -314,7 +314,7 @@ object Dedup {
   }
 
   /** Slot-agreement similarity estimate from two signature arrays. */
-  private def estSimCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private[operators] def estSimCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / NumPerms
 
@@ -343,7 +343,7 @@ object Dedup {
   // est_sim projection, defined ONCE and composed into both the
   // dedup_minhash_lsh oracle and the dedup_cluster oracle — a second copy
   // of the pair semantics would let the two oracles drift apart silently.
-  private val minhashSigBandsCte: String =
+  private[operators] val minhashSigBandsCte: String =
     s"""$shinglesCte,
        |sig AS (
        |  SELECT doc_id, p,
@@ -658,7 +658,20 @@ object Dedup {
     compactBucketedTable(spark, table, "whash")
 
   private[graft] def compactBucketedTable(spark: SparkSession, table: String,
-      keyCol: String): (Long, Long) = {
+      keyCol: String): (Long, Long) =
+    rewriteBucketedTable(spark, table, keyCol)(_.distinct())
+
+  /** The general atomic rewrite behind [[compactBucketedTable]] (transform
+    * = distinct) and the forget family's anti-join rewrites: snapshot the
+    * bucketed table, apply `transform`, write bucket-aligned to a temp
+    * table, swap via DROP + RENAME. Torn-run recovery (canonical gone,
+    * temp present → promote the temp) and the SINGLE-WRITER contract are
+    * inherited unchanged. The transform must be deterministic and must
+    * not read the table it replaces through any path other than the
+    * frame passed to it (the snapshot is the frame).
+    */
+  private[graft] def rewriteBucketedTable(spark: SparkSession, table: String,
+      keyCol: String)(transform: DataFrame => DataFrame): (Long, Long) = {
     val catalog = spark.sessionState.catalog
     val tmpName = table + "_compact_tmp"
     // finish a torn previous run: canonical gone + temp present means the
@@ -677,11 +690,20 @@ object Dedup {
     }
     val before = fileCount(meta)
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
-    spark.table(table).distinct()
+    // re-select the original column order: a USING-join transform moves
+    // its key to the front, and the rewritten generation must keep the
+    // table's declared schema
+    val cols = spark.table(table).columns
+    transform(spark.table(table))
+      .select(cols.map(col).toIndexedSeq: _*)
       .repartition(buckets, col(keyCol))
       .write.bucketBy(buckets, keyCol).saveAsTable(tmpName)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+    // drop any cached file listing for the old generation: a session that
+    // rewrites the same table repeatedly (the per-batch forget stream)
+    // would otherwise plan later reads against deleted part files
+    spark.catalog.refreshTable(table)
     (before, fileCount(meta))
   }
 

@@ -131,6 +131,45 @@ object Multimodal {
       |FROM (SELECT doc_id, checksum, unnest(range(0, n_frames, 8)) AS frame_idx FROM feat)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** EXACT payload dedup over the binary column: identical media bytes
+    * collapse to one canonical record (min doc_id), keyed on
+    * (kind, n_bytes, checksum) — the media twin of text dedup_exact,
+    * computed WITHOUT ever shuffling the payload bytes: the decode seam
+    * emits the fixed-width content key per partition, and only
+    * (doc_id, key) tuples move through the one hash shuffle. At 100 TB
+    * of video that byte-free shuffle is the whole point; a stronger
+    * content hash (the real decoder's md5/sha) swaps into exactly the
+    * checksum slot.
+    */
+  def payloadDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("kind", "n_bytes", "checksum")
+    decodeFeatures(mediaRecords(spark, dir)).toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("checksum"))
+      .withColumn("canonical_id", min("doc_id").over(w))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .select("doc_id", "kind", "canonical_id", "is_canonical")
+      .orderBy("doc_id")
+  }
+
+  val payloadDedupOracle: String =
+    """WITH feat AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(length(text) AS BIGINT) AS n_bytes,
+      |    CASE WHEN length(text) = 0 THEN 0 ELSE
+      |      list_reduce(list_transform(range(1, length(text) + 1),
+      |          i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      |        (h, c) -> (h * 31 + c) % 1000000007) END AS checksum
+      |  FROM documents
+      |)
+      |SELECT doc_id, kind,
+      |  min(doc_id) OVER (PARTITION BY kind, n_bytes, checksum) AS canonical_id,
+      |  doc_id = min(doc_id) OVER (PARTITION BY kind, n_bytes, checksum) AS is_canonical
+      |FROM feat
+      |ORDER BY doc_id""".stripMargin
+
   /** The fake decode arithmetic, replayed relationally over the original
     * text (payload bytes are ASCII here, so ascii()/length() line up with
     * the byte math).

@@ -630,6 +630,37 @@ object Relational {
     """SELECT event_type, count(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Salted JOIN over the same skew: events carry only 5 distinct
+    * event_type values, so an unsalted shuffle join lands the whole fact
+    * table on 5 reducers — [[Skew.saltedJoin]] spreads each type over 16
+    * (key, salt) partitions and the result must still equal the plain
+    * join (the oracle is the unsalted join + aggregation). The dimension
+    * is a deterministic per-type weight table; the shuffle_hash hint pins
+    * the demonstration to a SHUFFLED join — AQE would otherwise
+    * broadcast the tiny dim and make the salting unobservable (at real
+    * scale the dim×salts side may exceed broadcast and this is the plan
+    * that survives). Per-user weighted totals keep the join row-level:
+    * every fact row must meet exactly its one dim row or the sums drift.
+    */
+  def saltedEventJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast("long") * 7 + 3)
+    Skew.saltedJoin(ev, dim.hint("shuffle_hash"), "event_type", 16)
+      .groupBy("user_id")
+      .agg(sum("weight").as("w_sum"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val saltedEventJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT event_type, CAST(length(event_type) AS BIGINT) * 7 + 3 AS weight
+      |  FROM (SELECT DISTINCT event_type FROM events)
+      |)
+      |SELECT user_id, CAST(sum(weight) AS BIGINT) AS w_sum, count(*) AS n_events
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------------------
   // Exact discrete percentiles
   // -------------------------------------------------------------------------

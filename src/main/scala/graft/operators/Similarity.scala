@@ -257,6 +257,75 @@ object Similarity {
   def compactIvfIndex(spark: SparkSession, table: String): (Long, Long) =
     graft.operators.Dedup.compactBucketedTable(spark, table, "label")
 
+  // -------------------------------------------------------------------------
+  // Right-to-be-forgotten: deletion propagation through the ANN index
+  // -------------------------------------------------------------------------
+
+  /** The deterministic forget set (~7.7% of vec ids) — the embedding twin
+    * of [[graft.operators.TextAnalysis.Bm25ForgetMod]]: a user-deletion
+    * request must remove the user's vectors from the SERVING index, not
+    * just the source table, or the index keeps answering with data the
+    * pipeline no longer holds.
+    */
+  val IvfForgetMod = 13
+  val IvfForgetRem = 5
+
+  private[graft] def forgetVecIds(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.load(spark, dir, "embeddings").select("vec_id")
+      .filter(col("vec_id") % IvfForgetMod === IvfForgetRem)
+
+  /** Delete the given vec_ids from a persisted IVF index: one atomic
+    * bucket-aligned anti-join rewrite. IVF-Flat carries no cross-vector
+    * statistics, so unlike BM25 there is nothing derived to rebuild and
+    * no marker window — the single temp+rename IS the whole deletion.
+    * Pivot shift is automatic: pivots are derived per search from the
+    * index, so a forgotten min-vec_id member hands its label's pivot to
+    * the next survivor. Idempotent (anti-join of absent keys); the
+    * forget set is the bounded deletion request, hence broadcast.
+    */
+  def forgetIvfVectors(spark: SparkSession, table: String,
+      forgetIds: DataFrame): (Long, Long) =
+    graft.operators.Dedup.rewriteBucketedTable(spark, table, "label")(
+      _.join(broadcast(forgetIds.select("vec_id")), Seq("vec_id"), "left_anti"))
+
+  private[graft] val IvfFgTable = "ivf_fg_index"
+
+  /** Continuous vector deletion: every micro-batch of arriving forget
+    * requests is applied as one atomic anti-join rewrite — the ANN twin
+    * of [[graft.operators.TextAnalysis.bm25ForgetStream]]. Anti-joins
+    * compose and re-apply idempotently, so any chunking/redelivery of
+    * the deletion stream lands on the batch-forget index.
+    */
+  def ivfForgetStream(forgetIds: DataFrame,
+      table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    forgetIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          forgetIvfVectors(batch.sparkSession, table, batch.toDF())
+          ()
+        }
+      }
+      .start()
+
+  /** `sim_ivf_forget`: build the dedicated index, forget the deletion
+    * set, then run the standard IVF search against it. The result must
+    * equal a search against an index built WITHOUT the forgotten vectors
+    * (the oracle replays exactly that, pivot shift included). Build +
+    * forget run under the build-then-mutate staleness gate, so
+    * steady-state calls pay only the search.
+    */
+  def ivfForget(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
+      "ivf-forget:v1")(
+      IvfFgTable -> (() => withNorm(spark, dir)
+        .select("label", "vec_id", "embedding", "nrm")
+        .write.bucketBy(8, "label").saveAsTable(IvfFgTable)))(
+      () => { forgetIvfVectors(spark, IvfFgTable, forgetVecIds(spark, dir)); () })
+    ivfAgainstCore(spark, dir, IvfFgTable, NProbe, queryStride = 20,
+      includeSelf = false)
+  }
+
   /** Continuous index build: every micro-batch of arriving vectors is
     * admitted append-only ([[ivfAdmitVectors]]); the batchId rides along
     * so a sink that needs idempotence can fence replays (the gate's
@@ -805,28 +874,37 @@ object Similarity {
     * score chain).
     */
   private def ivfChainFor(stride: Int, includeSelf: Boolean,
-      p: String): String = {
+      p: String, eWhere: String = "TRUE",
+      excludeOwnLabel: Boolean = false): String = {
     val selfGuard = if (includeSelf) "" else " AND e.vec_id <> pr.q_id"
-    s"""${p}e AS (
+    // probe-side label exclusion (the hard-negative oracle): filtered
+    // BEFORE the probe ranking, exactly like the implementation
+    val probeWhere = if (excludeOwnLabel) "WHERE p.p_label <> q.q_label " else ""
+    val qLabel = if (excludeOwnLabel) ", label AS q_label" else ""
+    // the corpus CTE takes the predicate (the forget oracle filters it);
+    // the QUERY set always derives from the unfiltered table — queries
+    // come from the caller's dir, not the index
+    s"""${p}eall AS (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings
        |),
+       |${p}e AS (SELECT * FROM ${p}eall WHERE $eWhere),
        |${p}pivots AS (
        |  SELECT e.label AS p_label, e.embedding AS p_emb, e.nrm AS p_nrm
        |  FROM ${p}e e JOIN (SELECT label, min(vec_id) AS vec_id FROM ${p}e GROUP BY label) m
        |    ON e.label = m.label AND e.vec_id = m.vec_id
        |),
        |${p}q AS (
-       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
-       |  FROM ${p}e WHERE vec_id % $stride = 0
+       |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm$qLabel
+       |  FROM ${p}eall WHERE vec_id % $stride = 0
        |),
        |${p}probed AS (
        |  SELECT q_id, q_emb, q_nrm, p_label FROM (
        |    SELECT q.q_id, q.q_emb, q.q_nrm, p.p_label,
        |      row_number() OVER (PARTITION BY q.q_id
        |        ORDER BY ${duckDot("q.q_emb", "p.p_emb")} / (q.q_nrm * p.p_nrm) DESC, p.p_label) AS p_rank
-       |    FROM ${p}q q CROSS JOIN ${p}pivots p
+       |    FROM ${p}q q CROSS JOIN ${p}pivots p $probeWhere
        |  ) WHERE p_rank <= $NProbe
        |),
        |${p}ivf_ranked AS (
@@ -846,6 +924,65 @@ object Similarity {
 
   val ivfTopkOracle: String =
     s"""WITH $ivfChainCtes
+       |SELECT q_id, rank, neighbor_id, cosine FROM ivf_ranked
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** The IVF forget equality: the identical probe search replayed over
+    * the corpus MINUS the forgotten vectors — including the pivot shift
+    * (a forgotten min-vec_id member hands its label's pivot to the next
+    * survivor, which the implementation reproduces because pivots derive
+    * from the rewritten index).
+    */
+  /** HARD-NEGATIVE MINING for contrastive training: per query vector,
+    * the top-k most-similar vectors with a DIFFERENT label — the
+    * highest-loss negatives a triplet/InfoNCE batch builder wants —
+    * served from the persisted IVF index. The probe step simply excludes
+    * the query's own label before ranking pivot lists, so the nprobe
+    * scored lists are the nearest FOREIGN lists and the corpus never
+    * reshuffles (same plan discipline as [[ivfTopkAgainst]]). Labels
+    * double as the coarse partition here; with learned centroids the
+    * exclusion becomes a post-probe label filter, same shape.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesWhere(spark, dir, lit(true))
+
+  /** [[hardNegatives]] with an extra query-side predicate (the 20x probe
+    * pins the query set to the replica-0 ids).
+    */
+  private[graft] def hardNegativesWhere(spark: SparkSession, dir: String,
+      queryWhere: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    persistIvfIndexIfStale(spark, dir)
+    val e = spark.table(IvfIndexTable)
+    val pivotIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
+    val pivots = e.join(pivotIds, Seq("label", "vec_id"))
+      .select(col("label").as("p_label"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val q = withNorm(spark, dir).filter(col("vec_id") % 20 === 0 && queryWhere)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("label").as("q_label"))
+    val probeW = Window.partitionBy("q_id")
+      .orderBy(col("p_cos").desc, col("p_label"))
+    val probed = q.crossJoin(broadcast(pivots))
+      .filter(col("p_label") =!= col("q_label"))
+      .withColumn("p_cos", dot(col("q_emb"), col("p_emb")) / (col("q_nrm") * col("p_nrm")))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("p_label"))
+    val scored = probed.join(e, e("label") === probed("p_label"))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+    rankTopK(scored)
+  }
+
+  val hardNegativesOracle: String =
+    s"""WITH ${ivfChainFor(stride = 20, includeSelf = true, p = "",
+           excludeOwnLabel = true)}
+       |SELECT q_id, rank, neighbor_id, cosine FROM ivf_ranked
+       |ORDER BY q_id, rank""".stripMargin
+
+  val ivfForgetOracle: String =
+    s"""WITH ${ivfChainFor(stride = 20, includeSelf = false, p = "",
+           eWhere = s"vec_id % $IvfForgetMod <> $IvfForgetRem")}
        |SELECT q_id, rank, neighbor_id, cosine FROM ivf_ranked
        |ORDER BY q_id, rank""".stripMargin
 

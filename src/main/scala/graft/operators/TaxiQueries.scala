@@ -452,6 +452,47 @@ object TaxiQueries {
        |  ON s.ride_id // 2 = e.ride_id // 2 AND s.is_start AND NOT e.is_start
        |ORDER BY pair_id""".stripMargin
 
+  /** Every 7th pair's END event is dropped (a ride still in progress / a
+    * lost message), making the OUTER join non-vacuous: those STARTs must
+    * surface with sentinel -1 times instead of silently vanishing.
+    */
+  val PairEndDropMod = 7L
+  val PairEndDropRem = 3L
+
+  /** Q8 LEFT OUTER: pair START with END, keeping unmatched STARTs — the
+    * incomplete-ride report an operations dashboard needs. NULL-free
+    * output (coalesce to -1 + a `matched` flag) so the cross-engine hash
+    * never depends on engines' NULL encodings. Streaming twin:
+    * [[graft.streaming.StreamingQueries.pairStartEndOuter]] (watermarked
+    * left-outer stream-stream join with null emission on state eviction).
+    */
+  def q8PairOuter(spark: SparkSession, dir: String): DataFrame = {
+    val rides = Rides.fromEvents(spark, dir)
+    val starts = rides.filter(col("isStart"))
+      .select(expr("rideId div 2").as("pair_id"), unix_millis(col("rowtime")).as("start_ms"))
+    val ends = rides.filter(!col("isStart"))
+      .select(expr("rideId div 2").as("pair_id"), unix_millis(col("rowtime")).as("end_ms"))
+      .filter(col("pair_id") % PairEndDropMod =!= PairEndDropRem)
+    starts.join(ends, Seq("pair_id"), "left_outer")
+      .select(col("pair_id"), col("start_ms"),
+        coalesce(col("end_ms"), lit(-1L)).as("end_ms"),
+        coalesce(col("end_ms") - col("start_ms"), lit(-1L)).as("gap_ms"),
+        col("end_ms").isNotNull.as("matched"))
+      .orderBy("pair_id")
+  }
+
+  val q8OuterOracleSql: String =
+    s"""${Rides.oracleCte}
+       |SELECT s.ride_id // 2 AS pair_id, s.rowtime_ms AS start_ms,
+       |  coalesce(e.rowtime_ms, -1) AS end_ms,
+       |  coalesce(e.rowtime_ms - s.rowtime_ms, -1) AS gap_ms,
+       |  e.rowtime_ms IS NOT NULL AS matched
+       |FROM (SELECT * FROM rides WHERE is_start) s
+       |LEFT JOIN (SELECT * FROM rides
+       |           WHERE NOT is_start AND (ride_id // 2) % $PairEndDropMod <> $PairEndDropRem) e
+       |  ON s.ride_id // 2 = e.ride_id // 2
+       |ORDER BY pair_id""".stripMargin
+
   // -------------------------------------------------------------------------
   // Q5: geo-point rendering + hourOfDay (the remaining UDF surface: F4/F5/F6)
   // -------------------------------------------------------------------------

@@ -1519,9 +1519,30 @@ object TextAnalysis {
     */
   def persistBm25Index(spark: SparkSession, dir: String,
       postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
-      statsTable: String = Bm25StatsTable): Unit = {
-    val d = bm25Corpus(spark, dir)
+      statsTable: String = Bm25StatsTable): Unit =
     graft.core.ModelTables.persistGroupIfStale(spark, dir, Bm25Fingerprint)(
+      bm25IndexWrites(spark, dir, postingsTable, dfTable, statsTable): _*)
+
+  /** The three index writes as (table, thunk) pairs — the unit both
+    * persistence disciplines share: [[persistBm25Index]] runs them under
+    * the plain staleness gate, the forget path under the build-then-
+    * mutate gate, and the gates run them directly against one-shot
+    * tables.
+    */
+  private[graft] def bm25IndexWrites(spark: SparkSession, dir: String,
+      postingsTable: String, dfTable: String,
+      statsTable: String): Seq[(String, () => Unit)] =
+    bm25IndexWritesOf(spark, bm25Corpus(spark, dir), postingsTable, dfTable,
+      statsTable)
+
+  /** [[bm25IndexWrites]] over an explicit (doc_id, tk) corpus frame —
+    * what ForgetSpec's filtered-corpus rebuild and any partial-corpus
+    * build need.
+    */
+  private[graft] def bm25IndexWritesOf(spark: SparkSession, d: DataFrame,
+      postingsTable: String, dfTable: String,
+      statsTable: String): Seq[(String, () => Unit)] = {
+    Seq[(String, () => Unit)](
       // deliberately NOT sortBy("token"): measured at 20x (tools.Bm25Probe),
       // token-sorting the bucket files LOST on both the narrow and the mass
       // search — at any per-bucket size where a file holds a single parquet
@@ -1689,13 +1710,50 @@ object TextAnalysis {
     */
   private[graft] def compactBm25IndexHooked(spark: SparkSession,
       postingsTable: String, dfTable: String, statsTable: String)(
+      afterPostings: () => Unit): (Long, Long) =
+    rewriteBm25IndexHooked(spark, postingsTable, dfTable, statsTable)(
+      _.distinct())(afterPostings)
+
+  /** FORGET (right-to-be-forgotten): delete every posting of the given
+    * doc ids from the index, then rebuild df/stats from the surviving
+    * postings — deletion PROPAGATES to the derived statistics, so a
+    * search after forgetting scores exactly as if the index had been
+    * built from the filtered corpus (the `txt_bm25_forget` oracle states
+    * that equality; ForgetSpec pins the tables bit-equal to a
+    * filtered-corpus build). Runs under the same marker fence as
+    * compaction: a crash between the postings rewrite and the stats
+    * rebuild leaves the marker, and the next search repairs by
+    * recompacting — which recomputes df/stats from the already-forgotten
+    * postings, completing the forget. Idempotent: re-forgetting absent
+    * ids is an anti-join no-op. The forget set is bounded (it is the
+    * deletion request), hence broadcast; the rewrite cost is one pass
+    * over the postings, the price of physical deletion in any
+    * immutable-file store.
+    */
+  def forgetBm25Docs(spark: SparkSession, forgetIds: DataFrame,
+      postingsTable: String = Bm25PostingsTable, dfTable: String = Bm25DfTable,
+      statsTable: String = Bm25StatsTable): (Long, Long) =
+    rewriteBm25IndexHooked(spark, postingsTable, dfTable, statsTable)(
+      _.join(broadcast(forgetIds.select("doc_id")), Seq("doc_id"), "left_anti"))(
+      () => ())
+
+  /** The shared fenced-rewrite core: marker publish → postings transform
+    * (atomic bucket-aligned rewrite) → df/stats REBUILT from the new
+    * postings → marker clear. Compaction passes distinct(), forget an
+    * anti-join; both inherit the identical torn-window repair contract
+    * because the marker does not care WHICH rewrite died — recompaction
+    * always restores consistency from postings alone.
+    */
+  private[graft] def rewriteBm25IndexHooked(spark: SparkSession,
+      postingsTable: String, dfTable: String, statsTable: String)(
+      transform: DataFrame => DataFrame)(
       afterPostings: () => Unit): (Long, Long) = {
     val marker = compactMarkerPath(spark, postingsTable)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(marker, true)
     try out.write("compacting\n".getBytes("UTF-8")) finally out.close()
     val counts = graft.operators.Dedup
-      .compactBucketedTable(spark, postingsTable, "token")
+      .rewriteBucketedTable(spark, postingsTable, "token")(transform)
     afterPostings()
     val post = spark.table(postingsTable)
     replaceTable(spark, dfTable,
@@ -1746,6 +1804,9 @@ object TextAnalysis {
     data.write.saveAsTable(tmp)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // see rewriteBucketedTable: repeated same-session rewrites must not
+    // serve the previous generation's cached file listing
+    spark.catalog.refreshTable(table)
   }
 
   def bm25IngestStream(newDocs: DataFrame,
@@ -1770,11 +1831,86 @@ object TextAnalysis {
     bm25SearchAgainst(spark, bm25QueriesOf(bm25Corpus(spark, dir)))
   }
 
+  // ---- right-to-be-forgotten: deletion propagation through the index ----
+
+  /** The deterministic forget set (~6% of doc ids) — stands in for the
+    * stream of deletion requests a data-subject-rights pipeline receives;
+    * the modulus keys the oracle's corpus filter.
+    */
+  val Bm25ForgetMod = 17
+  val Bm25ForgetRem = 3
+
+  private[graft] def forgetDocIds(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select("doc_id")
+      .filter(col("doc_id") % Bm25ForgetMod === Bm25ForgetRem)
+
+  private[graft] val Bm25FgPostingsTable = "bm25_fg_postings"
+  private[graft] val Bm25FgDfTable = "bm25_fg_df"
+  private[graft] val Bm25FgStatsTable = "bm25_fg_stats"
+
+  /** `txt_bm25_forget`: build the dedicated index from the full corpus,
+    * FORGET the deletion set ([[forgetBm25Docs]] — postings rewritten,
+    * df/stats rebuilt), then run the standard query set (still derived
+    * from the full corpus: deletion requests don't change who searches).
+    * The result must equal a search against an index built from the
+    * corpus WITHOUT the forgotten docs — the oracle states exactly that.
+    * Persistence: the build+forget pair runs under the build-then-mutate
+    * staleness gate, so steady-state calls skip straight to the search
+    * and the benched cost is the query side, like every fit/apply family.
+    */
+  def bm25Forget(spark: SparkSession, dir: String): DataFrame =
+    bm25ForgetWhere(spark, dir, lit(true))
+
+  /** [[bm25Forget]] with a query-side predicate (the 20x probe pins the
+    * query set to replica-0 ids so the ratio isolates per-search cost).
+    */
+  private[graft] def bm25ForgetWhere(spark: SparkSession, dir: String,
+      queryWhere: org.apache.spark.sql.Column): DataFrame = {
+    graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
+      "bm25-forget:v1")(
+      bm25IndexWrites(spark, dir, Bm25FgPostingsTable, Bm25FgDfTable,
+        Bm25FgStatsTable): _*)(
+      () => { forgetBm25Docs(spark, forgetDocIds(spark, dir),
+        Bm25FgPostingsTable, Bm25FgDfTable, Bm25FgStatsTable); () })
+    bm25SearchAgainst(spark,
+      bm25QueriesOf(bm25Corpus(spark, dir)).filter(queryWhere),
+      Bm25FgPostingsTable, Bm25FgDfTable, Bm25FgStatsTable)
+  }
+
+  /** Continuous deletion: every micro-batch of arriving forget requests
+    * is applied as a fenced anti-join rewrite. Anti-joins compose —
+    * applying batches sequentially equals one anti-join of their union,
+    * and replaying a batch is a no-op — so ANY chunking (and at-least-
+    * once redelivery) of the deletion stream lands on the batch-forget
+    * answer; the `stream_forget_docs` gate holds it to the same oracle.
+    */
+  def bm25ForgetStream(forgetIds: DataFrame, postingsTable: String,
+      dfTable: String, statsTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    forgetIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          forgetBm25Docs(batch.sparkSession, batch.toDF(),
+            postingsTable, dfTable, statsTable)
+          ()
+        }
+      }
+      .start()
+
   private[graft] def bm25ScoreCtes(stride: Int): String =
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bm25ScoreCtesWhere(stride, "TRUE")
+
+  /** [[bm25ScoreCtes]] with a doc-side predicate: the scored corpus (tf,
+    * df, stats) is filtered, the QUERY set still derives from the full
+    * corpus — the forget oracle's shape (deletion requests change the
+    * index, not who searches it).
+    */
+  private[graft] def bm25ScoreCtesWhere(stride: Int, docWhere: String): String =
+    s"""dall AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |d AS (SELECT doc_id, tk FROM dall WHERE $docWhere),
        |q AS (
        |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:$Bm25QueryTerms])) AS token
-       |  FROM d WHERE doc_id % $stride = 0
+       |  FROM dall WHERE doc_id % $stride = 0
        |),
        |tf AS (
        |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM (
@@ -1794,6 +1930,23 @@ object TextAnalysis {
 
   val bm25TopkOracle: String =
     s"""WITH ${bm25ScoreCtes(Bm25QueryStride)}
+       |SELECT query_id, rk, doc_id, score_micro FROM (
+       |  SELECT query_id, doc_id, score_micro,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rk
+       |  FROM score
+       |)
+       |WHERE rk <= $Bm25TopK
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** The forget equality, stated independently: the same BM25 ranking
+    * computed over the corpus MINUS the forgotten docs (queries still
+    * from the full corpus). If any forgotten posting, df row, or stats
+    * contribution survived in the index, the hash diverges.
+    */
+  val bm25ForgetOracle: String =
+    s"""WITH ${bm25ScoreCtesWhere(Bm25QueryStride,
+           s"doc_id % $Bm25ForgetMod <> $Bm25ForgetRem")}
        |SELECT query_id, rk, doc_id, score_micro FROM (
        |  SELECT query_id, doc_id, score_micro,
        |    row_number() OVER (PARTITION BY query_id

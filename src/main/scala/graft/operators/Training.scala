@@ -52,6 +52,118 @@ object Training {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** FUZZY decontamination: MinHash/LSH near-duplicate overlap between
+    * the training corpus and the benchmark set — catches the rephrased /
+    * lightly-edited contamination that exact n-gram overlap
+    * ([[contamination]]) misses (the published concern behind
+    * fuzzy-dedup decontamination in LLM data work). Candidate
+    * (train, bench) pairs come from the dedup family's banded-signature
+    * equi-join — cross-side only, never all-pairs — and survive at
+    * estimated Jaccard >= [[FuzzyContamSim]] (signature-slot agreement,
+    * exact k/16 fractions in both engines).
+    *
+    * Scale shape: signatures are one shuffle over (doc, shingle); the
+    * band join's bench side is eval-set-sized (tiny vs the corpus), so
+    * AQE broadcasts it and the corpus-side band rows never move; est_sim
+    * is computed from the two signature arrays riding the join — no slot
+    * explosion, no join-back.
+    */
+  val FuzzyContamSim = 0.5
+
+  /** The fuzzy benchmark split (every 10th doc — a larger eval suite
+    * than the exact family's % 50 so the near-dup band join has real
+    * work: at sf0.01 it yields hits at est 1.0 and 0.9375 ACCEPTED and
+    * 0.25-band-collision pairs REJECTED, exercising both threshold
+    * sides).
+    */
+  val FuzzyBenchMod = 10
+
+  def contaminationFuzzy(spark: SparkSession, dir: String): DataFrame =
+    contaminationFuzzyWhere(spark, dir, lit(true))
+
+  /** [[contaminationFuzzy]] with a bench-side predicate (the 20x probe
+    * pins the benchmark to the replica-0 ids: arriving corpus grows 20x,
+    * the eval suite doesn't — the deployment shape).
+    */
+  private[graft] def contaminationFuzzyWhere(spark: SparkSession, dir: String,
+      benchWhere: org.apache.spark.sql.Column): DataFrame = {
+    val d = docs(spark, dir)
+    val bench = Dedup.minhashBandsOf(
+        Dedup.shinglesOf(d.filter(col("doc_id") % FuzzyBenchMod === 0 && benchWhere)))
+      .select(col("band"), col("band_sig"),
+        col("doc_id").as("bench_id"), col("sig").as("sig_b"))
+    val train = Dedup.minhashBandsOf(
+      Dedup.shinglesOf(d.filter(col("doc_id") % FuzzyBenchMod =!= 0)))
+    train.join(bench, Seq("band", "band_sig"))
+      .select(col("doc_id"), col("bench_id"), col("sig"), col("sig_b"))
+      .distinct() // multi-band collisions collapse; sigs are functions of the ids
+      .withColumn("est_sim", Dedup.estSimCol(col("sig"), col("sig_b")))
+      .filter(col("est_sim") >= FuzzyContamSim)
+      .select("doc_id", "bench_id", "est_sim")
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** The same pairs re-derived through the shared minhash CTE chain over
+    * the full corpus (per-doc signatures don't depend on the split, so
+    * filtering inside the chain equals building the sides separately).
+    */
+  val contaminationFuzzyOracle: String =
+    s"""WITH ${Dedup.minhashSigBandsCte},
+       |xc AS (
+       |  SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+       |  FROM bands t JOIN bands b ON t.band = b.band AND t.band_sig = b.band_sig
+       |  WHERE t.doc_id % $FuzzyBenchMod <> 0 AND b.doc_id % $FuzzyBenchMod = 0
+       |),
+       |xs AS (
+       |  SELECT x.doc_id, x.bench_id,
+       |    CAST(sum(CASE WHEN st.minh = sb.minh THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / ${Dedup.NumPerms} AS est_sim
+       |  FROM xc x
+       |  JOIN sig st ON st.doc_id = x.doc_id
+       |  JOIN sig sb ON sb.doc_id = x.bench_id AND sb.p = st.p
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_id, bench_id, est_sim FROM xs
+       |WHERE est_sim >= CAST($FuzzyContamSim AS DOUBLE)
+       |ORDER BY doc_id, bench_id""".stripMargin
+
+  /** The frozen benchmark-side band table for continuous decontamination
+    * ([[contaminationFuzzyStream]]): (band, band_sig, bench_id, sig_b)
+    * rows, computed once when the monitor starts.
+    */
+  private[graft] def fuzzyBenchBands(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashBandsOf(
+        Dedup.shinglesOf(docs(spark, dir).filter(col("doc_id") % FuzzyBenchMod === 0)))
+      .select(col("band"), col("band_sig"),
+        col("doc_id").as("bench_id"), col("sig").as("sig_b"))
+
+  /** CONTINUOUS decontamination: every micro-batch of arriving training
+    * documents is checked against the FROZEN benchmark band table (read
+    * from `benchTable` — the standing eval suite, the fuzzy twin of BM25
+    * percolation's standing queries). Per-doc signatures are independent
+    * and the bench side is frozen, so the per-batch emission union
+    * equals the batch [[contaminationFuzzy]] for any chunking — the
+    * `stream_contamination` gate's oracle.
+    */
+  def contaminationFuzzyStream(newDocs: DataFrame, benchTable: String)(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val train = Dedup.minhashBandsOf(Dedup.shinglesOf(batch.toDF()))
+          val verdicts = train.join(spark.table(benchTable), Seq("band", "band_sig"))
+            .select(col("doc_id"), col("bench_id"), col("sig"), col("sig_b"))
+            .distinct()
+            .withColumn("est_sim", Dedup.estSimCol(col("sig"), col("sig_b")))
+            .filter(col("est_sim") >= FuzzyContamSim)
+            .select("doc_id", "bench_id", "est_sim")
+          onBatch(verdicts)
+        }
+      }
+      .start()
+
   /** [[contamination]] with a BLOOM-FILTER pre-join — the 100 TB form.
     * The benchmark shingle set folds into one Bloom filter (Spark's own
     * BloomFilterAggregate, exposed as `bloom_agg` via GraftExtensions);

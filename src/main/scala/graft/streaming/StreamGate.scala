@@ -491,6 +491,37 @@ object StreamGate {
       .orderBy("pair_id")
   }
 
+  /** Q8 LEFT OUTER through micro-batches: unmatched STARTs (the fixture
+    * drops every 7th pair's END) must emit their null-padded row once
+    * the watermark passes their join-state eviction bound — the
+    * outer-join semantics Spark only finalizes on watermark movement, so
+    * the replay appends far-future sentinel events on BOTH sides
+    * (negative pair ids, filtered from the output) to push the final
+    * watermark past every live start. Oracle: the batch left-join q8
+    * outer oracle — every ride either matched with its real gap or
+    * reported incomplete, nothing dropped, nothing doubled.
+    */
+  def q8PairOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rides = Rides.fromEvents(spark, dir)
+    val maxMs = rides.agg(max(unix_millis(col("rowtime")))).head.getLong(0)
+    val maxRideMs = 2L * 3600 * 1000
+    val sMs = maxMs + maxRideMs + 600000L
+    val sentinels = Seq(
+        (-1000000L, true, new Timestamp(sMs), new Timestamp(sMs),
+          -73.99f, 40.75f, -73.99f, 40.75f, 1.toShort),
+        (-999998L, false, new Timestamp(sMs), new Timestamp(sMs),
+          -73.99f, 40.75f, -73.99f, 40.75f, 1.toShort))
+      .toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", col("startTime"))
+    val stream = replayCached(spark, s"ridesq8o|$dir")(
+      (rides.unionByName(sentinels), unix_millis(col("rowtime"))))
+    runToMemory(StreamingQueries.pairStartEndOuter(stream, maxRideMs = maxRideMs), "append")
+      .filter(col("pair_id") >= 0) // the sentinels' own (unmatched) rows
+      .orderBy("pair_id")
+  }
+
   /** Incremental sub-document dedup through micro-batches: verdicts of
     * doc-id-chunked incoming docs against the PERSISTED bucketed window
     * table — the production substringAgainst/substringStream membership
@@ -867,6 +898,102 @@ object StreamGate {
     * per-doc local and df/stats additive, so any chunking that keeps
     * docs whole folds to the same index.
     */
+  /** CONTINUOUS DELETION under the hard gate — the index lifecycle's
+    * missing third verb (build: [[bm25Ingest]]; repair/compact:
+    * StorageSpec; now forget): deletion requests arrive as replayed
+    * micro-batches and each batch is applied to a freshly built one-shot
+    * index as a fenced anti-join rewrite with df/stats rebuilt
+    * ([[graft.operators.TextAnalysis.forgetBm25Docs]]). Anti-joins
+    * compose and re-apply idempotently, so the sequential per-batch
+    * deletes must land exactly on the batch-forget answer: the standard
+    * query set against the final index hash-matches the
+    * filtered-corpus oracle (txt_bm25_forget's).
+    */
+  def forgetDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val id = runId.incrementAndGet()
+    val (p, f, st) = (s"gate_fg_post_$id", s"gate_fg_df_$id", s"gate_fg_stats_$id")
+    Seq(p, f, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // 2 chunks: each micro-batch pays a full postings rewrite + stats
+    // rebuild (the real price of physical deletion), and two sequential
+    // deletes already prove the anti-join composition the gate exists
+    // for — a third batch re-proves it at pure cost
+    val stream = replayCached(spark, s"forgetids|$dir", chunks = 2)(
+      (TextAnalysis.forgetDocIds(spark, dir), col("doc_id")))
+    try {
+      // full-corpus build first (one-shot tables: no staleness interplay
+      // with the batch row's dedicated tables)
+      TextAnalysis.bm25IndexWrites(spark, dir, p, f, st).foreach(_._2())
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = TextAnalysis.bm25ForgetStream(stream, p, f, st)
+        try q.processAllAvailable() finally q.stop()
+      }
+      // the rewrites ran in the stream's cloned session; its refreshes
+      // don't invalidate THIS session's cached listings of the old
+      // generations
+      Seq(p, f, st).foreach(spark.catalog.refreshTable)
+      materialize(TextAnalysis.bm25SearchAgainst(spark,
+          TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir)), p, f, st))
+        .orderBy("query_id", "rk")
+    } finally { Seq(p, f, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); () }
+  }
+
+  /** CONTINUOUS VECTOR DELETION under the hard gate — the ANN half of
+    * [[forgetDocs]]: forget requests replayed as micro-batches, each one
+    * an atomic anti-join rewrite of a freshly built one-shot IVF index.
+    * No derived statistics, so each batch is a single temp+rename; the
+    * final standard search must hash-match the filtered-corpus oracle.
+    */
+  def ivfForget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val table = s"gate_ivffg_${runId.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val stream = replayCached(spark, s"ivfforgetids|$dir", chunks = 2)(
+      (Similarity.forgetVecIds(spark, dir), col("vec_id")))
+    try {
+      Similarity.persistIvfIndex(spark, dir, table)
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = Similarity.ivfForgetStream(stream, table)
+        try q.processAllAvailable() finally q.stop()
+      }
+      // rewrites ran in the stream's cloned session (see forgetDocs)
+      spark.catalog.refreshTable(table)
+      materialize(Similarity.ivfTopkAgainst(spark, dir, table))
+        .orderBy("q_id", "rank")
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $table"); () }
+  }
+
+  /** CONTINUOUS DECONTAMINATION under the hard gate: training documents
+    * replayed as micro-batches, each checked against the FROZEN
+    * benchmark band table ([[graft.operators.Training
+    * .contaminationFuzzyStream]] — the fuzzy twin of BM25 percolation:
+    * standing eval suite, arriving corpus). Per-doc independence +
+    * frozen bench ⇒ emission union equals the batch fuzzy-decontamination
+    * table (oracle: pipe_contamination_fuzzy's).
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Training
+    val benchTable = s"gate_bench_bands_${runId.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $benchTable")
+    val stream = replayCached(spark, s"traindocs|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % Training.FuzzyBenchMod =!= 0), col("doc_id")))
+    try {
+      Training.fuzzyBenchBands(spark, dir).write.saveAsTable(benchTable)
+      val schema = Training.contaminationFuzzy(spark, dir).schema // lazy: no job
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = Training.contaminationFuzzyStream(stream, benchTable) { v =>
+          buf.synchronized { buf ++= v.collect() }; ()
+        }
+        try q.processAllAvailable() finally q.stop()
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+        .orderBy("doc_id", "bench_id")
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $benchTable"); () }
+  }
+
   def bm25Ingest(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis
     val (p, f, st) = ("bm25_ing_postings", "bm25_ing_df", "bm25_ing_stats")

@@ -99,6 +99,38 @@ object StreamingQueries {
         (unix_millis(col("end_rt")) - unix_millis(col("start_rt"))).as("gap_ms"))
   }
 
+  /** Q8 LEFT OUTER streaming: the watermarked stream-stream join keeping
+    * unmatched STARTs. Spark emits the null-padded row for a START only
+    * when the watermark proves no END can still arrive (watermark past
+    * start + maxRide — the join-state eviction point), so the outer
+    * result is exactly "rides provably incomplete", not "not yet
+    * matched". The caller must push the final watermark past the last
+    * start's eviction bound (the gate appends far-future sentinel events
+    * on BOTH sides) or tail unmatched rows stay unemitted — the batch
+    * twin is TaxiQueries.q8PairOuter, same -1-sentinel NULL-free output.
+    */
+  def pairStartEndOuter(rides: DataFrame, watermark: String = "61 seconds",
+                        maxRideMs: Long = 2L * 3600 * 1000): DataFrame = {
+    import graft.operators.TaxiQueries
+    val starts = rides.filter(col("isStart"))
+      .select(expr("rideId div 2").as("pair_id"), col("rowtime").as("start_rt"))
+      .withWatermark("start_rt", watermark)
+    val ends = rides.filter(!col("isStart"))
+      .select(expr("rideId div 2").as("end_pair_id"), col("rowtime").as("end_rt"))
+      .filter(col("end_pair_id") % TaxiQueries.PairEndDropMod =!= TaxiQueries.PairEndDropRem)
+      .withWatermark("end_rt", watermark)
+    starts.join(ends,
+        col("pair_id") === col("end_pair_id") &&
+          col("end_rt") >= col("start_rt") - expr(s"INTERVAL ${maxRideMs / 1000} SECONDS") &&
+          col("end_rt") <= col("start_rt") + expr(s"INTERVAL ${maxRideMs / 1000} SECONDS"),
+        "leftOuter")
+      .select(col("pair_id"),
+        unix_millis(col("start_rt")).as("start_ms"),
+        coalesce(unix_millis(col("end_rt")), lit(-1L)).as("end_ms"),
+        coalesce(unix_millis(col("end_rt")) - unix_millis(col("start_rt")), lit(-1L)).as("gap_ms"),
+        col("end_rt").isNotNull.as("matched"))
+  }
+
   /** Streaming exact dedup: drop replayed/duplicate events by event key,
     * keeping state only within the watermark horizon
     * (`dropDuplicatesWithinWatermark`) — unbounded-state dedup is the

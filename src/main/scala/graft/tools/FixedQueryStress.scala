@@ -64,6 +64,24 @@ object FixedQueryStress {
         TextAnalysis.bm25SearchAgainst(spark,
           TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir))
             .filter(col("query_id") < 5000))
+      },
+      // forget family: run 1 pays build + forget ("cold" = the physical
+      // deletion rewrite, expected ~20x — it IS an index pass); runs 2-3
+      // the post-forget fixed-query search, which must scale like the
+      // plain indexed search
+      "bm25_forget(fixed-q)" -> { dir =>
+        graft.operators.TextAnalysis.bm25ForgetWhere(spark, dir,
+          col("query_id") < 5000)
+      },
+      "hard_neg(fixed-q)" -> { dir =>
+        Similarity.hardNegativesWhere(spark, dir, fixedQueries)
+      },
+      // fuzzy decontamination with the eval suite pinned to replica-0:
+      // the corpus side's signature build scales ~20x (one shuffle), the
+      // band join's bench side stays fixed
+      "fuzzy_contam(fixed-bench)" -> { dir =>
+        graft.operators.Training.contaminationFuzzyWhere(spark, dir,
+          col("doc_id") < 5000)
       })
     // optional comma-separated substring filter over op names
     val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty))

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Right-to-be-forgotten: deletion must PROPAGATE through the persisted
+  * serving artifacts (BM25 postings + derived df/stats, the bucketed IVF
+  * index), leaving each bit-equal to an index built from the corpus
+  * without the forgotten rows — the contract the `txt_bm25_forget` /
+  * `sim_ivf_forget` / `stream_forget_docs` oracles hold at sf0.01, pinned
+  * here at table granularity plus the crash/idempotence paths the oracle
+  * can't reach.
+  */
+class ForgetSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def drop(ts: String*): Unit =
+    ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def queries: DataFrame =
+    TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, Sf0001))
+
+  test("bm25 forget leaves postings/df/stats bit-equal to a filtered-corpus build") {
+    val a = Seq("fgs_post_a", "fgs_df_a", "fgs_stats_a")
+    val b = Seq("fgs_post_b", "fgs_df_b", "fgs_stats_b")
+    drop(a ++ b: _*)
+    try {
+      TextAnalysis.bm25IndexWrites(spark, Sf0001, a(0), a(1), a(2)).foreach(_._2())
+      TextAnalysis.forgetBm25Docs(spark,
+        TextAnalysis.forgetDocIds(spark, Sf0001), a(0), a(1), a(2))
+      val filtered = TextAnalysis.bm25Corpus(spark, Sf0001)
+        .filter(col("doc_id") % TextAnalysis.Bm25ForgetMod =!= TextAnalysis.Bm25ForgetRem)
+      TextAnalysis.bm25IndexWritesOf(spark, filtered, b(0), b(1), b(2)).foreach(_._2())
+      assert(rows(spark.table(a(0))) === rows(spark.table(b(0))), "postings differ")
+      assert(rows(spark.table(a(1))) === rows(spark.table(b(1))), "df differs")
+      // stats may differ in generation count; the search-time fold is the
+      // contract
+      def folded(t: String) = spark.table(t)
+        .agg(sum("n_docs").cast("bigint"), sum("sum_dl").cast("bigint"))
+        .head.toString
+      assert(folded(a(2)) === folded(b(2)), "folded stats differ")
+      // and no forgotten doc survives anywhere
+      assert(spark.table(a(0))
+        .filter(col("doc_id") % TextAnalysis.Bm25ForgetMod === TextAnalysis.Bm25ForgetRem)
+        .count() === 0L)
+    } finally drop(a ++ b: _*)
+  }
+
+  test("bm25 forget is idempotent: re-forgetting changes nothing") {
+    val t = Seq("fgs_post_i", "fgs_df_i", "fgs_stats_i")
+    drop(t: _*)
+    try {
+      TextAnalysis.bm25IndexWrites(spark, Sf0001, t(0), t(1), t(2)).foreach(_._2())
+      val ids = TextAnalysis.forgetDocIds(spark, Sf0001)
+      TextAnalysis.forgetBm25Docs(spark, ids, t(0), t(1), t(2))
+      val once = rows(TextAnalysis.bm25SearchAgainst(spark, queries, t(0), t(1), t(2)))
+      TextAnalysis.forgetBm25Docs(spark, ids, t(0), t(1), t(2))
+      val twice = rows(TextAnalysis.bm25SearchAgainst(spark, queries, t(0), t(1), t(2)))
+      assert(once === twice)
+    } finally drop(t: _*)
+  }
+
+  test("a forget crash between postings rewrite and stats rebuild is detected and repaired") {
+    val t = Seq("fgs_post_c", "fgs_df_c", "fgs_stats_c")
+    val ref = Seq("fgs_post_r", "fgs_df_r", "fgs_stats_r")
+    drop(t ++ ref: _*)
+    try {
+      TextAnalysis.bm25IndexWrites(spark, Sf0001, t(0), t(1), t(2)).foreach(_._2())
+      TextAnalysis.bm25IndexWrites(spark, Sf0001, ref(0), ref(1), ref(2)).foreach(_._2())
+      val ids = TextAnalysis.forgetDocIds(spark, Sf0001)
+      // the reference completes its forget
+      TextAnalysis.forgetBm25Docs(spark, ids, ref(0), ref(1), ref(2))
+      val want = rows(TextAnalysis.bm25SearchAgainst(spark, queries, ref(0), ref(1), ref(2)))
+      // the victim dies INSIDE the fence: postings already forgotten,
+      // df/stats still the full-corpus build
+      intercept[RuntimeException] {
+        TextAnalysis.rewriteBm25IndexHooked(spark, t(0), t(1), t(2))(
+          _.join(broadcast(ids), Seq("doc_id"), "left_anti"))(
+          () => throw new RuntimeException("crash before stats rebuild"))
+      }
+      assert(TextAnalysis.bm25CompactionTorn(spark, t(0)),
+        "marker must survive the crash")
+      // the next search must repair (recompaction rebuilds df/stats from
+      // the already-forgotten postings) and answer like the completed one
+      val got = rows(TextAnalysis.bm25SearchAgainst(spark, queries, t(0), t(1), t(2)))
+      assert(!TextAnalysis.bm25CompactionTorn(spark, t(0)), "marker must clear")
+      assert(got === want)
+    } finally drop(t ++ ref: _*)
+  }
+
+  test("ivf forget equals a filtered-corpus index, forgotten vectors never served") {
+    val (a, b) = ("fgs_ivf_a", "fgs_ivf_b")
+    drop(a, b)
+    try {
+      Similarity.persistIvfIndex(spark, Sf0001, a)
+      Similarity.forgetIvfVectors(spark, a, Similarity.forgetVecIds(spark, Sf0001))
+      // reference: bucket-aligned build over the filtered vectors
+      // same norm arithmetic + layout as persistIvfIndex, from the
+      // filtered vectors
+      graft.core.Tables.load(spark, Sf0001, "embeddings")
+        .filter(col("vec_id") % Similarity.IvfForgetMod =!= Similarity.IvfForgetRem)
+        .withColumn("nrm", Similarity.norm(col("embedding")))
+        .select("label", "vec_id", "embedding", "nrm")
+        .write.bucketBy(8, "label").saveAsTable(b)
+      val ga = rows(Similarity.ivfTopkAgainst(spark, Sf0001, a))
+      val gb = rows(Similarity.ivfTopkAgainst(spark, Sf0001, b))
+      assert(ga === gb)
+      // deletion is visible at serving time: nothing forgotten is returned
+      val served = Similarity.ivfTopkAgainst(spark, Sf0001, a)
+        .filter(col("neighbor_id") % Similarity.IvfForgetMod === Similarity.IvfForgetRem)
+        .count()
+      assert(served === 0L)
+    } finally drop(a, b)
+  }
+}

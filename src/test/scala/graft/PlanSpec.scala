@@ -137,6 +137,28 @@ class PlanSpec extends SparkSpec {
       s"top-N must be per-partition heads + merge, not a global sort:\n${p.take(800)}")
   }
 
+  test("fuzzy decontamination candidates ride the band equi-join, never all pairs") {
+    val p = plan(Training.contaminationFuzzy(spark, Sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"train x bench candidates must come from the banded equi-join:\n${p.take(800)}")
+  }
+
+  test("hard negatives: corpus scored via the label equi-join, probe is the only cross") {
+    val p = plan(Similarity.hardNegatives(spark, Sf0001))
+    assert(!p.contains("CartesianProduct"),
+      s"hard-negative mining must never cross-join the corpus:\n${p.take(800)}")
+    // one BNLJ allowed: the query x broadcast-pivots probe ranking (a
+    // K-row table); the corpus-scoring join must be a hash equi-join
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"expected at most the pivot-probe BNLJ, got $bnl:\n${p.take(800)}")
+  }
+
+  test("salted join shuffles on (key, salt) — no broadcast collapses the demonstration") {
+    val p = plan(Relational.saltedEventJoin(spark, Sf0001))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"the salted join must be a shuffled join:\n${p.take(800)}")
+  }
+
   test("semantic dedup joins on the sketch bucket, never all pairs") {
     val p = plan(Similarity.semanticDedup(spark, Sf0001))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
