@@ -25,6 +25,58 @@ object Pipeline {
   private[operators] val duckDocHash = DocHash.duck
 
   // -------------------------------------------------------------------------
+  // Exact length-decile buckets via bounded-domain histogram CDF
+  // -------------------------------------------------------------------------
+
+  /** Number of curriculum buckets. */
+  val LengthBuckets = 10
+
+  /** EXACT global order-statistic bucketing WITHOUT a global sort: assign
+    * each document its length decile (curriculum scheduling / length-
+    * batched training both want it) using the bounded-domain trick — the
+    * bucket is a function of rank, rank is a function of the length
+    * HISTOGRAM, and the histogram of an integer-bounded metric is
+    * metadata-scale however big the corpus is. One count aggregation
+    * over (length), a cumulative window over the few-thousand-row
+    * histogram, then a broadcast join back on length: every doc of the
+    * same length lands in the bucket of its length's LAST rank (ties
+    * share a bucket, so the assignment is deterministic and
+    * partition-independent — the property a sampled RangePartitioner
+    * can't give). bucket = floor((cum_rank - 1) * K / N), clamped by
+    * construction to [0, K).
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).select(col("doc_id"), length(col("text")).as("len"))
+    val hist = d.groupBy("len").agg(count(lit(1)).as("n"))
+    // cumulative ranks over the tiny histogram: serial window is fine —
+    // its input is |distinct lengths| rows, not the corpus
+    val cdf = hist
+      .withColumn("cum", sum("n").over(Window.orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("n_total"))))
+      // integer division, not fractional-then-cast: both engines must
+      // truncate identically
+      .select(col("len"),
+        expr(s"((cum - 1) * $LengthBuckets) div n_total").as("bucket"))
+    d.join(broadcast(cdf), "len")
+      .select("doc_id", "len", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val lengthBucketsOracle: String =
+    s"""WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+       |hist AS (SELECT len, count(*) AS n FROM d GROUP BY len),
+       |cdf AS (
+       |  SELECT len,
+       |    CAST((sum(n) OVER (ORDER BY len) - 1) * $LengthBuckets
+       |      // (SELECT count(*) FROM d) AS BIGINT) AS bucket
+       |  FROM hist
+       |)
+       |SELECT doc_id, len, bucket FROM d JOIN cdf USING (len)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Quality + dedup corpus filter
   // -------------------------------------------------------------------------
 

@@ -493,6 +493,42 @@ object TaxiQueries {
        |  ON s.ride_id // 2 = e.ride_id // 2
        |ORDER BY pair_id""".stripMargin
 
+  /** Oracle for the streaming late-data audit
+    * (graft.streaming.StreamGate.lateAudit): replays the deterministic
+    * arrival jitter, the gate's chunk arithmetic (chunk id is
+    * floor((arrival − t0) · 3 / span), exactly the staged split), and
+    * the between-batches watermark evolution (running max of prior
+    * chunks' rowtime − 30 s lag) — the complete audit in SQL.
+    */
+  val lateAuditOracleSql: String = {
+    val lag = graft.streaming.StreamingQueries.LateAuditLagMs
+    val bound = graft.streaming.StreamingQueries.LateAuditMaxDelayMs
+    s"""${Rides.oracleCte},
+       |arr AS (
+       |  SELECT ride_id, is_start, rowtime_ms,
+       |    rowtime_ms + (CAST(concat('0x', substr(md5(concat(CAST(ride_id AS VARCHAR),
+       |      ':', CAST(is_start AS VARCHAR))), 1, 15)) AS BIGINT) % ${bound + 1}) AS arrival_ms
+       |  FROM rides
+       |),
+       |b AS (SELECT min(arrival_ms) AS t0,
+       |  greatest(1, max(arrival_ms) - min(arrival_ms) + 1) AS span FROM arr),
+       |ch AS (
+       |  SELECT a.*, CAST(floor((a.arrival_ms - b.t0) * 3.0 / b.span) AS INT) AS chunk
+       |  FROM arr a, b
+       |),
+       |cm AS (SELECT chunk, max(rowtime_ms) AS mx FROM ch GROUP BY chunk),
+       |wm AS (
+       |  SELECT chunk,
+       |    max(mx) OVER (ORDER BY chunk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $lag AS wm
+       |  FROM cm
+       |)
+       |SELECT c.ride_id, c.is_start, c.rowtime_ms,
+       |  coalesce(c.rowtime_ms < w.wm, FALSE) AS late
+       |FROM ch c JOIN wm w USING (chunk)
+       |ORDER BY ride_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Q5: geo-point rendering + hourOfDay (the remaining UDF surface: F4/F5/F6)
   // -------------------------------------------------------------------------

@@ -938,6 +938,36 @@ object StreamGate {
     } finally { Seq(p, f, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
 
+  /** LATE-DATA AUDIT under the hard gate: events replayed in ARRIVAL
+    * order (rowtime + deterministic bounded jitter — the reference's
+    * disorder model, TaxiRideSource.java:126-134), each micro-batch
+    * tagged against the watermark of strictly earlier batches with a
+    * deliberately tight 30 s lag, so real rows land on the late side.
+    * The oracle replays the identical chunking arithmetic (the staged
+    * chunk id is a pure function of arrival_ms) and per-chunk watermark
+    * evolution in SQL — the full audit, hash-checked.
+    */
+  def lateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val arr = StreamingQueries.lateArrivals(Rides.fromEvents(spark, dir))
+    val stream = replayCached(spark, s"latearr|$dir", chunks = 3)(
+      (arr, col("arrival_ms")))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ride_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("is_start", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("rowtime_ms", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("late", org.apache.spark.sql.types.BooleanType)))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    withGateParallelism(spark, GateStatePartitions) {
+      val q = StreamingQueries.lateAuditStream(stream) { v =>
+        buf.synchronized { buf ++= v.collect() }; ()
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      .orderBy("ride_id")
+  }
+
   /** CONTINUOUS VECTOR DELETION under the hard gate — the ANN half of
     * [[forgetDocs]]: forget requests replayed as micro-batches, each one
     * an atomic anti-join rewrite of a freshly built one-shot IVF index.

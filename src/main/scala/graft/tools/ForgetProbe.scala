@@ -17,7 +17,7 @@ object ForgetProbe {
     def time[T](body: => T): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    val results = dirs.map { case (tag, dir) =>
+    def measure(dir: String): (Double, Double, Double, Double) = {
       val (p, f, st) = ("fgprobe_post", "fgprobe_df", "fgprobe_stats")
       val ivf = "fgprobe_ivf"
       Seq(p, f, st, ivf).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -28,9 +28,19 @@ object ForgetProbe {
       val tIvfForget = time(Similarity.forgetIvfVectors(spark, ivf,
         Similarity.forgetVecIds(spark, dir)))
       Seq(p, f, st, ivf).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      println(f"[forget] $tag%-6s bm25_build=$tBuild%.2f s bm25_forget=$tForget%.2f s " +
-        f"ivf_build=$tIvfBuild%.2f s ivf_forget=$tIvfForget%.2f s")
-      tag -> (tBuild, tForget, tIvfBuild, tIvfForget)
+      (tBuild, tForget, tIvfBuild, tIvfForget)
+    }
+    // warm JIT/codegen off the clock (the first cold sequence otherwise
+    // bills classloading to whichever dir runs first and inverts ratios)
+    measure("/root/testdata/sf0.01")
+    val results = dirs.map { case (tag, dir) =>
+      // two sequences per dir, keep the second (steady) — build/rewrite
+      // are IO-bound jobs whose first run still absorbs planner warmup
+      measure(dir)
+      val r = measure(dir)
+      println(f"[forget] $tag%-6s bm25_build=${r._1}%.2f s bm25_forget=${r._2}%.2f s " +
+        f"ivf_build=${r._3}%.2f s ivf_forget=${r._4}%.2f s")
+      tag -> r
     }.toMap
     val (a, b) = (results("sf0.1"), results("20x"))
     println(f"[forget] RATIO bm25_build=${b._1 / a._1}%.1fx bm25_forget=${b._2 / a._2}%.1fx " +

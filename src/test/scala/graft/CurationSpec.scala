@@ -92,6 +92,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("length buckets: monotone in length, near-balanced, length-deterministic") {
+    val rows = graft.operators.Pipeline.lengthBuckets(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = rows.length
+    val k = graft.operators.Pipeline.LengthBuckets
+    // same length -> same bucket (partition-independent determinism)
+    rows.groupBy(_._2).foreach { case (len, rs) =>
+      assert(rs.map(_._3).distinct.length === 1, s"length $len split across buckets")
+    }
+    // bucket is monotone non-decreasing in length
+    val byLen = rows.groupBy(_._2).map { case (len, rs) => (len, rs.head._3) }.toSeq.sortBy(_._1)
+    byLen.sliding(2).foreach {
+      case Seq((_, b1), (_, b2)) => assert(b1 <= b2)
+      case _ => ()
+    }
+    // buckets cover [0, k) and are balanced up to tie-granularity: each
+    // bucket holds <= n/k + (largest tie group) docs
+    assert(rows.map(_._3).min >= 0 && rows.map(_._3).max < k)
+    val maxTie = rows.groupBy(_._2).values.map(_.size).max
+    rows.groupBy(_._3).values.foreach { b =>
+      assert(b.size <= n / k + maxTie, s"bucket of ${b.size} exceeds balance bound")
+    }
+  }
+
   test("outer pair join: matched rows equal the inner join, unmatched are exactly the dropped ends") {
     val outer = TaxiQueries.q8PairOuter(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
