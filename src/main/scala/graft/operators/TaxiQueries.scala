@@ -529,6 +529,74 @@ object TaxiQueries {
        |ORDER BY ride_id""".stripMargin
   }
 
+  /** Oracle for the q1 late-drop gate
+    * (graft.streaming.StreamGate.q1LateDrop): the tumbling aggregation
+    * over the disordered stream with Spark's OWN late-drop rule replayed
+    * in SQL — a departure is dropped iff its window end <= the watermark
+    * entering its micro-batch (closed state must not resurrect), where
+    * the watermark derives from FILTERED rows of strictly earlier
+    * chunks. The engine-side sentinel (id, rowtime, md5 jitter) is
+    * reproduced verbatim so chunk boundaries and the final watermark
+    * agree.
+    */
+  val q1LateDropOracleSql: String = {
+    val lag = graft.streaming.StreamingQueries.LateAuditLagMs
+    val bound = graft.streaming.StreamingQueries.LateAuditMaxDelayMs
+    val sid = graft.streaming.StreamingQueries.LateSentinelId
+    s"""${Rides.oracleCte},
+       |smax AS (SELECT max(rowtime_ms) AS real_max FROM rides),
+       |arr AS (
+       |  SELECT ride_id, is_start, start_lon, start_lat, rowtime_ms,
+       |    rowtime_ms + (CAST(concat('0x', substr(md5(concat(CAST(ride_id AS VARCHAR),
+       |      ':', CAST(is_start AS VARCHAR))), 1, 15)) AS BIGINT) % ${bound + 1}) AS arrival_ms
+       |  FROM rides
+       |  UNION ALL
+       |  SELECT $sid, TRUE, CAST(-73.99 AS REAL), CAST(40.75 AS REAL),
+       |    real_max + $bound,
+       |    real_max + $bound + (CAST(concat('0x', substr(md5('$sid:true'), 1, 15))
+       |      AS BIGINT) % ${bound + 1})
+       |  FROM smax
+       |),
+       |b AS (SELECT min(arrival_ms) AS t0,
+       |  greatest(1, max(arrival_ms) - min(arrival_ms) + 1) AS span FROM arr),
+       |ch AS (
+       |  SELECT a.*, CAST(floor((a.arrival_ms - b.t0) * 3.0 / b.span) AS INT) AS chunk
+       |  FROM arr a, b
+       |),
+       |dep AS (
+       |  SELECT chunk, ride_id, rowtime_ms,
+       |    CAST(floor((74.05 - abs(CAST(start_lon AS DOUBLE))) / 0.0014) AS INT)
+       |      + CAST(floor((41.0 - CAST(start_lat AS DOUBLE)) / 0.00125) AS INT) * 250 AS cell,
+       |    (rowtime_ms // 600000) * 600000 + 600000 AS w_end
+       |  FROM ch
+       |  WHERE is_start
+       |    AND NOT (start_lon > CAST(-73.7 AS DOUBLE) OR start_lon < CAST(-74.05 AS DOUBLE))
+       |    AND NOT (start_lat > CAST(41.0 AS DOUBLE) OR start_lat < CAST(40.5 AS DOUBLE))
+       |),
+       |chunks AS (SELECT DISTINCT chunk FROM ch),
+       |cmax AS (SELECT c.chunk,
+       |  (SELECT max(rowtime_ms) FROM dep d WHERE d.chunk = c.chunk) AS mx
+       |  FROM chunks c),
+       |-- TWO preceding, not one: Spark PUBLISHES the watermark with one
+       |-- batch of delay — the value filtering batch N was computed when
+       |-- batch N was planned, from event-time stats through batch N-2
+       |-- (adjudicated empirically: the 1-PRECEDING model dropped 15 rows
+       |-- Spark kept; this model is hash-exact)
+       |wm AS (SELECT chunk,
+       |  max(mx) OVER (ORDER BY chunk
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - $lag AS wm
+       |  FROM cmax),
+       |kept AS (
+       |  SELECT d.* FROM dep d JOIN wm w USING (chunk)
+       |  WHERE w.wm IS NULL OR d.w_end > w.wm
+       |)
+       |SELECT cell, $oracleCellCoords, w_end AS dept_time, count(ride_id) AS dept_cnt
+       |FROM kept, smax
+       |WHERE w_end <= real_max + 600000
+       |GROUP BY cell, dept_time
+       |ORDER BY dept_time, cell""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Q5: geo-point rendering + hourOfDay (the remaining UDF surface: F4/F5/F6)
   // -------------------------------------------------------------------------

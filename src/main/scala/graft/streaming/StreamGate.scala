@@ -968,6 +968,48 @@ object StreamGate {
       .orderBy("ride_id")
   }
 
+  /** Q1 OVER A DISORDERED STREAM with a deliberately tight watermark —
+    * the gate that pins Spark's LATE-DROP semantics themselves: events
+    * replay in rowtime+jitter arrival order (4 h disorder bound) while
+    * the tumbling aggregation runs a 30 min watermark, so some arrivals
+    * target windows the watermark already closed and Spark silently
+    * drops them. The oracle replays the ENTIRE mechanism in SQL — the
+    * jitter, the chunk arithmetic, the per-batch watermark over
+    * FILTERED rows only (the watermark node sits above the NYC filter),
+    * the drop predicate (a row dies iff its window end <= the watermark
+    * governing its batch — a closed window's state is evicted and must
+    * not resurrect; Spark PUBLISHES that watermark with one batch of
+    * delay, so batch N is governed by stats through batch N-2 — the
+    * oracle encodes exactly that, adjudicated empirically), and
+    * append-mode emission — and the result tables must hash-match. A far-future in-NYC sentinel START (also present
+    * in the oracle's arrival frame, so chunk boundaries agree) pushes
+    * the final watermark past every real window; rowtimes are
+    * ms-truncated so the engine's microsecond watermark arithmetic
+    * can't straddle a window boundary the oracle's ms model misses.
+    */
+  def q1LateDrop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rides = Rides.fromEvents(spark, dir)
+      .withColumn("rowtime", timestamp_millis(unix_millis(col("rowtime"))))
+    val maxMs = rides.agg(max(unix_millis(col("rowtime")))).head.getLong(0)
+    val sMs = maxMs + StreamingQueries.LateAuditMaxDelayMs
+    val sentinel = Seq((StreamingQueries.LateSentinelId, true,
+        new Timestamp(sMs), new Timestamp(sMs),
+        -73.99f, 40.75f, -73.99f, 40.75f, 1.toShort))
+      .toDF("rideId", "isStart", "startTime", "endTime",
+        "startLon", "startLat", "endLon", "endLat", "passengerCnt")
+      .withColumn("rowtime", col("startTime"))
+    val arr = rides.unionByName(sentinel)
+      .withColumn("arrival_ms", unix_millis(col("rowtime")) +
+        StreamingQueries.arrivalJitter(col("rideId"), col("isStart")))
+    val stream = replayCached(spark, s"ridesq1late|$dir", chunks = 3)(
+      (arr, col("arrival_ms")))
+    runToMemory(StreamingQueries.q1Tumble(stream,
+        s"${StreamingQueries.LateAuditLagMs / 1000} seconds"), "append")
+      .filter(col("dept_time") <= maxMs + 600000L) // the sentinel's window
+      .orderBy("dept_time", "cell")
+  }
+
   /** CONTINUOUS VECTOR DELETION under the hard gate — the ANN half of
     * [[forgetDocs]]: forget requests replayed as micro-batches, each one
     * an atomic anti-join rewrite of a freshly built one-shot IVF index.

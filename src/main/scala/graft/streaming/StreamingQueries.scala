@@ -153,23 +153,39 @@ object StreamingQueries {
   val LateAuditLagMs = 1800000L
   val LateAuditMaxDelayMs = 14400000L
 
+  /** The late-drop gate's sentinel ride id — shared with the oracle,
+    * which reproduces the sentinel row (and its md5 jitter) verbatim so
+    * both sides derive identical chunk boundaries and final watermark.
+    */
+  val LateSentinelId = -1000002L
+
   /** Deterministic bounded arrival jitter per event (md5-derived, the
     * engine's seeded stand-in for the reference's Gaussian delay):
-    * arrival_ms = rowtime_ms + hash(event) % (bound + 1). Replayable in
-    * SQL, so the whole audit has a DuckDB oracle.
+    * hash(rideId:isStart) % (bound + 1). Replayable in SQL, so every
+    * consumer (the audit, the late-drop gate) has a DuckDB oracle.
     */
+  private[graft] def arrivalJitter(rideId: org.apache.spark.sql.Column,
+      isStart: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(rideId.cast("string"), lit(":"),
+        isStart.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % (LateAuditMaxDelayMs + 1)
+
   def lateArrivals(rides: DataFrame): DataFrame =
     rides.select(col("rideId").as("ride_id"), col("isStart").as("is_start"),
         unix_millis(col("rowtime")).as("rowtime_ms"))
-      .withColumn("arrival_ms", col("rowtime_ms") +
-        expr("CAST(conv(substr(md5(concat(CAST(ride_id AS STRING), ':', " +
-          s"CAST(is_start AS STRING))), 1, 15), 16, 10) AS LONG) % ${LateAuditMaxDelayMs + 1}"))
+      .withColumn("arrival_ms",
+        col("rowtime_ms") + arrivalJitter(col("ride_id"), col("is_start")))
 
   /** Per micro-batch: tag each arrival late/on-time against the watermark
-    * derived from STRICTLY earlier batches (watermarks advance between
-    * batches — Spark's own update discipline), then advance it. Driver
+    * derived from STRICTLY earlier batches, then advance it. Driver
     * state is ONE long (the global watermark — the same scalar Spark's
     * tracker holds), so the audit scales with the stream, not the state.
+    * Note the audit's watermark is one batch FRESHER than the one
+    * governing Spark's own stateful operators (Spark publishes with a
+    * batch of delay — batch N is governed by stats through N-2, pinned
+    * by the stream_q1_late_drop oracle); an audit should flag everything
+    * the engine COULD drop, so the tighter discipline is the right side
+    * to err on.
     */
   def lateAuditStream(arrivals: DataFrame, lagMs: Long = LateAuditLagMs)(
       onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
