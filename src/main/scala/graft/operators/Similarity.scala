@@ -51,15 +51,27 @@ object Similarity {
     * the same (cosine DESC, vec_id ASC) order, so results are unchanged.
     */
   def topkBruteforce(spark: SparkSession, dir: String): DataFrame =
-    topkBruteforceWhere(spark, dir, lit(true))
+    topkBruteforceSet(spark, dir, None)
 
-  /** [[topkBruteforce]] with an extra predicate on the query side — the
-    * streaming eval gate scores one arriving query batch at a time.
+  /** Restrict a query side to an arriving id set as a DATAFRAME
+    * broadcast semi-join — never a driver collect + IN literal. The set
+    * is an arriving micro-batch or any (vec_id)-keyed frame; with
+    * corpus-derived query streams the collect form would materialize
+    * data-scale ids on the driver, which is exactly the failure mode
+    * the serving tier must not have at 100×. Mirrors the
+    * [[graft.operators.TextAnalysis.bm25SearchAgainstDf]] discipline.
     */
-  private[graft] def topkBruteforceWhere(spark: SparkSession, dir: String,
-      queryPred: Column): DataFrame = {
+  private def semiOnVecId(q: DataFrame, querySet: Option[DataFrame]): DataFrame =
+    querySet.fold(q)(s =>
+      q.join(broadcast(s.select("vec_id").distinct()), Seq("vec_id"), "left_semi"))
+
+  /** [[topkBruteforce]] with the query side restricted to a set frame —
+    * the streaming eval gate scores one arriving query batch at a time.
+    */
+  private[graft] def topkBruteforceSet(spark: SparkSession, dir: String,
+      querySet: Option[DataFrame]): DataFrame = {
     val e = withNorm(spark, dir)
-    val q = e.filter(col("vec_id") % 20 === 0 && queryPred)
+    val q = semiOnVecId(e.filter(col("vec_id") % 20 === 0), querySet)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
@@ -183,19 +195,19 @@ object Similarity {
 
   /** [[ivfTopk]] with an explicit probe width. */
   def ivfTopkProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame =
-    ivfTopkProbeWhere(spark, dir, nprobe, lit(true))
+    ivfTopkProbeSet(spark, dir, nprobe, None)
 
-  /** [[ivfTopkProbe]] with an extra query-side predicate (see
-    * [[topkBruteforceWhere]]).
+  /** [[ivfTopkProbe]] with the query side restricted to a set frame (see
+    * [[semiOnVecId]]).
     */
-  private[graft] def ivfTopkProbeWhere(spark: SparkSession, dir: String,
-      nprobe: Int, queryPred: Column): DataFrame = {
+  private[graft] def ivfTopkProbeSet(spark: SparkSession, dir: String,
+      nprobe: Int, querySet: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(spark, dir)
     val pivotIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
     val pivots = e.join(pivotIds, Seq("label", "vec_id"))
       .select(col("label").as("p_label"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
-    val q = e.filter(col("vec_id") % 20 === 0 && queryPred)
+    val q = semiOnVecId(e.filter(col("vec_id") % 20 === 0), querySet)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("label").as("q_label"))
     // rank labels per query by pivot cosine (tie-break on label)
@@ -342,6 +354,241 @@ object Similarity {
       }
       .start()
 
+  // -------------------------------------------------------------------------
+  // IVF rebalance / re-train (closing the index lifecycle)
+  // -------------------------------------------------------------------------
+
+  /** Tables for the TRAINED-quantizer (k-means) IVF lifecycle: lists are
+    * learned-centroid clusters (so ingest under a frozen model actually
+    * DRIFTS — a data-independent `label` list can't), and rebalance
+    * re-trains them. The sibling of [[IvfIndexTable]] for the kmeans
+    * family.
+    */
+  private[graft] val IvfRbTable = "ivf_rb_index"
+  private[graft] val IvfRbModelTable = "ivf_rb_model"
+
+  /** The skewed-ingest split for the rebalance gates: the coarse
+    * quantizer is TRAINED on vectors with vec_id % 3 != 0; the remaining
+    * third arrives later under the frozen stale model — the canonical
+    * long-lived-index shape (FAISS: `train()` once, `add()` forever)
+    * whose recall decays until a re-train.
+    */
+  val IvfRbIngestMod = 3
+
+  /** Attach (cluster_id, nrm) to raw (vec_id, embedding) rows under an
+    * in-hand centroid model — the map-only assignment every kmeans-IVF
+    * write path shares (model travels as a K-struct literal; no join).
+    */
+  private def kmeansAssigned(batch: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame =
+    Clustering.withAssignment(
+        batch.selectExpr("vec_id", "embedding", Clustering.quantizeSql), cents)
+      .selectExpr("CAST(best.cid AS INT) AS cluster_id", "vec_id", "embedding")
+      .withColumn("nrm", norm(col("embedding")))
+      .select("cluster_id", "vec_id", "embedding", "nrm")
+
+  /** TRAIN + BUILD: fit the integer-Lloyd coarse quantizer on `content`,
+    * persist the K-row model, and write the index
+    * (cluster_id, vec_id, embedding, nrm) BUCKETED by cluster_id — the
+    * kmeans sibling of [[persistIvfIndex]]. Probe joins then co-locate on
+    * the list id with no corpus-side shuffle.
+    */
+  private[graft] def buildKmeansIvf(spark: SparkSession, content: DataFrame,
+      table: String, modelTable: String, buckets: Int = 8): Unit = {
+    import spark.implicits._
+    val cents = Clustering.fitCentroidsOn(
+      content.selectExpr("vec_id", Clustering.quantizeSql), Clustering.K)
+    cents.toDF("cid", "c").write.mode("overwrite").saveAsTable(modelTable)
+    kmeansAssigned(content, cents)
+      .write.bucketBy(buckets, "cluster_id").saveAsTable(table)
+  }
+
+  /** ADMISSION under the FROZEN coarse model: assign the batch against
+    * the persisted centroids (one bounded K-row model read; map-only
+    * assignment) and append bucket-aligned. O(batch) like
+    * [[ivfAdmitVectors]] — but because lists are LEARNED, admission under
+    * stale centroids is exactly how drift accumulates: yesterday's model
+    * quantizes today's distribution, list shapes skew, recall decays.
+    * [[rebalanceIvfIndex]] is the repair.
+    */
+  def ivfKmeansAdmit(batch: DataFrame, table: String, modelTable: String,
+      buckets: Int = 8): Unit =
+    kmeansAssigned(batch,
+        Clustering.loadCentroids(batch.sparkSession, modelTable))
+      .write.mode("append").bucketBy(buckets, "cluster_id").saveAsTable(table)
+
+  /** REBALANCE / RE-TRAIN — the verb that closes the
+    * build → serve → ingest → compact → forget lifecycle: re-fit the
+    * coarse quantizer on the index's CURRENT content (the same
+    * exact-integer Lloyd as the original train, so the result is
+    * oracle-replayable), atomically rewrite every row under its new
+    * nearest centroid (bucket-aligned temp+rename via
+    * [[graft.operators.Dedup.rewriteBucketedTable]], torn-run recovery
+    * inherited), then publish the new model. Afterwards the index is
+    * BIT-IDENTICAL to one trained fresh on the current content — any
+    * history of skewed ingests and forgets is fully repaired, which is
+    * the strongest drift bound a re-train can give.
+    *
+    * Ordering: index first, model last. A crash between the two leaves
+    * new lists under the old model — probes then rank against slightly
+    * stale centroids but join the REAL list ids, so serving stays
+    * correct (exactly the pre-rebalance drift state); re-running the
+    * rebalance converges. Model-first would serve new centroids against
+    * old list ids: rows probed under lists they no longer match.
+    *
+    * Scale shape: the fit is [[Clustering.fitCentroidsOn]]'s map-only
+    * assignment + K×dim-cell update shuffle per round; the rewrite is
+    * one full pass over the index (the unavoidable cost of moving rows
+    * between lists), bucket-aligned on write. Driver traffic is K×dim
+    * longs per round — model-scale only.
+    */
+  def rebalanceIvfIndex(spark: SparkSession, table: String,
+      modelTable: String): (Long, Long) = {
+    import spark.implicits._
+    val cents = Clustering.fitCentroidsOn(
+      spark.table(table).selectExpr("vec_id", Clustering.quantizeSql),
+      Clustering.K)
+    val files = graft.operators.Dedup.rewriteBucketedTable(spark, table,
+      "cluster_id")(df =>
+        Clustering.withAssignment(
+            df.selectExpr("vec_id", "embedding", "nrm", Clustering.quantizeSql),
+            cents)
+          .selectExpr("CAST(best.cid AS INT) AS cluster_id", "vec_id",
+            "embedding", "nrm"))
+    cents.toDF("cid", "c").write.mode("overwrite").saveAsTable(modelTable)
+    files
+  }
+
+  /** Serve a persisted kmeans-IVF index: queries (every 20th surviving
+    * vec_id — drawn from the INDEX, so forgotten vectors neither answer
+    * nor ask) rank the persisted centroids by the exact integer distance
+    * of the fit, probe the [[NProbe]] nearest lists, and brute-force only
+    * those rows. The lists are the table content joined in place on the
+    * bucketed cluster_id — only queries move.
+    */
+  def ivfKmeansServe(spark: SparkSession, table: String, modelTable: String,
+      nprobe: Int = NProbe): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val centDF = Clustering.loadCentroids(spark, modelTable)
+      .sortBy(_._1).toDF("cid", "c")
+    val e = spark.table(table)
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .selectExpr("vec_id", "embedding", "nrm", Clustering.quantizeSql)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("q").as("q_q"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("p_dist"), col("cid"))
+    val probed = q.crossJoin(broadcast(centDF))
+      .withColumn("p_dist", expr(
+        "aggregate(zip_with(q_q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cid"))
+    val scored = probed
+      .join(e, e("cluster_id") === probed("cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")))
+    rankTopK(scored)
+  }
+
+  /** Continuous admission under the frozen model — the kmeans sibling of
+    * [[ivfIngestStream]]: each arriving micro-batch is assigned against
+    * the persisted centroids and appended bucket-aligned. The model is
+    * read per batch (K rows — bounded) but never written here; re-training
+    * is [[rebalanceIvfIndex]]'s job, OUTSIDE the stream, exactly like
+    * BM25's compaction discipline.
+    */
+  def ivfKmeansAdmitStream(newVectors: DataFrame, table: String,
+      modelTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) ivfKmeansAdmit(batch.toDF(), table, modelTable)
+      }
+      .start()
+
+  /** `sim_ivf_rebalance`: the FULL lifecycle, end to end — train + build
+    * on two-thirds of the corpus, ingest the remaining third under the
+    * frozen stale model ([[ivfKmeansAdmit]] — the drift), delete the
+    * forget set ([[IvfForgetMod]] — the shrink), REBALANCE
+    * ([[rebalanceIvfIndex]] — the repair), then serve. Because rebalance
+    * re-trains on current content, the served result must equal an index
+    * trained FRESH on exactly (corpus minus forget set) — the oracle
+    * replays that fresh fit (Lloyd over the filtered source) and the
+    * probe chain in SQL; no trace of the skewed history may survive.
+    * Runs under the build-then-mutate staleness gate, so steady-state
+    * calls pay only the search.
+    */
+  def ivfRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val all = withNorm(spark, dir).select("vec_id", "embedding")
+    graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
+      "ivf-rebalance:v1")(
+      IvfRbModelTable -> (() => ()),
+      IvfRbTable -> (() => buildKmeansIvf(spark,
+        all.filter(col("vec_id") % IvfRbIngestMod =!= 0),
+        IvfRbTable, IvfRbModelTable)))(
+      () => {
+        ivfKmeansAdmit(all.filter(col("vec_id") % IvfRbIngestMod === 0),
+          IvfRbTable, IvfRbModelTable)
+        graft.operators.Dedup.rewriteBucketedTable(spark, IvfRbTable,
+          "cluster_id")(
+          _.join(broadcast(forgetVecIds(spark, dir)), Seq("vec_id"), "left_anti"))
+        rebalanceIvfIndex(spark, IvfRbTable, IvfRbModelTable)
+        ()
+      })
+    ivfKmeansServe(spark, IvfRbTable, IvfRbModelTable)
+  }
+
+  /** The oracle replays the POST-REBALANCE state from first principles:
+    * Lloyd re-fit over the surviving corpus (embeddings minus the forget
+    * set — the shared [[Clustering.lloydCtes]] chain, prefix `rb`), the
+    * assignment against the re-fit model (rba3 = the rebalanced lists),
+    * and the standard probe/brute-force/top-k chain. The skewed ingest
+    * history appears NOWHERE — that absence is the rebalance contract.
+    */
+  val ivfRebalanceOracle: String = {
+    val survive = s"NOT (vec_id % $IvfForgetMod = $IvfForgetRem)"
+    s"""WITH qf AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Clustering.Scale}) AS BIGINT)) AS q
+       |  FROM embeddings WHERE $survive
+       |),
+       |${Clustering.lloydCtes("qf", "rb", 64, Clustering.K)},
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings WHERE $survive
+       |),
+       |qv AS (
+       |  SELECT q.vec_id AS q_id, q.q AS q_q, e.embedding AS q_emb, e.nrm AS q_nrm
+       |  FROM qf q JOIN e ON e.vec_id = q.vec_id WHERE q.vec_id % 20 = 0
+       |),
+       |probe AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT qv.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY qv.q_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(qv.q_q, c.c),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT), c.cid) AS rn
+       |    FROM qv CROSS JOIN rbc3 c
+       |  ) WHERE rn <= $NProbe
+       |),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |    ${duckDot("e.embedding", "qv.q_emb")} / (e.nrm * qv.q_nrm) AS cosine
+       |  FROM probe p
+       |  JOIN rba3 a ON a.cluster_id = p.cid
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN qv ON qv.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine FROM (
+       |  SELECT q_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** The standing IVF index table the hybrid-retrieval apply path serves
     * from, maintained under the [[graft.core.ModelTables]] fit-once
     * staleness discipline: rebuilt only when the source dir's content
@@ -375,14 +622,14 @@ object Similarity {
     */
   private[graft] def ivfAgainstCore(spark: SparkSession, dir: String,
       table: String, nprobe: Int, queryStride: Int,
-      includeSelf: Boolean, queryWhere: Column = lit(true)): DataFrame = {
+      includeSelf: Boolean, querySet: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = spark.table(table)
     val pivotIds = e.groupBy("label").agg(min("vec_id").as("vec_id"))
     val pivots = e.join(pivotIds, Seq("label", "vec_id"))
       .select(col("label").as("p_label"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
-    val q = withNorm(spark, dir).filter(col("vec_id") % queryStride === 0)
-      .filter(queryWhere)
+    val q = semiOnVecId(
+        withNorm(spark, dir).filter(col("vec_id") % queryStride === 0), querySet)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val probeW = Window.partitionBy("q_id")
@@ -1178,15 +1425,20 @@ object Similarity {
     * separate ingest/compaction path.
     */
   private[graft] def hybridServeBatch(spark: SparkSession, dir: String,
-      qIds: Seq[Long]): DataFrame = {
+      querySet: DataFrame): DataFrame = {
     import graft.operators.TextAnalysis
-    val lex = TextAnalysis.bm25SearchAgainst(spark,
-        TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir))
-          .filter(col("query_id").isin(qIds: _*)))
+    // lexical leg through the mass-query (DataFrame-native) index search:
+    // the arriving id set restricts the standard query frame by broadcast
+    // semi-join — identical rows to the literal-IN form by the
+    // txt_bm25_mass pin, with no driver round-trip on the id set
+    val lexQueries = TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir))
+      .join(broadcast(querySet.select(col("vec_id").as("query_id")).distinct()),
+        Seq("query_id"), "left_semi")
+    val lex = TextAnalysis.bm25SearchAgainstDf(spark, lexQueries)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
     val sem = ivfAgainstCore(spark, dir, IvfIndexTable, NProbe,
         queryStride = graft.operators.TextAnalysis.Bm25QueryStride,
-        includeSelf = true, queryWhere = col("vec_id").isin(qIds: _*))
+        includeSelf = true, querySet = Some(querySet))
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rk_sem"))
     rrfFuse(lex, sem)
@@ -1194,8 +1446,10 @@ object Similarity {
 
   /** Continuous hybrid serving: each micro-batch of arriving query ids
     * is answered from the frozen persisted indexes ([[hybridServeBatch]]).
-    * The caller persists the two indexes BEFORE starting the stream —
-    * the frozen-model inference discipline shared with
+    * The batch flows in as a DATAFRAME — ids never collect to the driver
+    * (corpus-derived query streams would otherwise materialize
+    * driver-side). The caller persists the two indexes BEFORE starting
+    * the stream — the frozen-model inference discipline shared with
     * [[graft.operators.TextAnalysis.perplexityStream]].
     */
   def hybridServeStream(newQueries: DataFrame, dir: String)(
@@ -1204,8 +1458,7 @@ object Similarity {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          val ids = batch.select("vec_id").collect().map(_.getLong(0)).toSeq
-          sink(hybridServeBatch(batch.sparkSession, dir, ids))
+          sink(hybridServeBatch(batch.sparkSession, dir, batch.toDF().select("vec_id")))
         }
       }
       .start()
@@ -1369,15 +1622,16 @@ object Similarity {
     * index-quality monitoring loop.
     */
   private[graft] def evalBatch(spark: SparkSession, dir: String,
-      qIds: Seq[Long]): DataFrame = {
-    val pred = col("vec_id").isin(qIds: _*)
-    evalCore(ivfTopkProbeWhere(spark, dir, NProbe, pred),
-      topkBruteforceWhere(spark, dir, pred))
+      querySet: DataFrame): DataFrame = {
+    val qs = Some(querySet)
+    evalCore(ivfTopkProbeSet(spark, dir, NProbe, qs),
+      topkBruteforceSet(spark, dir, qs))
   }
 
   /** Continuous evaluation: each micro-batch of arriving query vectors is
-    * scored against the frozen corpus (both rankings restricted to the
-    * batch's ids — a bounded driver value, it IS the arriving queries).
+    * scored against the frozen corpus, both rankings restricted to the
+    * batch's ids by broadcast semi-join — the id frame never collects to
+    * the driver.
     */
   def evalStream(newQueries: DataFrame, dir: String)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
@@ -1385,8 +1639,7 @@ object Similarity {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          val ids = batch.select("vec_id").collect().map(_.getLong(0)).toSeq
-          sink(evalBatch(batch.sparkSession, dir, ids))
+          sink(evalBatch(batch.sparkSession, dir, batch.toDF().select("vec_id")))
         }
       }
       .start()

@@ -10,25 +10,48 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt in [0, salts): a content hash over EVERY
+    * column of the row, so a recomputed map task assigns the identical
+    * salt to the identical row. Salting from spark_partition_id() /
+    * monotonically_increasing_id() is the textbook trap this replaces:
+    * those are nondeterministic across partial stage recomputation (fetch
+    * failure, executor loss after some reducers already pulled map
+    * output), so a re-run map task could re-salt the same rows
+    * differently and rows would be lost or duplicated across (key, salt)
+    * reduce partitions — precisely in the at-scale failure scenario the
+    * salt exists for. Content hashing is stable under any replay.
+    *
+    * Caveat (documented trade): byte-identical duplicate rows collapse to
+    * one salt, so a hot key whose rows are FULL-ROW identical still
+    * hot-spots. That shape is exact-duplicate volume — the thing
+    * [[Dedup.exact]] removes upstream — while the common skew shape (one
+    * hot key, rows differing in any other column) spreads uniformly.
+    */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int")
+
   /** Two-stage salted aggregation: count per (key, salt) first — spreading
     * one hot key over `salts` reducers — then sum the partials per key.
     * Result is identical to a direct groupBy(key).count(); only the shuffle
     * distribution changes (integer partial sums are associative, so the
-    * two-stage split is exact, unlike float sums).
+    * two-stage split is exact, unlike float sums). The salt hashes the
+    * FULL input row (before the key projection) so rows of one hot key
+    * spread even when the key itself is the hot value.
     */
   def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame = {
-    df.select(key.as("k"))
-      .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    df.withColumn("salt", contentSalt(df, salts))
+      .select(key.as("k"), col("salt"))
       .groupBy("k", "salt").agg(count(lit(1)).as("partial"))
       .groupBy("k").agg(sum("partial").as("cnt"))
   }
 
   /** Salted equi-join for a skewed FACT side: each fact row takes one of
-    * `salts` pseudo-random salt values, the (small) dimension is
+    * `salts` content-derived salt values, the (small) dimension is
     * replicated once per salt, and the join key becomes (key, salt) — so
     * one hot key's rows spread over `salts` reducers instead of
-    * hot-spotting one. Exact for any salt assignment: every fact row
-    * still meets exactly its dimension row (each dim key exists at every
+    * hot-spotting one. Exact for any salt assignment AND stable under
+    * stage recomputation (see [[contentSalt]]): every fact row still
+    * meets exactly its dimension row (each dim key exists at every
     * salt), so the result equals the unsalted join row for row — only
     * the shuffle distribution changes. Cost: dim × salts replication,
     * the standard trade (cheap while salts × |dim| stays dimension-
@@ -38,8 +61,7 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       salts: Int): DataFrame = {
-    val salted = fact.withColumn("graft_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val salted = fact.withColumn("graft_salt", contentSalt(fact, salts))
     val dimX = dim.withColumn("graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(dimX, Seq(key, "graft_salt")).drop("graft_salt")

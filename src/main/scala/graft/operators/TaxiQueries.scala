@@ -423,11 +423,22 @@ object TaxiQueries {
   // Q8: START/END event pairing (equi-join over the event stream)
   // -------------------------------------------------------------------------
 
+  /** The longest ride the pairing queries consider: |end − start| beyond
+    * this is treated as a data error, not a match. The SAME bound is what
+    * lets the streaming joins evict state (an unmatched START is provably
+    * dead once the watermark passes start + MaxRideMs), so the batch
+    * forms MUST state it too — without it the batch query silently
+    * answers a WIDER question than its streaming twin and the two
+    * diverge the moment a fixture carries an over-long ride.
+    */
+  val MaxRideMs: Long = 2L * 3600 * 1000
+
   /** Pairs each ride's START event with its END event and emits the
     * event-time gap — the reference's data model has START/END sharing a
     * rideId (TaxiRide.java:24-38); in the synthetic derivation the pair key
     * is rideId div 2 (even ids are STARTs, Rides.fromEvents). Streaming
-    * twin: StreamingQueries.pairStartEnd (watermarked stream-stream join).
+    * twin: StreamingQueries.pairStartEnd (watermarked stream-stream join,
+    * same [[MaxRideMs]] bound).
     *
     * Scale shape: one hash shuffle on the pair key for each side; both
     * sides prune to 2 columns at the scan.
@@ -439,6 +450,7 @@ object TaxiQueries {
     val ends = rides.filter(!col("isStart"))
       .select(expr("rideId div 2").as("pair_id"), unix_millis(col("rowtime")).as("end_ms"))
     starts.join(ends, "pair_id")
+      .filter(abs(col("end_ms") - col("start_ms")) <= MaxRideMs)
       .select(col("pair_id"), col("start_ms"), col("end_ms"),
         (col("end_ms") - col("start_ms")).as("gap_ms"))
       .orderBy("pair_id")
@@ -450,6 +462,7 @@ object TaxiQueries {
        |  e.rowtime_ms AS end_ms, e.rowtime_ms - s.rowtime_ms AS gap_ms
        |FROM rides s JOIN rides e
        |  ON s.ride_id // 2 = e.ride_id // 2 AND s.is_start AND NOT e.is_start
+       |  AND abs(e.rowtime_ms - s.rowtime_ms) <= $MaxRideMs
        |ORDER BY pair_id""".stripMargin
 
   /** Every 7th pair's END event is dropped (a ride still in progress / a
@@ -464,7 +477,10 @@ object TaxiQueries {
     * output (coalesce to -1 + a `matched` flag) so the cross-engine hash
     * never depends on engines' NULL encodings. Streaming twin:
     * [[graft.streaming.StreamingQueries.pairStartEndOuter]] (watermarked
-    * left-outer stream-stream join with null emission on state eviction).
+    * left-outer stream-stream join with null emission on state eviction);
+    * the [[MaxRideMs]] join bound appears in all three formulations so an
+    * over-long ride reports UNMATCHED everywhere, not matched-in-batch /
+    * sentinel-in-stream.
     */
   def q8PairOuter(spark: SparkSession, dir: String): DataFrame = {
     val rides = Rides.fromEvents(spark, dir)
@@ -473,8 +489,11 @@ object TaxiQueries {
     val ends = rides.filter(!col("isStart"))
       .select(expr("rideId div 2").as("pair_id"), unix_millis(col("rowtime")).as("end_ms"))
       .filter(col("pair_id") % PairEndDropMod =!= PairEndDropRem)
-    starts.join(ends, Seq("pair_id"), "left_outer")
-      .select(col("pair_id"), col("start_ms"),
+    starts.join(ends,
+        starts("pair_id") === ends("pair_id") &&
+          abs(ends("end_ms") - starts("start_ms")) <= MaxRideMs,
+        "left_outer")
+      .select(starts("pair_id"), col("start_ms"),
         coalesce(col("end_ms"), lit(-1L)).as("end_ms"),
         coalesce(col("end_ms") - col("start_ms"), lit(-1L)).as("gap_ms"),
         col("end_ms").isNotNull.as("matched"))
@@ -491,18 +510,24 @@ object TaxiQueries {
        |LEFT JOIN (SELECT * FROM rides
        |           WHERE NOT is_start AND (ride_id // 2) % $PairEndDropMod <> $PairEndDropRem) e
        |  ON s.ride_id // 2 = e.ride_id // 2
+       |  AND abs(e.rowtime_ms - s.rowtime_ms) <= $MaxRideMs
        |ORDER BY pair_id""".stripMargin
 
   /** Oracle for the streaming late-data audit
     * (graft.streaming.StreamGate.lateAudit): replays the deterministic
-    * arrival jitter, the gate's chunk arithmetic (chunk id is
-    * floor((arrival − t0) · 3 / span), exactly the staged split), and
-    * the between-batches watermark evolution (running max of prior
-    * chunks' rowtime − 30 s lag) — the complete audit in SQL.
+    * arrival jitter, the gate's chunk arithmetic
+    * ([[graft.streaming.StreamingQueries.chunkIdSql]] — the staged
+    * split's integer division verbatim), and the between-batches
+    * watermark evolution (running max of prior chunks' rowtime − 30 s
+    * lag). Publication delay 0: the audit's watermark is its OWN driver
+    * scalar, advanced after every batch — deliberately one batch
+    * FRESHER than the engine-governing value, because an audit should
+    * flag everything the engine COULD drop.
     */
   val lateAuditOracleSql: String = {
-    val lag = graft.streaming.StreamingQueries.LateAuditLagMs
-    val bound = graft.streaming.StreamingQueries.LateAuditMaxDelayMs
+    import graft.streaming.StreamingQueries
+    val lag = StreamingQueries.LateAuditLagMs
+    val bound = StreamingQueries.LateAuditMaxDelayMs
     s"""${Rides.oracleCte},
        |arr AS (
        |  SELECT ride_id, is_start, rowtime_ms,
@@ -513,14 +538,13 @@ object TaxiQueries {
        |b AS (SELECT min(arrival_ms) AS t0,
        |  greatest(1, max(arrival_ms) - min(arrival_ms) + 1) AS span FROM arr),
        |ch AS (
-       |  SELECT a.*, CAST(floor((a.arrival_ms - b.t0) * 3.0 / b.span) AS INT) AS chunk
+       |  SELECT a.*, ${StreamingQueries.chunkIdSql("a.arrival_ms", "b.t0", "b.span")} AS chunk
        |  FROM arr a, b
        |),
        |cm AS (SELECT chunk, max(rowtime_ms) AS mx FROM ch GROUP BY chunk),
        |wm AS (
        |  SELECT chunk,
-       |    max(mx) OVER (ORDER BY chunk
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - $lag AS wm
+       |    ${StreamingQueries.watermarkOverSql(0)} - $lag AS wm
        |  FROM cm
        |)
        |SELECT c.ride_id, c.is_start, c.rowtime_ms,
@@ -540,9 +564,10 @@ object TaxiQueries {
     * agree.
     */
   val q1LateDropOracleSql: String = {
-    val lag = graft.streaming.StreamingQueries.LateAuditLagMs
-    val bound = graft.streaming.StreamingQueries.LateAuditMaxDelayMs
-    val sid = graft.streaming.StreamingQueries.LateSentinelId
+    import graft.streaming.StreamingQueries
+    val lag = StreamingQueries.LateAuditLagMs
+    val bound = StreamingQueries.LateAuditMaxDelayMs
+    val sid = StreamingQueries.LateSentinelId
     s"""${Rides.oracleCte},
        |smax AS (SELECT max(rowtime_ms) AS real_max FROM rides),
        |arr AS (
@@ -560,7 +585,7 @@ object TaxiQueries {
        |b AS (SELECT min(arrival_ms) AS t0,
        |  greatest(1, max(arrival_ms) - min(arrival_ms) + 1) AS span FROM arr),
        |ch AS (
-       |  SELECT a.*, CAST(floor((a.arrival_ms - b.t0) * 3.0 / b.span) AS INT) AS chunk
+       |  SELECT a.*, ${StreamingQueries.chunkIdSql("a.arrival_ms", "b.t0", "b.span")} AS chunk
        |  FROM arr a, b
        |),
        |dep AS (
@@ -577,14 +602,12 @@ object TaxiQueries {
        |cmax AS (SELECT c.chunk,
        |  (SELECT max(rowtime_ms) FROM dep d WHERE d.chunk = c.chunk) AS mx
        |  FROM chunks c),
-       |-- TWO preceding, not one: Spark PUBLISHES the watermark with one
-       |-- batch of delay — the value filtering batch N was computed when
-       |-- batch N was planned, from event-time stats through batch N-2
-       |-- (adjudicated empirically: the 1-PRECEDING model dropped 15 rows
-       |-- Spark kept; this model is hash-exact)
+       |-- watermarkOverSql(WatermarkPublicationDelayBatches): the value
+       |-- governing batch N derives from stats through batch N-2 — see
+       |-- StreamingQueries.WatermarkPublicationDelayBatches for the
+       |-- empirical adjudication (Spark 4.1.2)
        |wm AS (SELECT chunk,
-       |  max(mx) OVER (ORDER BY chunk
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - $lag AS wm
+       |  ${StreamingQueries.watermarkOverSql(StreamingQueries.WatermarkPublicationDelayBatches)} - $lag AS wm
        |  FROM cmax),
        |kept AS (
        |  SELECT d.* FROM dep d JOIN wm w USING (chunk)

@@ -256,6 +256,12 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
     * Compaction already honor.
     */
   def snapshot(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    // The lake is rewritten by directory RENAME under the same paths; any
+    // cached relation/listing for those paths in this session (which may
+    // be a foreachBatch CLONE of the writer's session — caches are shared
+    // at the SharedState level, refreshes are not) must be dropped before
+    // re-listing, or a reader sees the previous generation's file list.
+    spark.catalog.refreshByPath(path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ids = fs.listStatus(root).toSeq.map(_.getPath.getName).collect {

@@ -185,6 +185,38 @@ object StreamGate {
       .parquet(chunkDir.toString)
   }
 
+  /** Feed one staged chunk file into a WATCHED directory that a running
+    * FileStreamSource is actively listing. The naive
+    * `Files.copy(src, dst); dst.setLastModified(t)` sequence has two
+    * races when the stream is LIVE:
+    *  - a trigger can list `dst` mid-copy and read a truncated parquet
+    *    file;
+    *  - far worse, a trigger can list `dst` BETWEEN the copy and the
+    *    mtime set, logging it into the source's seen-map at the current
+    *    wall-clock time. Every later chunk (mtime ≈ epoch+minutes) then
+    *    falls behind `lastPurgeTimestamp` (= newest-seen − maxFileAge,
+    *    i.e. NOW − 7 days) and FileStreamSource silently ignores it —
+    *    whole chunks vanish with no error. This was the
+    *    `stream_temporal_join_live` hash flake: a lost dimension chunk
+    *    leaves stale open versions that still inner-join every fact
+    *    (same row count, different seg values).
+    * The fix makes visibility atomic: copy to a dot-prefixed temp name
+    * (hidden from Spark's file listing), set the mtime on the hidden
+    * file, then ATOMIC_MOVE to the final name (rename preserves mtime).
+    * No observer can ever see a partial file or a wrong timestamp.
+    */
+  private def atomicFeed(src: Path, dstDir: Path, mtimeMs: Option[Long]): Unit = {
+    val tmp = dstDir.resolve(s".tmp-${src.getFileName}")
+    val dst = dstDir.resolve(src.getFileName)
+    Files.copy(src, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    mtimeMs.foreach { t =>
+      if (!tmp.toFile.setLastModified(t))
+        throw new java.io.IOException(s"cannot set mtime on $tmp")
+    }
+    Files.move(tmp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
   /** The shared rides replay every event-time gate uses. */
   private def ridesReplay(spark: SparkSession, dir: String, chunks: Int = Chunks): DataFrame =
     replayCached(spark, s"rides|$dir", chunks)(
@@ -222,6 +254,22 @@ object StreamGate {
     * all into a watched dir up front ([[replay]]) or feed them one at a
     * time to interleave maintenance between micro-batches
     * ([[ingestAdmit]]).
+    *
+    * TWO load-bearing contracts live in the chunk-id expression
+    * `(orderMs − t0) * chunks / span` (64-bit integer arithmetic):
+    *  - VALUE-CHUNKING: the chunk id is a pure function of the order
+    *    key, so rows sharing one `orderMs` value can NEVER split across
+    *    chunks. Stateful gates rely on this — [[Scd2Stream]]'s
+    *    same-microsecond collapse-to-last is only batch-equivalent
+    *    because a same-timestamp event group always arrives within ONE
+    *    micro-batch (Scd2ChunkingSpec pins it: a row-count splitter
+    *    provably diverges). A replacement chunker must preserve it.
+    *  - ORACLE PARITY: the late-data oracles replicate this exact
+    *    integer division in SQL
+    *    ([[StreamingQueries.chunkIdSql]] — DuckDB `//` floor division,
+    *    identical on these non-negative operands). Changing the
+    *    arithmetic here without changing chunkIdSql desynchronizes
+    *    every disorder gate.
     */
   private def stageChunkFiles(df: DataFrame, orderMs: Column, chunks: Int): (Path, Seq[Path]) = {
     val root = gateTmp("graft-stream-gate")
@@ -505,7 +553,7 @@ object StreamGate {
     import spark.implicits._
     val rides = Rides.fromEvents(spark, dir)
     val maxMs = rides.agg(max(unix_millis(col("rowtime")))).head.getLong(0)
-    val maxRideMs = 2L * 3600 * 1000
+    val maxRideMs = graft.operators.TaxiQueries.MaxRideMs
     val sMs = maxMs + maxRideMs + 600000L
     val sentinels = Seq(
         (-1000000L, true, new Timestamp(sMs), new Timestamp(sMs),
@@ -752,14 +800,28 @@ object StreamGate {
         }
         try {
           files.zipWithIndex.foreach { case (f, i) =>
-            def feed(dst: Path): Unit = {
-              val d = dst.resolve(f.getFileName)
-              Files.copy(f, d)
-              if (!d.toFile.setLastModified((i + 1) * 60000L))
-                throw new java.io.IOException(s"cannot set mtime on $d")
+            atomicFeed(f, dimWatch, Some((i + 1) * 60000L))
+            dimQ.processAllAvailable()  // dimension first
+            // CURRENCY FENCE: before any fact row of this grid step may
+            // join, the lake must hold exactly the versions the batch
+            // build derives from the chunk prefix — count and frontier
+            // both. A lost dim chunk (the replay race this gate once had)
+            // or a stale lake read fails HERE, loudly, instead of
+            // surfacing as a nondeterministic hash mismatch downstream.
+            val expect = Relational.scd2Versions(
+                spark.read.schema(schema).parquet(files.take(i + 1).map(_.toString): _*))
+              .agg(count(lit(1)).as("n"), max(col("valid_from_us")).as("hi")).head()
+            if (expect.getLong(0) > 0L) {
+              val got = lake.snapshot(spark)
+                .agg(count(lit(1)).as("n"), max(col("valid_from_us")).as("hi")).head()
+              if (got.getLong(0) != expect.getLong(0) || got.getLong(1) != expect.getLong(1))
+                throw new IllegalStateException(
+                  s"temporalJoinLive: version lake not current after dim chunk $i — " +
+                    s"expected (count=${expect.getLong(0)}, maxValidFrom=${expect.getLong(1)}), " +
+                    s"lake has (count=${got.getLong(0)}, maxValidFrom=${got.getLong(1)})")
             }
-            feed(dimWatch); dimQ.processAllAvailable()  // dimension first
-            feed(factWatch); factQ.processAllAvailable()
+            atomicFeed(f, factWatch, Some((i + 1) * 60000L))
+            factQ.processAllAvailable()
           }
         } finally { dimQ.stop(); factQ.stop() }
       }
@@ -853,6 +915,46 @@ object StreamGate {
       materialize(Similarity.ivfTopkAgainst(spark, dir, table))
         .orderBy("q_id", "rank")
     } finally { spark.sql(s"DROP TABLE IF EXISTS $table"); () }
+  }
+
+  /** THE FULL INDEX LIFECYCLE under the hard gate —
+    * train → serve-shape build → continuous skewed ingest → forget →
+    * REBALANCE → serve: the coarse quantizer is trained on two-thirds of
+    * the corpus and frozen; the remaining third arrives as a replayed
+    * stream admitted under the STALE model
+    * ([[graft.operators.Similarity.ivfKmeansAdmitStream]] — the drift a
+    * long-lived ANN index accumulates); the forget set is deleted; then
+    * [[graft.operators.Similarity.rebalanceIvfIndex]] re-trains on
+    * current content and rewrites the lists. The served result must be
+    * BIT-IDENTICAL to an index trained fresh on (corpus minus forget
+    * set) — the sim_ivf_rebalance oracle — for ANY chunking of the
+    * ingest stream: admission under a frozen model is per-row
+    * deterministic, deletion anti-joins compose, and the re-train reads
+    * only the final content.
+    */
+  def ivfRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Similarity}
+    val id = runId.incrementAndGet()
+    val (table, model) = (s"gate_rb_index_$id", s"gate_rb_model_$id")
+    Seq(table, model).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val all = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val stream = replayCached(spark, s"embrb|$dir", chunks = 3)(
+      (all.filter(col("vec_id") % Similarity.IvfRbIngestMod === 0), col("vec_id")))
+    try {
+      Similarity.buildKmeansIvf(spark,
+        all.filter(col("vec_id") % Similarity.IvfRbIngestMod =!= 0), table, model)
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = Similarity.ivfKmeansAdmitStream(stream, table, model)
+        try q.processAllAvailable() finally q.stop()
+      }
+      // maintenance between stream close and serve: delete, then re-train
+      Dedup.rewriteBucketedTable(spark, table, "cluster_id")(
+        _.join(broadcast(Similarity.forgetVecIds(spark, dir)),
+          Seq("vec_id"), "left_anti"))
+      Similarity.rebalanceIvfIndex(spark, table, model)
+      materialize(Similarity.ivfKmeansServe(spark, table, model))
+        .orderBy("q_id", "rank")
+    } finally { Seq(table, model).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
 
   /** CONTINUOUS HYBRID SERVING under the hard gate: retrieval queries
@@ -949,8 +1051,8 @@ object StreamGate {
     */
   def lateAudit(spark: SparkSession, dir: String): DataFrame = {
     val arr = StreamingQueries.lateArrivals(Rides.fromEvents(spark, dir))
-    val stream = replayCached(spark, s"latearr|$dir", chunks = 3)(
-      (arr, col("arrival_ms")))
+    val stream = replayCached(spark, s"latearr|$dir",
+      chunks = StreamingQueries.LateChunks)((arr, col("arrival_ms")))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ride_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("is_start", org.apache.spark.sql.types.BooleanType),
@@ -1002,8 +1104,8 @@ object StreamGate {
     val arr = rides.unionByName(sentinel)
       .withColumn("arrival_ms", unix_millis(col("rowtime")) +
         StreamingQueries.arrivalJitter(col("rideId"), col("isStart")))
-    val stream = replayCached(spark, s"ridesq1late|$dir", chunks = 3)(
-      (arr, col("arrival_ms")))
+    val stream = replayCached(spark, s"ridesq1late|$dir",
+      chunks = StreamingQueries.LateChunks)((arr, col("arrival_ms")))
     runToMemory(StreamingQueries.q1Tumble(stream,
         s"${StreamingQueries.LateAuditLagMs / 1000} seconds"), "append")
       .filter(col("dept_time") <= maxMs + 600000L) // the sentinel's window
@@ -1186,8 +1288,11 @@ object StreamGate {
           buf.synchronized { buf ++= v.collect() }; ()
         }
         try files.foreach { f =>
-          // COPY, not move: the staging is the shared JVM-wide cache
-          Files.copy(f, watched.resolve(f.getFileName))
+          // COPY, not move: the staging is the shared JVM-wide cache.
+          // Atomic visibility — the running source must never list a
+          // half-copied parquet file (mtime stays the copy's wall-clock,
+          // monotone across the feed loop, so no purge hazard here).
+          atomicFeed(f, watched, None)
           q.processAllAvailable()
           Dedup.compactCorpusBands(spark, table)
         } finally q.stop()

@@ -82,7 +82,7 @@ object StreamingQueries {
     * once it passes end + maxRide — without it, state grows forever.
     */
   def pairStartEnd(rides: DataFrame, watermark: String = "61 seconds",
-                   maxRideMs: Long = 2L * 3600 * 1000): DataFrame = {
+                   maxRideMs: Long = graft.operators.TaxiQueries.MaxRideMs): DataFrame = {
     val starts = rides.filter(col("isStart"))
       .select(expr("rideId div 2").as("pair_id"), col("rowtime").as("start_rt"))
       .withWatermark("start_rt", watermark)
@@ -110,7 +110,7 @@ object StreamingQueries {
     * twin is TaxiQueries.q8PairOuter, same -1-sentinel NULL-free output.
     */
   def pairStartEndOuter(rides: DataFrame, watermark: String = "61 seconds",
-                        maxRideMs: Long = 2L * 3600 * 1000): DataFrame = {
+                        maxRideMs: Long = graft.operators.TaxiQueries.MaxRideMs): DataFrame = {
     import graft.operators.TaxiQueries
     val starts = rides.filter(col("isStart"))
       .select(expr("rideId div 2").as("pair_id"), col("rowtime").as("start_rt"))
@@ -152,6 +152,52 @@ object StreamingQueries {
     */
   val LateAuditLagMs = 1800000L
   val LateAuditMaxDelayMs = 14400000L
+
+  /** Spark PUBLISHES the event-time watermark with ONE micro-batch of
+    * delay: the value governing batch N was fixed when batch N was
+    * planned, from event-time stats through batch N−2 — not N−1.
+    * Adjudicated empirically against Spark 4.1.2 by the
+    * stream_q1_late_drop gate: the zero-delay model (watermark from
+    * stats through N−1) provably dropped 15 rows at sf0.01 that Spark
+    * kept; with this delay the oracle is hash-exact. Every SQL oracle
+    * modeling Spark's OWN late-drop must route through
+    * [[watermarkOverSql]] with this constant, so a Spark upgrade that
+    * changes publication timing fails all such gates in ONE named place
+    * instead of as scattered magic offsets.
+    */
+  val WatermarkPublicationDelayBatches = 1
+
+  /** The number of arrival-order replay chunks the disorder gates use —
+    * shared with their oracles, whose chunk arithmetic must reproduce
+    * the staged split exactly.
+    */
+  val LateChunks = 3
+
+  /** SQL chunk-id expression — IDENTICAL integer arithmetic to the
+    * harness's staged split (StreamGate.stageChunkFiles:
+    * `(orderMs − t0) * chunks / span` in 64-bit integers; DuckDB `//`
+    * is floor division and all operands here are non-negative, so the
+    * two agree exactly). A floating-point `floor(x * 3.0 / span)`
+    * formulation only agrees while `delta * chunks` stays inside
+    * double's exact-integer range — never hand an oracle that caveat.
+    * `arrival` and the `t0`/`span` bounds are the caller's column/CTE
+    * references.
+    */
+  def chunkIdSql(arrival: String, t0: String, span: String,
+      chunks: Int = LateChunks): String =
+    s"CAST(($arrival - $t0) * $chunks // $span AS INT)"
+
+  /** The between-batches watermark as a SQL window: running max of
+    * per-chunk event-time maxima over STRICTLY EARLIER chunks, further
+    * delayed by `publicationDelayBatches`. Pass 0 for a tracker that
+    * updates between every batch (the late-data AUDIT's own driver
+    * scalar); pass [[WatermarkPublicationDelayBatches]] for the value
+    * that actually governs Spark's stateful operators in a given batch.
+    * Expects a CTE exposing (chunk, mx = per-chunk max event time).
+    */
+  def watermarkOverSql(publicationDelayBatches: Int): String =
+    s"""max(mx) OVER (ORDER BY chunk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND ${1 + publicationDelayBatches} PRECEDING)""".stripMargin
 
   /** The late-drop gate's sentinel ride id — shared with the oracle,
     * which reproduces the sentinel row (and its md5 jitter) verbatim so
@@ -290,13 +336,15 @@ object StreamingQueries {
   * the changelog encoding the reference sink consumes
   * (Tuple2[JBool, Row], ElasticUpsertTableSink.scala:65,144-146).
   *
-  * State is the last-emitted row per key. Per-batch volume is bounded by
-  * the number of CHANGED keys (update mode only emits those); the state
-  * map is bounded by live keys, the same footprint the in-memory sink
-  * already carries — for cluster-scale state, compose with
-  * [[graft.sinks.ParquetUpsertSink]] instead of a driver map.
+  * State is the last-emitted row per key — IN A DRIVER MAP, collected
+  * per batch. That is a verification-harness shape only: at production
+  * key cardinality the map is a driver OOM. `private[graft]` on purpose —
+  * the exported retract encoder is [[LakeRetractStream]], whose state
+  * lives in a bucketed parquet lake and whose emissions never transit
+  * the driver; this form exists so the gates/specs can pin the lake
+  * form's semantics against a trivially-auditable reference.
   */
-class RetractStream(keyFields: Seq[String]) extends Serializable {
+private[graft] class RetractStream(keyFields: Seq[String]) extends Serializable {
   import org.apache.spark.sql.Row
   private val last = TrieMap.empty[String, Row]
 

@@ -116,7 +116,7 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("outer pair join: matched rows equal the inner join, unmatched are exactly the dropped ends") {
+  test("outer pair join: matched rows equal the inner join, unmatched are the dropped ends plus over-long rides") {
     val outer = TaxiQueries.q8PairOuter(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
     val inner = TaxiQueries.q8PairJoin(spark, Sf0001).collect()
@@ -124,9 +124,34 @@ class CurationSpec extends SparkSpec {
     val keptInner = inner.filter(_._1 % TaxiQueries.PairEndDropMod != TaxiQueries.PairEndDropRem)
     assert(outer.filter(_._5).map(t => (t._1, t._2, t._3, t._4)).sorted.toSeq
       === keptInner.sorted.toSeq)
+    // the UNMATCHED population under the shared MaxRideMs bound (the bound
+    // the streaming twin needs for state eviction, stated by all three
+    // formulations): a START is unmatched iff its END was dropped OR the
+    // ride is over-long. sf0.001 carries 36 over-long pairs (max gap
+    // ~4.9 h > 2 h) while sf0.01 carries none — this spec fixture is the
+    // only place the bound's effect is visible, which is exactly why the
+    // batch form must state it: an unbounded batch query would silently
+    // answer a wider question than its stream twin on data like this.
+    val raw = {
+      val rides = graft.sources.Rides.fromEvents(spark, Sf0001)
+      import org.apache.spark.sql.functions._
+      val s = rides.filter(col("isStart"))
+        .select(expr("rideId div 2").as("pid"), unix_millis(col("rowtime")).as("sm"))
+      val e = rides.filter(!col("isStart"))
+        .select(expr("rideId div 2").as("pid"), unix_millis(col("rowtime")).as("em"))
+      s.join(e, "pid").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    val overlong = raw.filter(t => math.abs(t._3 - t._2) > TaxiQueries.MaxRideMs)
+      .map(_._1).toSet
+    assert(overlong.nonEmpty, "fixture must carry over-long rides or the bound is untested")
+    val dropped = (pid: Long) =>
+      pid % TaxiQueries.PairEndDropMod == TaxiQueries.PairEndDropRem
     val unmatched = outer.filter(!_._5)
     assert(unmatched.nonEmpty, "the END-drop must make the outer join non-vacuous")
-    assert(unmatched.forall(u => u._1 % TaxiQueries.PairEndDropMod == TaxiQueries.PairEndDropRem
+    assert(unmatched.forall(u => (dropped(u._1) || overlong.contains(u._1))
       && u._3 == -1L && u._4 == -1L))
+    // and completeness: every over-long, non-dropped pair IS unmatched
+    val unmatchedIds = unmatched.map(_._1).toSet
+    assert(overlong.filterNot(dropped).subsetOf(unmatchedIds))
   }
 }

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Clustering, Similarity}
+
+/** Pins the rebalance contract from both ends.
+  *
+  * Test 1 (real corpus): ingesting under a frozen coarse model leaves the
+  * index assignment measurably different from a fresh train on the same
+  * content (DRIFT IS REAL — 439/500 vectors land in different lists on
+  * the sf0.001 fixture), and [[Similarity.rebalanceIvfIndex]] restores
+  * lists AND model BIT-IDENTICAL to a fresh [[Clustering.fitCentroidsOn]]
+  * train over current content: the skewed history is unrecoverable from
+  * the index. That equality is the strongest drift bound a re-train can
+  * give; recall is NOT asserted on this fixture because its embeddings
+  * are uniform-random (ANN-adversarial: an in-corpus query's own list is
+  * always probed, so list drift moves recall only through boundary noise
+  * — measured 0.64 → 0.60, i.e. within noise of the 0.60 fresh-index
+  * level the structural equality already pins).
+  *
+  * Test 2 (clustered fixture): the drift symptom rebalance exists to
+  * repair at scale — HOT LISTS. New data from a region the frozen model
+  * never saw all quantizes to one stale list; every query then pays that
+  * list's scan cost. After re-training, the list histogram re-balances,
+  * per-query probe cost drops, and recall does not degrade.
+  */
+class IvfRebalanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Table = "rb_spec_index"
+  private val Model = "rb_spec_model"
+
+  private def all(s: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.core.Tables.load(s, Sf0001, "embeddings").select("vec_id", "embedding")
+
+  private def listing(s: org.apache.spark.sql.SparkSession): Set[(Int, Long)] =
+    s.table(Table).select("cluster_id", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+
+  test("skewed ingest drifts from the fresh train; rebalance restores lists and model bit-identically") {
+    val s2 = spark.newSession()
+    Seq(Table, Model).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val mod = Similarity.IvfRbIngestMod
+      // train + build on two-thirds, then admit the last third under the
+      // FROZEN stale model — the long-lived-index shape
+      Similarity.buildKmeansIvf(s2,
+        all(s2).filter(col("vec_id") % mod =!= 0), Table, Model)
+      Similarity.ivfKmeansAdmit(
+        all(s2).filter(col("vec_id") % mod === 0), Table, Model)
+
+      // the fresh train over CURRENT content (= the full corpus here)
+      val freshCents = Clustering.fitCentroidsOn(
+        all(s2).selectExpr("vec_id", Clustering.quantizeSql), Clustering.K)
+      val freshAssign = Clustering.withAssignment(
+          all(s2).selectExpr("vec_id", Clustering.quantizeSql), freshCents)
+        .selectExpr("CAST(best.cid AS INT) AS cluster_id", "vec_id")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+
+      // 1. drift exists: the stale-model index is NOT the fresh train
+      val staleAssign = listing(s2)
+      assert(staleAssign !== freshAssign,
+        "frozen-model ingest produced the fresh-train assignment — the " +
+          "drift fixture is vacuous and the rebalance gate proves nothing")
+      info(s"drifted vectors under the stale model: " +
+        s"${staleAssign.diff(freshAssign).size} of ${staleAssign.size}")
+
+      // 2. rebalance = the fresh train, bit-identical lists and model
+      Similarity.rebalanceIvfIndex(s2, Table, Model)
+      assert(listing(s2) === freshAssign,
+        "post-rebalance lists differ from a fresh train on current content")
+      val modelRows = s2.table(Model).select("cid", "c").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toSeq).toSet
+      assert(modelRows === freshCents.map { case (c, v) => c -> v }.toSet)
+    } finally Seq(Table, Model).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  // ---------------------------------------------------------------------
+  // clustered fixture: hot-list skew and its repair
+  // ---------------------------------------------------------------------
+
+  /** 8 tight clusters of 50 vectors in 64 dims: clusters 0..3 live in the
+    * [0, 1) coordinate region (the ORIGINAL corpus), clusters 4..7 in
+    * [4, 5) (the NEW region the frozen model never saw). Tight = center +
+    * deterministic jitter in [0, 0.02): in-cluster cosine ≫ cross-cluster,
+    * so exact top-10 neighbors are always in-cluster.
+    */
+  private def clusteredFixture: Seq[(Long, Array[Float])] =
+    for (c <- 0 until 8; i <- 0 until 50) yield {
+      val id = (c * 50 + i).toLong
+      val base = if (c < 4) 0.0f else 4.0f
+      val emb = Array.tabulate(64) { j =>
+        val center = base + (if (j % 4 == c % 4) 1.0f else 0.1f)
+        center + (((id * 31 + j * 17) % 20).toFloat / 1000.0f)
+      }
+      (id, emb)
+    }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+    while (j < a.length) {
+      dot += a(j).toDouble * b(j); na += a(j).toDouble * a(j)
+      nb += b(j).toDouble * b(j); j += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Driver-side exact top-10 per stride-20 query (400 × 64 — trivial). */
+  private def exactTop10(rows: Seq[(Long, Array[Float])]): Map[Long, Set[Long]] =
+    rows.filter(_._1 % 20 == 0).map { case (q, qe) =>
+      q -> rows.filter(_._1 != q)
+        .map { case (v, ve) => (v, cosine(qe, ve)) }
+        .sortBy { case (v, c) => (-c, v) }.take(10).map(_._1).toSet
+    }.toMap
+
+  private def recallOf(served: DataFrame, exact: Map[Long, Set[Long]]): Double = {
+    val got = served.select("q_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got.keySet === exact.keySet)
+    exact.map { case (q, t) => got(q).intersect(t).size.toDouble / t.size }
+      .sum / exact.size
+  }
+
+  test("frozen-model ingest of a new region creates a hot list; rebalance restores balance, keeps recall") {
+    val s2 = spark.newSession()
+    Seq(Table, Model).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val rows = clusteredFixture
+      val df = rows.toDF("vec_id", "embedding")
+      val (oldRegion, newRegion) = (df.filter(col("vec_id") < 200), df.filter(col("vec_id") >= 200))
+      Similarity.buildKmeansIvf(s2, oldRegion, Table, Model)
+      Similarity.ivfKmeansAdmit(newRegion, Table, Model)
+
+      // drift symptom: the new region (4 real clusters, 200 vectors) has
+      // crammed into very few stale lists — a hot list exists
+      def listSizes = s2.table(Table).groupBy("cluster_id").count()
+        .collect().map(_.getLong(1))
+      val maxBefore = listSizes.max
+      info(s"list sizes before: ${listSizes.sorted.mkString(",")}")
+      assert(maxBefore >= 100L,
+        s"expected the new region concentrated in hot lists, max list = $maxBefore")
+      val exact = exactTop10(rows)
+      val recallBefore = recallOf(Similarity.ivfKmeansServe(s2, Table, Model), exact)
+
+      Similarity.rebalanceIvfIndex(s2, Table, Model)
+
+      // the hot list is the TAIL scan cost: every query probing it pays
+      // its full length, so the worst list bounds serving latency. (Mean
+      // probed size is NOT asserted — the stale layout's many near-empty
+      // lists make its mean look artificially cheap.)
+      val maxAfter = listSizes.max
+      val recallAfter = recallOf(Similarity.ivfKmeansServe(s2, Table, Model), exact)
+      info(s"list sizes after: ${listSizes.sorted.mkString(",")}")
+      info(f"max list: $maxBefore -> $maxAfter; recall@10: " +
+        f"$recallBefore%.3f -> $recallAfter%.3f")
+      assert(maxAfter < maxBefore, "rebalance must shrink the hot list")
+      assert(recallAfter >= recallBefore,
+        f"rebalance degraded recall: $recallBefore%.3f -> $recallAfter%.3f")
+    } finally Seq(Table, Model).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

@@ -153,6 +153,25 @@ class PlanSpec extends SparkSpec {
     assert(bnl <= 1, s"expected at most the pivot-probe BNLJ, got $bnl:\n${p.take(800)}")
   }
 
+  test("rebalanced IVF serve: probed lists ride the cluster_id equi-join; probe is the only cross") {
+    val (table, model) = ("plan_rb_index", "plan_rb_model")
+    Seq(table, model).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Similarity.buildKmeansIvf(spark,
+        graft.core.Tables.load(spark, Sf0001, "embeddings")
+          .select("vec_id", "embedding"), table, model)
+      val p = plan(Similarity.ivfKmeansServe(spark, table, model))
+      assert(!p.contains("CartesianProduct"),
+        s"serving must never cross-join the index:\n${p.take(800)}")
+      // one BNLJ allowed: the query x K-row centroid broadcast (the probe
+      // ranking); list scoring must be the hash equi-join on cluster_id
+      val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnl <= 1, s"expected at most the centroid-probe BNLJ, got $bnl:\n${p.take(800)}")
+      assert(p.contains("cluster_id"),
+        s"list scoring must join on cluster_id:\n${p.take(800)}")
+    } finally Seq(table, model).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("salted join shuffles on (key, salt) — no broadcast collapses the demonstration") {
     val p = plan(Relational.saltedEventJoin(spark, Sf0001))
     assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TextAnalysis}
+
+/** The serving/eval tiers take their arriving query sets as DATAFRAMES
+  * (broadcast semi-joins into the index probes) — never as a driver
+  * collect + IN literal. With corpus-derived query streams, the collect
+  * form materializes data-scale ids on the driver — the one plan shape
+  * the r16 audit flagged as not survivable at 100×. These specs pin
+  * both halves of the replacement: plan CONSTRUCTION runs zero Spark
+  * jobs (a collect would be a job), and the set-restricted result
+  * equals the full ranking restricted to the same ids.
+  */
+class ServeSetSpec extends SparkSpec {
+
+  /** Build `df` while counting Spark jobs; a leaked collect fails. The
+    * only jobs allowed through are parquet FOOTER reads (stage name
+    * `parquet at Tables.scala`) — schema inference at `spark.read`
+    * construction is bounded metadata work (one footer per source),
+    * categorically different from the data-proportional id collect this
+    * pin exists to forbid.
+    */
+  private def assertCollectFree[T](label: String)(mk: => T): T = {
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        names.add(j.stageInfos.map(_.name).mkString(" | ")); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = mk
+      org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 30000)
+      val dataJobs = names.toArray(Array.empty[String])
+        .filterNot(_.contains("parquet at Tables.scala"))
+      assert(dataJobs.isEmpty,
+        s"$label plan construction ran ${dataJobs.length} non-footer jobs — " +
+          s"a collect leaked in: ${dataJobs.mkString("[", " /// ", "]")}")
+      out
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def idSet(s: org.apache.spark.sql.SparkSession, mod: Int): DataFrame =
+    graft.core.Tables.load(s, Sf0001, "embeddings")
+      .select("vec_id").filter(col("vec_id") % mod === 0)
+
+  test("hybrid serving: DataFrame query set builds collect-free and equals the full fusion restricted to it") {
+    val s2 = spark.newSession()
+    TextAnalysis.persistBm25Index(s2, Sf0001)
+    Similarity.persistIvfIndexIfStale(s2, Sf0001)
+    // every 2nd stride query (stride 37 → ids % 74 == 0): a genuine subset
+    val qSet = idSet(s2, TextAnalysis.Bm25QueryStride * 2)
+    val served = assertCollectFree("hybridServeBatch") {
+      Similarity.hybridServeBatch(s2, Sf0001, qSet)
+    }.collect().toSeq
+    val ids = qSet.collect().map(_.getLong(0)).toSet
+    val full = Similarity.hybridRrfIvf(s2, Sf0001)
+      .collect().filter(r => ids.contains(r.getLong(0))).toSeq
+    assert(served.nonEmpty && served === full)
+  }
+
+  test("streaming eval: DataFrame query set builds collect-free and equals the batch eval restricted to it") {
+    val s2 = spark.newSession()
+    val qSet = idSet(s2, 40) // subset of the stride-20 eval queries
+    val got = assertCollectFree("evalBatch") {
+      Similarity.evalBatch(s2, Sf0001, qSet)
+    }.collect().toSeq
+    val ids = qSet.collect().map(_.getLong(0)).toSet
+    val full = Similarity.evalRecall(s2, Sf0001)
+      .collect().filter(r => ids.contains(r.getLong(0))).toSeq
+    assert(got.nonEmpty && got === full)
+  }
+}
