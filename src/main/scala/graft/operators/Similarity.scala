@@ -459,6 +459,29 @@ object Similarity {
     files
   }
 
+  /** Skew-TRIGGERED rebalance — the policy loop a standing index runs
+    * after every maintenance window: measure list imbalance (largest list
+    * over the balanced ideal n/K — one K-row aggregation over the
+    * bucketed table, the same histogram the serving tier's tail latency
+    * is made of) and re-train only when it exceeds `maxSkew`. Returns
+    * (measured skew, whether a rebalance ran) so callers can log the
+    * decision. When no rebalance runs, the K-row histogram is the whole
+    * cost — the full-pass re-train is paid only on real drift, which is
+    * what makes continuous ingest + periodic policy checks sustainable
+    * on a long-lived index.
+    */
+  def rebalanceIfSkewed(spark: SparkSession, table: String,
+      modelTable: String, maxSkew: Double = 2.0): (Double, Boolean) = {
+    val sizes = spark.table(table).groupBy("cluster_id").count()
+      .collect().map(_.getLong(1))
+    val n = sizes.sum
+    val skew = if (n == 0L) 0.0
+      else sizes.max * Clustering.K.toDouble / n
+    val run = skew > maxSkew
+    if (run) { rebalanceIvfIndex(spark, table, modelTable); () }
+    (skew, run)
+  }
+
   /** Serve a persisted kmeans-IVF index: queries (every 20th surviving
     * vec_id — drawn from the INDEX, so forgotten vectors neither answer
     * nor ask) rank the persisted centroids by the exact integer distance

@@ -783,6 +783,18 @@ object StreamGate {
       root.resolve("dimlake").toString, Seq("user_id", "version_no"), 4)
     val joinSchema = Relational.temporalJoinOn(
       Relational.purchaseFacts(events), Relational.scd2Versions(events)).schema
+    // CURRENCY-FENCE expectations, ONE batch build for all grid steps:
+    // chunks are value-chunked on the order key (stageChunkFiles), so a
+    // same-microsecond change group never straddles a chunk boundary and
+    // the prefix-i version build equals the FULL build filtered to the
+    // prefix's max event ts — count and valid_from frontier exactly
+    // (valid_to differs, open vs later-closed, but the fence never reads
+    // it). Re-deriving scd2Versions per prefix cost ~2x the whole gate.
+    val versionFroms = Relational.scd2Versions(events)
+      .select(col("valid_from_us")).cache()
+    val cutoffs = files.map(f =>
+      spark.read.schema(schema).parquet(f.toString)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0))
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     try {
       withGateParallelism(spark, GateStatePartitions) {
@@ -808,8 +820,8 @@ object StreamGate {
             // both. A lost dim chunk (the replay race this gate once had)
             // or a stale lake read fails HERE, loudly, instead of
             // surfacing as a nondeterministic hash mismatch downstream.
-            val expect = Relational.scd2Versions(
-                spark.read.schema(schema).parquet(files.take(i + 1).map(_.toString): _*))
+            val cut = cutoffs.take(i + 1).max
+            val expect = versionFroms.filter(col("valid_from_us") <= cut)
               .agg(count(lit(1)).as("n"), max(col("valid_from_us")).as("hi")).head()
             if (expect.getLong(0) > 0L) {
               val got = lake.snapshot(spark)
@@ -823,7 +835,7 @@ object StreamGate {
             atomicFeed(f, factWatch, Some((i + 1) * 60000L))
             factQ.processAllAvailable()
           }
-        } finally { dimQ.stop(); factQ.stop() }
+        } finally { dimQ.stop(); factQ.stop(); versionFroms.unpersist(); () }
       }
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(buf.synchronized(buf.toList).asJava, joinSchema)

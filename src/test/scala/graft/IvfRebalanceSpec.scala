@@ -144,7 +144,11 @@ class IvfRebalanceSpec extends SparkSpec {
       val exact = exactTop10(rows)
       val recallBefore = recallOf(Similarity.ivfKmeansServe(s2, Table, Model), exact)
 
-      Similarity.rebalanceIvfIndex(s2, Table, Model)
+      // the POLICY verb: skew 100/(400/8) = 2.0 exceeds the 1.5 threshold,
+      // so the check measures, triggers, and re-trains in one call
+      val (skewBefore, ran) = Similarity.rebalanceIfSkewed(s2, Table, Model, maxSkew = 1.5)
+      assert(ran, f"skew $skewBefore%.2f should have triggered the rebalance")
+      assert(skewBefore > 1.5)
 
       // the hot list is the TAIL scan cost: every query probing it pays
       // its full length, so the worst list bounds serving latency. (Mean
@@ -158,6 +162,11 @@ class IvfRebalanceSpec extends SparkSpec {
       assert(maxAfter < maxBefore, "rebalance must shrink the hot list")
       assert(recallAfter >= recallBefore,
         f"rebalance degraded recall: $recallBefore%.3f -> $recallAfter%.3f")
+      // steady state: the re-trained index sits under the threshold, so a
+      // second policy check measures and does NOT re-train
+      val (skewAfter, ranAgain) = Similarity.rebalanceIfSkewed(s2, Table, Model, maxSkew = 1.5)
+      assert(!ranAgain, f"post-rebalance skew $skewAfter%.2f re-triggered — the policy never converges")
+      assert(skewAfter < skewBefore)
     } finally Seq(Table, Model).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }
