@@ -620,6 +620,52 @@ object TaxiQueries {
        |ORDER BY dept_time, cell""".stripMargin
   }
 
+  /** Oracle for the bounded-state dedup gate
+    * (graft.streaming.StreamGate.dedupBounded): replays the gap schedule
+    * (copy B of ride r at +((r % 4) × span/3) ms), the staged chunk split
+    * over the DOUBLED arrival set, and the governing watermark — a key's
+    * re-delivery is emitted again iff its batch's watermark already
+    * passed first_ts + the 45-min retention (state expired), i.e.
+    * exactly-once inside the window, at-least-once beyond it. Shares
+    * [[graft.streaming.StreamingQueries.chunkIdSql]] /
+    * [[graft.streaming.StreamingQueries.watermarkOverSql]] with the
+    * late-data oracles — the eviction watermark is the same
+    * publication-delayed value stream_q1_late_drop pinned.
+    */
+  val dedupBoundedOracleSql: String = {
+    import graft.streaming.StreamingQueries
+    val lag = StreamingQueries.DedupBoundedLagMs
+    val chunks = graft.streaming.StreamGate.Chunks
+    s"""${Rides.oracleCte},
+       |st AS (SELECT (max(rowtime_ms) - min(rowtime_ms)) // 3 AS step FROM rides),
+       |dup AS (
+       |  SELECT ride_id, rowtime_ms, 0 AS copy FROM rides
+       |  UNION ALL
+       |  SELECT r.ride_id, r.rowtime_ms + (r.ride_id % 4) * st.step, 1
+       |  FROM rides r, st
+       |),
+       |b AS (SELECT min(rowtime_ms) AS t0,
+       |  greatest(1, max(rowtime_ms) - min(rowtime_ms) + 1) AS span FROM dup),
+       |ch AS (
+       |  SELECT d.*, ${StreamingQueries.chunkIdSql("d.rowtime_ms", "b.t0", "b.span", chunks)} AS chunk
+       |  FROM dup d, b
+       |),
+       |cm AS (SELECT chunk, max(rowtime_ms) AS mx FROM ch GROUP BY chunk),
+       |wm AS (SELECT chunk,
+       |  ${StreamingQueries.watermarkOverSql(StreamingQueries.WatermarkPublicationDelayBatches)} - $lag AS wm
+       |  FROM cm),
+       |pair AS (
+       |  SELECT a.ride_id, a.rowtime_ms AS ta, a.chunk AS ca, bb.chunk AS cb
+       |  FROM ch a JOIN ch bb ON a.ride_id = bb.ride_id
+       |  WHERE a.copy = 0 AND bb.copy = 1
+       |)
+       |SELECT p.ride_id,
+       |  CAST(CASE WHEN p.cb > p.ca AND w.wm IS NOT NULL
+       |    AND p.ta + $lag < w.wm THEN 2 ELSE 1 END AS INT) AS emitted
+       |FROM pair p JOIN wm w ON w.chunk = p.cb
+       |ORDER BY p.ride_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Q5: geo-point rendering + hourOfDay (the remaining UDF surface: F4/F5/F6)
   // -------------------------------------------------------------------------

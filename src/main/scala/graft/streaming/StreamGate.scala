@@ -1252,6 +1252,43 @@ object StreamGate {
       runToMemory(StreamingQueries.dedupEvents(stream), "append"))
   }
 
+  /** BOUNDED-STATE dedup under the hard gate — [[dedupEvents]] shows the
+    * suppression half (duplicates inside the retention vanish); this gate
+    * makes the EXPIRY half observable, the contract boundary that
+    * distinguishes `dropDuplicatesWithinWatermark` from unbounded-state
+    * dedup. Every ride is re-delivered once with an event-time gap of
+    * (rideId % 4) × one third of the data span — 0 (exact duplicate,
+    * same chunk by value-chunking), ~1, ~2, or ~3 replay chunks later.
+    * Re-deliveries whose key state is still alive when their batch runs
+    * are suppressed (emitted = 1); ones arriving after the governing
+    * watermark passed first_event_ts + the 45-min retention hit an
+    * expired key and are emitted AGAIN (emitted = 2) — bounded state
+    * trades exactly-once for at-least-once beyond the window, and the
+    * oracle prices that trade key by key: it replays the gap schedule,
+    * the chunk arithmetic ([[StreamingQueries.chunkIdSql]]), and the
+    * governing watermark
+    * ([[StreamingQueries.watermarkOverSql]] at the publication delay
+    * pinned by stream_q1_late_drop) entirely in SQL.
+    */
+  def dedupBounded(spark: SparkSession, dir: String): DataFrame = {
+    val rides = Rides.fromEvents(spark, dir).select(col("rideId"), col("rowtime"))
+    val stream = replayCached(spark, s"dedupb|$dir") {
+      val Array(mn, mx) = rides
+        .agg(min(unix_millis(col("rowtime"))), max(unix_millis(col("rowtime"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val step = (mx - mn) / 3 // integer division, mirrored by the oracle's //
+      val copies = rides.withColumn("rowtime",
+        timestamp_millis(unix_millis(col("rowtime")) +
+          (col("rideId") % 4).cast("long") * step))
+      val doubled = rides.unionByName(copies)
+        .withColumn("arrival_ms", unix_millis(col("rowtime")))
+      (doubled, col("arrival_ms"))
+    }
+    runToMemory(StreamingQueries.dedupBounded(stream.drop("arrival_ms")), "append")
+      .groupBy("ride_id").agg(count(lit(1)).cast("int").as("emitted"))
+      .orderBy("ride_id")
+  }
+
   /** The SELF-GROWING ingest loop under the hard gate: admit → verdict →
     * compact across 3 micro-batches. Each chunk of incoming docs is judged
     * against the persisted corpus band table, its keepers are admitted

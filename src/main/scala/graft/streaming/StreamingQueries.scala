@@ -173,6 +173,27 @@ object StreamingQueries {
     */
   val LateChunks = 3
 
+  /** BOUNDED-STATE streaming dedup, the scale answer to "exact dedup
+    * needs unbounded state": `dropDuplicatesWithinWatermark` keeps a
+    * key's state only until the event-time watermark passes its event
+    * time + the WATERMARK DELAY (in this operator the delay IS the dedup
+    * retention — there is no separate knob), so state is bounded by the
+    * key arrival rate × the delay instead of the full key cardinality.
+    * The trade is explicit and the gate makes it OBSERVABLE: a
+    * re-delivery inside the retention is suppressed; one arriving after
+    * the state expired is emitted AGAIN (exactly-once degrades to
+    * at-least-once beyond the window — the documented contract). Emits
+    * just the key: within one micro-batch Spark keeps whichever copy a
+    * partition feeds the state store first, so the kept copy's payload
+    * is racy but the EMISSION COUNT per key is deterministic.
+    */
+  val DedupBoundedLagMs = 2700000L
+
+  def dedupBounded(rides: DataFrame): DataFrame =
+    rides.withWatermark("rowtime", s"${DedupBoundedLagMs / 1000} seconds")
+      .dropDuplicatesWithinWatermark("rideId")
+      .select(col("rideId").as("ride_id"))
+
   /** SQL chunk-id expression — IDENTICAL integer arithmetic to the
     * harness's staged split (StreamGate.stageChunkFiles:
     * `(orderMs − t0) * chunks / span` in 64-bit integers; DuckDB `//`

@@ -783,4 +783,21 @@ class StreamingSpec extends SparkSpec {
     // and the same-microsecond pair collapsed to the later event (error)
     assert(acc((20L, 2))._1 === "error")
   }
+
+  test("bounded-state dedup gate exercises BOTH regimes: suppression and post-expiry re-emission") {
+    // non-vacuity guard for stream_dedup_bounded: the oracle recomputes
+    // both sides, so a fixture drift that silenced the expiry path would
+    // stay hash-green while proving nothing — this pins that a real mix
+    // of suppressed (emitted=1) and expired-then-re-emitted (emitted=2)
+    // keys survives, and that the split follows the gap schedule: gaps of
+    // 0 or ~1 chunk never outlive the retention, gaps of ~2-3 chunks do
+    // for at least some keys
+    val out = graft.streaming.StreamGate.dedupBounded(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byGap = out.groupBy { case (id, _) => (id % 4).toInt }
+      .view.mapValues(_.values.toSeq).toMap
+    assert(out.values.toSet === Set(1, 2), s"expected both regimes, got ${out.values.toSet}")
+    assert(byGap(0).forall(_ == 1), "an exact same-chunk duplicate must always be suppressed")
+    assert(byGap(3).exists(_ == 2), "3-chunk-late re-deliveries must hit expired state")
+  }
 }
