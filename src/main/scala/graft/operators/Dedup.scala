@@ -749,7 +749,7 @@ object Dedup {
     */
   private[graft] def ingestArrivals(spark: SparkSession, dir: String): DataFrame = {
     val inc = incomingDocs(spark, dir)
-    val off = docs(spark, dir).agg(max(col("doc_id"))).head.getLong(0) + 1
+    val off = docs(spark, dir).agg(max(col("doc_id"))).head().getLong(0) + 1
     inc.unionByName(inc.withColumn("doc_id", col("doc_id") + lit(off)))
   }
 

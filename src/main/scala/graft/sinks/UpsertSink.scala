@@ -218,7 +218,7 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
             // bucket is recomputed from the key — the same pmod(hash) that
             // placed the row at write time, so placement never drifts
             val old = bucketed(spark.read.schema(dataSchema).parquet(dirs: _*))
-              .select(b.columns.map(col): _*)
+              .select(b.columns.map(col).toIndexedSeq: _*)
             val replaced = b.select(keyCol(b).as("_k")).distinct()
             old.join(replaced, keyCol(old) === col("_k"), "left_anti")
               .unionByName(b)

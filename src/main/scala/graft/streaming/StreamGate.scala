@@ -493,7 +493,7 @@ object StreamGate {
     import spark.implicits._
     val rides = Rides.fromEvents(spark, dir)
       .withColumn("rowtime", timestamp_millis(unix_millis(col("rowtime"))))
-    val maxMs = rides.agg(max(unix_millis(col("rowtime")))).head.getLong(0)
+    val maxMs = rides.agg(max(unix_millis(col("rowtime")))).head().getLong(0)
     val sMs = maxMs + 2 * graft.operators.TaxiQueries.SessionGapMs + 200000L
     val sentinel = Seq((-1L, true, new Timestamp(sMs), new Timestamp(sMs),
         -73.99f, 40.75f, -73.99f, 40.75f, 1.toShort))
@@ -552,7 +552,7 @@ object StreamGate {
   def q8PairOuter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rides = Rides.fromEvents(spark, dir)
-    val maxMs = rides.agg(max(unix_millis(col("rowtime")))).head.getLong(0)
+    val maxMs = rides.agg(max(unix_millis(col("rowtime")))).head().getLong(0)
     val maxRideMs = graft.operators.TaxiQueries.MaxRideMs
     val sMs = maxMs + maxRideMs + 600000L
     val sentinels = Seq(
@@ -1105,7 +1105,7 @@ object StreamGate {
     import spark.implicits._
     val rides = Rides.fromEvents(spark, dir)
       .withColumn("rowtime", timestamp_millis(unix_millis(col("rowtime"))))
-    val maxMs = rides.agg(max(unix_millis(col("rowtime")))).head.getLong(0)
+    val maxMs = rides.agg(max(unix_millis(col("rowtime")))).head().getLong(0)
     val sMs = maxMs + StreamingQueries.LateAuditMaxDelayMs
     val sentinel = Seq((StreamingQueries.LateSentinelId, true,
         new Timestamp(sMs), new Timestamp(sMs),
@@ -1444,7 +1444,7 @@ object StreamGate {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_type"))
-    val maxMs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
     val sentinel = Seq((-1L, new Timestamp(maxMs + 600000L), "gate_sentinel"))
       .toDF("user_id", "ts", "event_type")
     val sink = new MemoryUpsertSink(Seq("user_id"))
@@ -1675,7 +1675,7 @@ object StreamGate {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_type"))
-    val maxMs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val maxMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
     val sentinel = Seq((-1L, new Timestamp(maxMs + 600000L), "gate_sentinel"))
       .toDF("user_id", "ts", "event_type")
     val sink = new MemoryUpsertSink(Seq("user_id"))

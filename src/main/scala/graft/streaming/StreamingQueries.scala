@@ -265,7 +265,7 @@ object StreamingQueries {
           onBatch(batch.toDF()
             .withColumn("late", col("rowtime_ms") < lit(wm))
             .select("ride_id", "is_start", "rowtime_ms", "late"))
-          val mx = batch.toDF().agg(max("rowtime_ms")).head.getLong(0)
+          val mx = batch.toDF().agg(max("rowtime_ms")).head().getLong(0)
           wmRef.set(math.max(wm, mx - lagMs))
         }
       }
@@ -449,7 +449,7 @@ class LakeRetractStream(root: String, keyFields: Seq[String],
           else lake.snapshot(spark).join(touchedKeys, keyFields, "left_semi")
         val out = retracts.withColumn("is_add", lit(false))
           .unionByName(b.withColumn("is_add", lit(true)))
-          .select((col("is_add") +: upserts.columns.map(col)): _*)
+          .select((col("is_add") +: upserts.columns.map(col).toIndexedSeq): _*)
         val tmp = new Path(s"$emitRoot/.tmp-batch-$batchId")
         out.write.mode("overwrite").parquet(tmp.toString)
         fs.mkdirs(dest.getParent)
