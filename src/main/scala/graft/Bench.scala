@@ -64,6 +64,16 @@ object Bench {
           System.err.println(s"[bench] warm pass $name failed: ${e.getMessage}") }
       }
     }
+    // box-load context per query: round 17 burned hours adjudicating
+    // ±2x per-query drift that turned out to be OUTSIDE load (loadavg
+    // 2.5-3.6 from other tenants); sampling /proc/loadavg before each
+    // query makes the next drift adjudication a field read instead of a
+    // worktree control run
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
     val runs: Seq[Seq[(String, Double)]] = (1 to repeat).map { r =>
       selected.map { case (name, fn) =>
         // drop any blocks an operator cached: cached state must not leak
@@ -72,6 +82,7 @@ object Bench {
         // settle the heap between queries: allocation-heavy neighbors were
         // bleeding GC pauses into unrelated queries' timings
         System.gc()
+        loadSamples += ((r, name, loadAvg()))
         val t0 = System.nanoTime()
         // a broken query must be visible, not a phantom speedup: report -1
         // and log the failure instead of swallowing it into a ~0s timing
@@ -85,6 +96,7 @@ object Bench {
         }
       }
     }
+    val loadEnd = loadAvg()
     def median(vs: Seq[Double]): Double = {
       val ok = vs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
@@ -108,6 +120,10 @@ object Bench {
     }.filter(_._2 > 0)
     val failedJson = failedRuns.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val loads = loadSamples.map(_._3).filter(_ >= 0)
+    val loadJson = "\"loadavg\":" + (
+      if (loads.isEmpty) "{}"
+      else s"""{"min":${loads.min},"max":${loads.max},"mean":${loads.sum / loads.size},"end":$loadEnd}""")
     // durable full artifact: every query x every run, written to a file
     // the round can commit — the driver's log-tail capture truncates the
     // first ~10 (alphabetical) queries of the stdout line, which silently
@@ -121,8 +137,15 @@ object Bench {
         "\"run" + (i + 1) + "\":" + run.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
       }.mkString(",")
+      // per-query 1-min loadavg sampled just before each timed run — the
+      // drift-adjudication context VERDICT r17 asked for
+      val loadRunsJson = (1 to repeat).map { r =>
+        "\"load_run" + r + "\":" + loadSamples.filter(_._1 == r)
+          .map { case (_, k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+      }.mkString(",")
       java.nio.file.Files.writeString(f.toPath,
-        s"""{"sf":"$sfDir","repeat":$repeat,"median":$qs,"total_median_sec":$total,"failed_runs":$failedJson,$runsJson}""")
+        s"""{"sf":"$sfDir","repeat":$repeat,"median":$qs,"total_median_sec":$total,"failed_runs":$failedJson,$loadJson,$runsJson,$loadRunsJson}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed ($outPath): ${e.getMessage}")
     }
@@ -134,7 +157,7 @@ object Bench {
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     System.out.flush(); System.err.flush()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_runs":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed_runs":$failedJson,$loadJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -261,6 +261,20 @@ object Clustering {
        |${pfx}a3 AS (${assignSql(s"${pfx}c3")})""".stripMargin
   }
 
+  /** One assignment of an arbitrary (vec_id, q) CTE against a centroid
+    * CTE — the oracle rendering of [[withAssignment]]'s argmin with the
+    * same (dist, cid) tie-break; shared by the PQ-lifecycle and
+    * rebalance-policy oracles, which assign sets the fit never saw.
+    */
+  private[graft] def oracleAssignSql(src: String, c: String): String =
+    s"""SELECT vec_id, cid AS cluster_id FROM (
+       |  SELECT a.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY CAST(list_sum(list_transform(list_zip(a.q, c.c),
+       |        x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT), c.cid) AS rn
+       |  FROM $src a CROSS JOIN $c c
+       |) WHERE rn = 1""".stripMargin
+
   private[graft] val kmeansOracleCtes: String =
     s"""q AS (
        |  SELECT vec_id,

@@ -683,6 +683,14 @@ object Dedup {
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
       throw new IllegalArgumentException(s"$table is not a bucketed table"))
+    // refresh BEFORE reading the current generation: a session that read
+    // this table earlier holds its file listing in the catalog's relation
+    // cache, and streaming foreachBatch APPENDS (the admit verbs) do not
+    // invalidate it — a rewrite planned against the stale listing would
+    // silently DROP every row appended since that read (found live: the
+    // ivf-policy gate's maintenance windows read the index between admit
+    // chunks, and the later forget rewrite lost chunks 2-3)
+    spark.catalog.refreshTable(table)
     def fileCount(m: org.apache.spark.sql.catalyst.catalog.CatalogTable): Long = {
       val p = new org.apache.hadoop.fs.Path(m.location)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

@@ -445,6 +445,8 @@ object Similarity {
   def rebalanceIvfIndex(spark: SparkSession, table: String,
       modelTable: String): (Long, Long) = {
     import spark.implicits._
+    // current content, not a cached listing (see rebalanceIfSkewed)
+    spark.catalog.refreshTable(table)
     val cents = Clustering.fitCentroidsOn(
       spark.table(table).selectExpr("vec_id", Clustering.quantizeSql),
       Clustering.K)
@@ -472,6 +474,11 @@ object Similarity {
     */
   def rebalanceIfSkewed(spark: SparkSession, table: String,
       modelTable: String, maxSkew: Double = 2.0): (Double, Boolean) = {
+    // the policy reads a LIVE index between admit appends: drop any
+    // cached file listing first, or every window after the first would
+    // re-measure the first window's generation (streaming foreachBatch
+    // appends do not invalidate the catalog's relation cache)
+    spark.catalog.refreshTable(table)
     val sizes = spark.table(table).groupBy("cluster_id").count()
       .collect().map(_.getLong(1))
     val n = sizes.sum
@@ -611,6 +618,89 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** The `stream_ivf_policy` hollow-out: how many of the commissioning
+    * model's smallest lists (by count, cid tie-break) the gate's
+    * right-to-be-forgotten step deletes. Four of eight lists removes
+    * ~40-48% of the rows (measured across SFs) while leaving the largest
+    * list untouched, so the measured imbalance roughly doubles — the
+    * "one tenant leaves" shape that hollows a long-lived index.
+    */
+  val IvfPolicyDoomedLists = 4
+
+  /** The policy gate's re-train trigger. Calibrated against the measured
+    * trajectory on the fixture corpora (tools.IvfSkewProbe): steady-state
+    * skew under uniform admission is 1.07-1.36 across sf0.001/0.01/0.1,
+    * the post-hollow-out spike is 2.14-2.35 — 1.7 sits between with ~25%
+    * margin both ways, so uniform maintenance windows must SKIP (paying
+    * only the K-row histogram) and the post-forget window must FIRE.
+    */
+  val IvfPolicySkewMax = 1.7
+
+  /** `stream_ivf_policy` oracle: the final index is (corpus minus the
+    * vectors the COMMISSIONING model assigns to its
+    * [[IvfPolicyDoomedLists]] smallest lists), re-trained fresh — replay
+    * the commissioning fit on the build two-thirds, assign the full
+    * corpus, drop the doomed lists' members, re-fit on the survivors,
+    * serve. Schedule-independent: any maintenance window's decision
+    * during the stream is invisible to the final state because a fired
+    * re-train is bit-identical to a fresh fit on current content.
+    */
+  val ivfPolicyOracle: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Clustering.Scale}) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |qb AS (SELECT vec_id, q FROM q WHERE vec_id % $IvfRbIngestMod <> 0),
+       |${Clustering.lloydCtes("qb", "ib", 64, Clustering.K)},
+       |aall AS (${Clustering.oracleAssignSql("q", "ibc3")}),
+       |sizes AS (SELECT cluster_id, count(*) AS n FROM aall GROUP BY cluster_id),
+       |doomed AS (
+       |  SELECT cluster_id FROM (
+       |    SELECT cluster_id, row_number() OVER (ORDER BY n, cluster_id) AS rn
+       |    FROM sizes
+       |  ) WHERE rn <= $IvfPolicyDoomedLists
+       |),
+       |qs AS (
+       |  SELECT q.vec_id, q.q FROM q JOIN aall a ON a.vec_id = q.vec_id
+       |  WHERE a.cluster_id NOT IN (SELECT cluster_id FROM doomed)
+       |),
+       |${Clustering.lloydCtes("qs", "rb", 64, Clustering.K)},
+       |e AS (
+       |  SELECT s.vec_id, em.embedding,
+       |    sqrt(${duckDot("em.embedding", "em.embedding")}) AS nrm
+       |  FROM qs s JOIN embeddings em ON em.vec_id = s.vec_id
+       |),
+       |qv AS (
+       |  SELECT s.vec_id AS q_id, s.q AS q_q, e.embedding AS q_emb, e.nrm AS q_nrm
+       |  FROM qs s JOIN e ON e.vec_id = s.vec_id WHERE s.vec_id % 20 = 0
+       |),
+       |probe AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT qv.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY qv.q_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(qv.q_q, c.c),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT), c.cid) AS rn
+       |    FROM qv CROSS JOIN rbc3 c
+       |  ) WHERE rn <= $NProbe
+       |),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |    ${duckDot("e.embedding", "qv.q_emb")} / (e.nrm * qv.q_nrm) AS cosine
+       |  FROM probe p
+       |  JOIN rba3 a ON a.cluster_id = p.cid
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN qv ON qv.q_id = p.q_id
+       |  WHERE a.vec_id <> p.q_id
+       |)
+       |SELECT q_id, rank, neighbor_id, cosine FROM (
+       |  SELECT q_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
 
   /** The standing IVF index table the hybrid-retrieval apply path serves
     * from, maintained under the [[graft.core.ModelTables]] fit-once
@@ -831,35 +921,62 @@ object Similarity {
   private[graft] val PqFingerprint =
     s"pq.v1;m=$PqM;kc=$PqKc;coarse=${Clustering.KmeansFingerprint}"
 
-  /** Quantized corpus + coarse list id + integer residual r = q - c_list.
-    * MAP-ONLY: the coarse model travels as a K-struct literal (no join,
-    * no shuffle); residuals stay in exact integer space so every later
-    * slice fit / encode / ADC distance is oracle-replayable.
+  /** Quantized content + coarse list id + integer residual r = q - c_list,
+    * for ANY (vec_id, embedding) frame. MAP-ONLY: the coarse model travels
+    * as a K-struct literal (no join, no shuffle); residuals stay in exact
+    * integer space so every later slice fit / encode / ADC distance is
+    * oracle-replayable.
     */
-  private def pqResiduals(spark: SparkSession, dir: String,
+  private def pqResidualsOn(content: DataFrame,
       coarse: Seq[(Int, Seq[Long])]): DataFrame =
     Clustering.withAssignment(
-        emb(spark, dir).selectExpr("vec_id", Clustering.quantizeSql), coarse)
+        content.selectExpr("vec_id", Clustering.quantizeSql), coarse)
       .withColumn("r", expr(
         s"""zip_with(q, element_at(${Clustering.centroidExpr(coarse)},
            |  best.cid + 1).c, (a, b) -> a - b)""".stripMargin))
       .selectExpr("vec_id", "q", "best.cid AS cluster_id", "r")
 
+  private def pqResiduals(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Long])]): DataFrame =
+    pqResidualsOn(emb(spark, dir), coarse)
+
   /** FIT: one independent integer-Lloyd per slice over the residual
-    * slices — same seeds/update/tie-break contract as the coarse fit
-    * ([[Clustering.fitCentroidsOn]]), so the whole model is replayable
-    * in SQL. Returns (slice, cid, codeword). Driver traffic per slice is
-    * the same bounded K×dim the coarse fit pays.
+    * slices of `content` — same seeds/update/tie-break contract as the
+    * coarse fit ([[Clustering.fitCentroidsOn]]), so the whole model is
+    * replayable in SQL. Returns (slice, cid, codeword). Driver traffic
+    * per slice is the same bounded K×dim the coarse fit pays.
     */
-  private[graft] def fitPqCodebooks(spark: SparkSession, dir: String,
+  private[graft] def fitPqCodebooksOn(content: DataFrame,
       coarse: Seq[(Int, Seq[Long])]): Seq[(Int, Int, Seq[Long])] = {
-    val res = pqResiduals(spark, dir, coarse)
+    val res = pqResidualsOn(content, coarse)
     (0 until PqM).flatMap { m =>
       val slice = res.selectExpr("vec_id",
         s"slice(r, ${m * PqSliceDim + 1}, $PqSliceDim) AS q")
       Clustering.fitCentroidsOn(slice, PqKc).map { case (cid, c) => (m, cid, c) }
     }
   }
+
+  private[graft] def fitPqCodebooks(spark: SparkSession, dir: String,
+      coarse: Seq[(Int, Seq[Long])]): Seq[(Int, Int, Seq[Long])] =
+    fitPqCodebooksOn(emb(spark, dir), coarse)
+
+  /** (m, cid, codeword) rows -> per-slice codebook seq (index m). */
+  private def groupBooks(rows: Seq[(Int, Int, Seq[Long])]): Seq[Seq[(Int, Seq[Long])]] =
+    (0 until PqM).map(m => rows.filter(_._1 == m).map(t => t._2 -> t._3))
+
+  /** Per-slice code expressions over a residual column `r`: argmin over
+    * each slice codebook with the fit's (dist, cid) tie-break — shared by
+    * the inline search ([[pqTopkWhere]]) and the persisted-index encode
+    * ([[encodePq]]) so stored codes are bit-identical to computed ones.
+    */
+  private def pqCodeExprs(bookLits: Seq[String]): Seq[String] =
+    (0 until PqM).map { m =>
+      s"""array_min(transform(${bookLits(m)}, s -> named_struct(
+         |  'dist', aggregate(zip_with(slice(r, ${m * PqSliceDim + 1}, $PqSliceDim),
+         |                             s.c, (a, b) -> (a - b) * (a - b)),
+         |          0L, (acc, x) -> acc + x),
+         |  'cid', s.cid))).cid AS code$m""".stripMargin
+    }
 
   /** Persist the PQ model (PqM×PqKc rows of (m, cid, c)) through the
     * fit/apply discipline; gates the coarse centroid model first, so one
@@ -877,11 +994,9 @@ object Similarity {
     }
   }
 
-  private def loadPqBooks(spark: SparkSession, table: String): Seq[Seq[(Int, Seq[Long])]] = {
-    val rows = spark.table(table).select("m", "cid", "c").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq))
-    (0 until PqM).map(m => rows.filter(_._1 == m).map(t => t._2 -> t._3).toSeq)
-  }
+  private def loadPqBooks(spark: SparkSession, table: String): Seq[Seq[(Int, Seq[Long])]] =
+    groupBooks(spark.table(table).select("m", "cid", "c").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq)).toSeq)
 
   /** ANN search over the IVF-PQ index: fit-once (gated persist), then
     * apply against the stored models.
@@ -931,11 +1046,8 @@ object Similarity {
   private[graft] def pqTopkInline(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame = {
     val coarse = Clustering.fitCentroids(spark, dir)
-    val books = {
-      val rows = fitPqCodebooks(spark, dir, coarse)
-      (0 until PqM).map(m => rows.filter(_._1 == m).map(t => t._2 -> t._3).toSeq)
-    }
-    pqTopkWith(spark, dir, nprobe, coarse, books)
+    pqTopkWith(spark, dir, nprobe, coarse,
+      groupBooks(fitPqCodebooks(spark, dir, coarse)))
   }
 
   private def pqTopkWith(spark: SparkSession, dir: String, nprobe: Int,
@@ -955,13 +1067,7 @@ object Similarity {
     import spark.implicits._
     // corpus: residual -> per-slice code -> reconstruction, all map-only
     val bookLits = books.map(Clustering.centroidExpr)
-    val codeCols = (0 until PqM).map { m =>
-      s"""array_min(transform(${bookLits(m)}, s -> named_struct(
-         |  'dist', aggregate(zip_with(slice(r, ${m * PqSliceDim + 1}, $PqSliceDim),
-         |                             s.c, (a, b) -> (a - b) * (a - b)),
-         |          0L, (acc, x) -> acc + x),
-         |  'cid', s.cid))).cid AS code$m""".stripMargin
-    }
+    val codeCols = pqCodeExprs(bookLits)
     val wordExprs = (0 until PqM)
       .map(m => s"element_at(${bookLits(m)}, code$m + 1).c")
     val e = pqResiduals(spark, dir, coarse)
@@ -1081,6 +1187,376 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  // -------------------------------------------------------------------------
+  // IVF-PQ lifecycle (persisted code index: build -> admit -> forget ->
+  // re-train -> serve — the FAISS train()/add()/remove_ids()/re-train loop)
+  // -------------------------------------------------------------------------
+
+  /** ENCODE arbitrary (vec_id, embedding) content under IN-HAND models —
+    * map-only (coarse centroids and all slice codebooks travel as
+    * literals): each row gets its coarse list id and PqM per-slice codes.
+    * This is the ONLY thing the persisted PQ index stores per vector —
+    * 1 + PqM small ints instead of 64 floats, the compression that makes
+    * a billion-vector index fit executor RAM; original vectors stay in
+    * the base table (the cold store) and are read back only for
+    * re-ranking pools and re-trains.
+    */
+  private def encodePq(content: DataFrame, coarse: Seq[(Int, Seq[Long])],
+      books: Seq[Seq[(Int, Seq[Long])]]): DataFrame = {
+    val codeCols = pqCodeExprs(books.map(Clustering.centroidExpr))
+    pqResidualsOn(content, coarse)
+      .selectExpr(Seq("vec_id", "cluster_id", "r") ++ codeCols: _*)
+      .selectExpr("CAST(cluster_id AS INT) AS cluster_id", "vec_id",
+        s"array(${(0 until PqM).map(m => s"code$m").mkString(", ")}) AS code")
+  }
+
+  /** TRAIN + BUILD the persisted IVF-PQ index: fit the coarse quantizer
+    * on `content` (integer Lloyd), fit the PqM slice codebooks on its
+    * residuals, persist both models, and write the code index
+    * (cluster_id, vec_id, code) BUCKETED by cluster_id — probe joins then
+    * co-locate on the list id with no corpus-side shuffle. The PQ sibling
+    * of [[buildKmeansIvf]].
+    */
+  private[graft] def buildPqIndex(spark: SparkSession, content: DataFrame,
+      table: String, coarseTable: String, booksTable: String,
+      buckets: Int = 8): Unit = {
+    import spark.implicits._
+    val coarse = Clustering.fitCentroidsOn(
+      content.selectExpr("vec_id", Clustering.quantizeSql), Clustering.K)
+    val bookRows = fitPqCodebooksOn(content, coarse)
+    coarse.toDF("cid", "c").write.mode("overwrite").saveAsTable(coarseTable)
+    bookRows.toDF("m", "cid", "c").write.mode("overwrite").saveAsTable(booksTable)
+    encodePq(content, coarse, groupBooks(bookRows))
+      .write.bucketBy(buckets, "cluster_id").saveAsTable(table)
+  }
+
+  /** ADMISSION under the FROZEN models (FAISS `add()` after `train()`):
+    * encode the batch against the persisted coarse centroids + slice
+    * codebooks (two bounded model reads — K and PqM×PqKc rows; the encode
+    * itself is map-only) and append bucket-aligned. O(batch), the
+    * existing index never read or rewritten. Encoding is per-row
+    * deterministic, so any chunking of an arriving stream grows the
+    * identical index — and admission under stale codebooks is exactly
+    * how PQ drift accumulates (yesterday's codebooks quantize today's
+    * distribution); [[retrainPq]] is the repair.
+    */
+  def pqAdmit(batch: DataFrame, table: String, coarseTable: String,
+      booksTable: String, buckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    encodePq(batch, Clustering.loadCentroids(spark, coarseTable),
+        loadPqBooks(spark, booksTable))
+      .write.mode("append").bucketBy(buckets, "cluster_id").saveAsTable(table)
+  }
+
+  /** Continuous admission — the PQ sibling of [[ivfKmeansAdmitStream]]:
+    * each arriving micro-batch is encoded under the frozen models and
+    * appended bucket-aligned. Models are read per batch (bounded rows)
+    * but never written here; re-training is [[retrainPq]]'s job, OUTSIDE
+    * the stream, exactly like the BM25/IVF maintenance discipline.
+    */
+  def pqAdmitStream(newVectors: DataFrame, table: String, coarseTable: String,
+      booksTable: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) pqAdmit(batch.toDF(), table, coarseTable, booksTable)
+      }
+      .start()
+
+  /** Delete the given vec_ids from a persisted PQ index: one atomic
+    * bucket-aligned anti-join rewrite ([[graft.operators.Dedup
+    * .rewriteBucketedTable]] — torn-run recovery inherited). Like
+    * IVF-Flat ([[forgetIvfVectors]]) the code index carries no
+    * cross-vector statistics, so there is nothing derived to rebuild and
+    * no marker window — the single temp+rename IS the whole deletion.
+    * Idempotent; the forget set is the bounded deletion request, hence
+    * broadcast.
+    */
+  def forgetPqVectors(spark: SparkSession, table: String,
+      forgetIds: DataFrame): (Long, Long) =
+    graft.operators.Dedup.rewriteBucketedTable(spark, table, "cluster_id")(
+      _.join(broadcast(forgetIds.select("vec_id")), Seq("vec_id"), "left_anti"))
+
+  /** RE-TRAIN — the codebook-drift repair that closes the PQ lifecycle:
+    * re-fit the coarse quantizer AND all PqM slice codebooks on the
+    * index's CURRENT content, re-encode every surviving vector, rewrite
+    * the index atomically, then publish the new models. Afterwards the
+    * index is BIT-IDENTICAL to one built fresh on the current content
+    * ([[buildPqIndex]] over the survivors) — any history of skewed
+    * admits under stale codebooks and forgets is fully repaired.
+    *
+    * Codes are LOSSY, so the re-fit reads original vectors back from the
+    * base table (the cold store), restricted to surviving index ids —
+    * one id-join per fit/encode pass. That join is the unavoidable cost
+    * of a PQ re-train (FAISS re-trains from raw vectors too); admission
+    * and serving never pay it.
+    *
+    * Ordering: index first, models last (the [[rebalanceIvfIndex]]
+    * discipline). The torn window here is WORSE than IVF's — new codes
+    * decoded with old codebooks reconstruct garbage, so ADC nomination
+    * degrades toward random and recall drops — but served results stay
+    * VALID (the exact re-rank scores original vectors, so returned
+    * distances are always true distances of real pool members), and
+    * re-running the re-train converges: the fit depends only on (base
+    * table, surviving ids), both unchanged by the crash. Model-first
+    * would serve the same garbage window with no idempotent repair
+    * ordering, so index-first is strictly better.
+    */
+  def retrainPq(spark: SparkSession, dir: String, table: String,
+      coarseTable: String, booksTable: String): (Long, Long) = {
+    import spark.implicits._
+    val base = emb(spark, dir).select("vec_id", "embedding")
+    def content(ids: DataFrame): DataFrame =
+      base.join(ids.select("vec_id"), Seq("vec_id"))
+    // current content, not a cached listing (see rebalanceIfSkewed)
+    spark.catalog.refreshTable(table)
+    val cur = content(spark.table(table))
+    val coarse = Clustering.fitCentroidsOn(
+      cur.selectExpr("vec_id", Clustering.quantizeSql), Clustering.K)
+    val bookRows = fitPqCodebooksOn(cur, coarse)
+    val books = groupBooks(bookRows)
+    val files = graft.operators.Dedup.rewriteBucketedTable(spark, table,
+      "cluster_id")(df => encodePq(content(df), coarse, books))
+    coarse.toDF("cid", "c").write.mode("overwrite").saveAsTable(coarseTable)
+    bookRows.toDF("m", "cid", "c").write.mode("overwrite").saveAsTable(booksTable)
+    files
+  }
+
+  /** Serve a persisted PQ index — the apply path over STORED codes:
+    *   - reconstruction is map-only over the bucketed index (models as
+    *     literals: rec = c_list + concat(codewords[code]));
+    *   - queries (index members matching `queryPred`, so forgotten
+    *     vectors neither answer nor ask) take their raw vectors from the
+    *     base table via a broadcast join, rank the K-row coarse literal,
+    *     and are BROADCAST to the corpus — the code index never shuffles;
+    *   - ADC nomination and the exact re-rank are [[pqTopkWhere]]'s
+    *     discipline verbatim: ADC bounds a PqRefine pool per query, then
+    *     ONLY pool rows' original vectors are read back from the base
+    *     table (broadcast pool join) for exact integer scoring.
+    */
+  def pqServe(spark: SparkSession, dir: String, table: String,
+      coarseTable: String, booksTable: String, nprobe: Int = NProbe,
+      refine: Int = PqRefine): DataFrame =
+    pqServeWhere(spark, dir, table,
+      Clustering.loadCentroids(spark, coarseTable),
+      loadPqBooks(spark, booksTable),
+      col("vec_id") % 20 === 0, nprobe, refine)
+
+  private def pqServeWhere(spark: SparkSession, dir: String, table: String,
+      coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]],
+      queryPred: Column, nprobe: Int, refine: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val bookLits = books.map(Clustering.centroidExpr)
+    val wordExprs = (0 until PqM)
+      .map(m => s"element_at(${bookLits(m)}, code[$m] + 1).c")
+    val rec = spark.table(table).withColumn("rec", expr(
+      s"""zip_with(element_at(${Clustering.centroidExpr(coarse)}, cluster_id + 1).c,
+         |  concat(${wordExprs.mkString(", ")}), (a, b) -> a + b)""".stripMargin))
+    val qbase = emb(spark, dir).filter(queryPred)
+      .selectExpr("vec_id", Clustering.quantizeSql)
+    val q = spark.table(table).select("vec_id")
+      .join(broadcast(qbase), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"))
+    val centDF = coarse.sortBy(_._1).toDF("cid", "c")
+    val probeW = Window.partitionBy("q_id").orderBy(col("p_dist"), col("cid"))
+    val probed = q.crossJoin(broadcast(centDF))
+      .withColumn("p_dist", expr(
+        "aggregate(zip_with(q_q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("p_rank", row_number().over(probeW))
+      .filter(col("p_rank") <= nprobe)
+      .select(col("q_id"), col("q_q"), col("cid"))
+    val scored = rec.join(broadcast(probed),
+        rec("cluster_id") === probed("cid") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        "aggregate(zip_with(q_q, rec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+    val pool = scored
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topk(refine)(col("vec_id"), -col("adc_dist").cast("double")).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+    val exact = emb(spark, dir).selectExpr("vec_id", Clustering.quantizeSql)
+      .join(broadcast(pool), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), "q_id")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(q_q, q, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+    exact
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topk(TopK)(col("neighbor_id"), -col("dist").cast("double")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("long").as("dist"))
+      .orderBy("q_id", "rank")
+  }
+
+  private[graft] val PqFgTable = "pq_fg_index"
+  private[graft] val PqFgCoarse = "pq_fg_coarse"
+  private[graft] val PqFgBooks = "pq_fg_books"
+
+  /** `sim_pq_forget`: build the dedicated PQ index on the full corpus,
+    * forget the deletion set, serve. Models stay trained on the ORIGINAL
+    * corpus (forgetting deletes rows, it does not re-train — that is
+    * [[retrainPq]]); the oracle replays the full-corpus fits and
+    * excludes the forgotten vectors from lists and queries. Build +
+    * forget run under the build-then-mutate staleness gate, so
+    * steady-state calls pay only the search.
+    */
+  def pqForget(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).select("vec_id", "embedding")
+    graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
+      "pq-forget:v1")(
+      PqFgCoarse -> (() => ()),
+      PqFgBooks -> (() => ()),
+      PqFgTable -> (() => buildPqIndex(spark, all, PqFgTable, PqFgCoarse,
+        PqFgBooks)))(
+      () => { forgetPqVectors(spark, PqFgTable, forgetVecIds(spark, dir)); () })
+    pqServe(spark, dir, PqFgTable, PqFgCoarse, PqFgBooks)
+  }
+
+  private[graft] val PqRtTable = "pq_rt_index"
+  private[graft] val PqRtCoarse = "pq_rt_coarse"
+  private[graft] val PqRtBooks = "pq_rt_books"
+
+  /** `sim_pq_retrain`: the FULL PQ lifecycle — train + build on
+    * two-thirds of the corpus, admit the remaining third under the
+    * frozen stale codebooks ([[pqAdmit]] — the drift), delete the forget
+    * set, RE-TRAIN ([[retrainPq]] — the repair), serve. Because the
+    * re-train re-fits on current content, the served result must equal
+    * an index built FRESH on exactly (corpus minus forget set) — the
+    * oracle replays that fresh fit; no trace of the skewed history may
+    * survive.
+    */
+  def pqRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val all = emb(spark, dir).select("vec_id", "embedding")
+    graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
+      "pq-retrain:v1")(
+      PqRtCoarse -> (() => ()),
+      PqRtBooks -> (() => ()),
+      PqRtTable -> (() => buildPqIndex(spark,
+        all.filter(col("vec_id") % IvfRbIngestMod =!= 0),
+        PqRtTable, PqRtCoarse, PqRtBooks)))(
+      () => {
+        pqAdmit(all.filter(col("vec_id") % IvfRbIngestMod === 0),
+          PqRtTable, PqRtCoarse, PqRtBooks)
+        forgetPqVectors(spark, PqRtTable, forgetVecIds(spark, dir))
+        retrainPq(spark, dir, PqRtTable, PqRtCoarse, PqRtBooks)
+        ()
+      })
+    pqServe(spark, dir, PqRtTable, PqRtCoarse, PqRtBooks)
+  }
+
+  /** Oracle generator for the PQ lifecycle rows: coarse + slice
+    * codebooks are fit on the `fitPred` rows; the index holds (and
+    * queries are drawn from) the `memberPred` rows. Replays the coarse
+    * Lloyd, the residual slice fits, the member encode under those
+    * models, the ADC search, and the exact re-rank — exact integer
+    * arithmetic end-to-end, mirroring [[pqTopkOracle]] with the fit and
+    * membership sets decoupled (forget shrinks membership, ingest admits
+    * members the fit never saw, re-train collapses both to the same set).
+    */
+  private def pqLifecycleOracle(fitPred: String, memberPred: String): String = {
+    // assignment of an arbitrary (vec_id, q) CTE against a centroid CTE
+    def assignCte(src: String, c: String): String =
+      Clustering.oracleAssignSql(src, c)
+    val sliceFits = (0 until PqM).map { m =>
+      s"""fs$m AS (SELECT vec_id, list_slice(r, ${m * PqSliceDim + 1}, ${(m + 1) * PqSliceDim}) AS q FROM resf),
+         |${Clustering.lloydCtes(s"fs$m", s"b$m", PqSliceDim, PqKc)}""".stripMargin
+    }.mkString(",\n")
+    val memberCodes = (0 until PqM).map { m =>
+      s"""ms$m AS (SELECT vec_id, list_slice(r, ${m * PqSliceDim + 1}, ${(m + 1) * PqSliceDim}) AS q FROM mres),
+         |mc$m AS (${assignCte(s"ms$m", s"b${m}c3")})""".stripMargin
+    }.mkString(",\n")
+    val wordJoins = (0 until PqM).map(m =>
+      s"JOIN mc$m ON mc$m.vec_id = mres.vec_id JOIN b${m}c3 w$m ON w$m.cid = mc$m.cluster_id")
+      .mkString("\n  ")
+    val wordConcat = (0 until PqM).map(m => s"w$m.c").reduce((a, b) => s"list_concat($a, $b)")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Clustering.Scale}) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |qfit AS (SELECT vec_id, q FROM q WHERE $fitPred),
+       |${Clustering.lloydCtes("qfit", "pc", 64, Clustering.K)},
+       |resf AS (
+       |  SELECT f.vec_id,
+       |    list_transform(list_zip(f.q, c.c), x -> x[1] - x[2]) AS r
+       |  FROM qfit f JOIN pca3 a ON a.vec_id = f.vec_id
+       |  JOIN pcc3 c ON c.cid = a.cluster_id
+       |),
+       |$sliceFits,
+       |mem AS (SELECT vec_id, q FROM q WHERE $memberPred),
+       |ma AS (${assignCte("mem", "pcc3")}),
+       |mres AS (
+       |  SELECT m.vec_id, ma.cluster_id,
+       |    list_transform(list_zip(m.q, c.c), x -> x[1] - x[2]) AS r
+       |  FROM mem m JOIN ma ON ma.vec_id = m.vec_id
+       |  JOIN pcc3 c ON c.cid = ma.cluster_id
+       |),
+       |$memberCodes,
+       |rec AS (
+       |  SELECT mres.vec_id, mres.cluster_id,
+       |    list_transform(list_zip(cc.c, $wordConcat), x -> x[1] + x[2]) AS rec
+       |  FROM mres
+       |  JOIN pcc3 cc ON cc.cid = mres.cluster_id
+       |  $wordJoins
+       |),
+       |qv AS (SELECT vec_id AS q_id, q AS q_q FROM mem WHERE vec_id % 20 = 0),
+       |probe AS (
+       |  SELECT q_id, q_q, cid FROM (
+       |    SELECT qv.q_id, qv.q_q, c.cid,
+       |      row_number() OVER (PARTITION BY qv.q_id ORDER BY
+       |        CAST(list_sum(list_transform(list_zip(qv.q_q, c.c),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT), c.cid) AS rn
+       |    FROM qv CROSS JOIN pcc3 c
+       |  ) WHERE rn <= $NProbe
+       |),
+       |scored AS (
+       |  SELECT p.q_id, r.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(p.q_q, r.rec),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS adc_dist
+       |  FROM probe p JOIN rec r ON r.cluster_id = p.cid AND r.vec_id <> p.q_id
+       |),
+       |pool AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS arn
+       |    FROM scored
+       |  ) WHERE arn <= $PqRefine
+       |),
+       |exactd AS (
+       |  SELECT p.q_id, p.neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qv.q_q, e.q),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+       |  FROM pool p JOIN qv ON qv.q_id = p.q_id JOIN q e ON e.vec_id = p.neighbor_id
+       |)
+       |SELECT q_id, rank, neighbor_id, dist FROM (
+       |  SELECT q_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM exactd
+       |)
+       |WHERE rank <= $TopK
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  private def pqSurvivePred: String =
+    s"NOT (vec_id % $IvfForgetMod = $IvfForgetRem)"
+
+  /** Models fit on the full corpus; forgotten vectors excluded from
+    * lists and queries (forget deletes, it does not re-train).
+    */
+  val pqForgetOracle: String = pqLifecycleOracle("TRUE", pqSurvivePred)
+
+  /** Fresh build on the survivors — the bit-identity the re-train must
+    * restore regardless of the skewed admit/forget history.
+    */
+  val pqRetrainOracle: String = pqLifecycleOracle(pqSurvivePred, pqSurvivePred)
+
+  /** Models fit on the build two-thirds; all vectors admitted as members
+    * under those frozen codebooks (the stream-ingest gate's oracle).
+    */
+  val pqIngestOracle: String =
+    pqLifecycleOracle(s"vec_id % $IvfRbIngestMod <> 0", "TRUE")
 
   // -------------------------------------------------------------------------
   // Multi-probe LSH top-k (the data-dependent recall path)

@@ -21,14 +21,39 @@ object Skew {
     * reduce partitions — precisely in the at-scale failure scenario the
     * salt exists for. Content hashing is stable under any replay.
     *
-    * Caveat (documented trade): byte-identical duplicate rows collapse to
-    * one salt, so a hot key whose rows are FULL-ROW identical still
-    * hot-spots. That shape is exact-duplicate volume — the thing
-    * [[Dedup.exact]] removes upstream — while the common skew shape (one
-    * hot key, rows differing in any other column) spreads uniformly.
+    * INPUT CONTRACT (load-bearing, see [[saltedCount]]/[[saltedJoin]]):
+    * byte-identical duplicate rows collapse to ONE salt, so a hot key
+    * whose rows are FULL-ROW identical still hot-spots a single
+    * (key, salt) reducer — the degeneration this helper exists to
+    * prevent. Callers must therefore pass a frame that carries at least
+    * one distinguishing column alongside the key (a row id, an event
+    * timestamp, any payload column — every fact table here has one);
+    * pure-key projections and exact-duplicate-heavy frames are out of
+    * contract (exact-duplicate VOLUME is [[Dedup.exact]]'s job,
+    * upstream). OperatorsSpec pins the spread on the contract shape.
+    *
+    * Only hash-supported column types participate: MapType is excluded
+    * (Spark's hash expressions reject maps by default —
+    * `spark.sql.legacy.allowHashOnMapType`), so a map-carrying frame
+    * salts by its remaining columns instead of throwing AnalysisException.
     */
-  private def contentSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int")
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case a: ArrayType => containsMap(a.elementType)
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
+
+  private[graft] def contentSalt(df: DataFrame, salts: Int): Column = {
+    val hashable = df.schema.fields.filterNot(f => containsMap(f.dataType))
+    require(hashable.nonEmpty,
+      "contentSalt: no hash-supported columns to derive a salt from")
+    pmod(xxhash64(hashable.map(f => col(f.name)).toIndexedSeq: _*),
+      lit(salts.toLong)).cast("int")
+  }
 
   /** Two-stage salted aggregation: count per (key, salt) first — spreading
     * one hot key over `salts` reducers — then sum the partials per key.
@@ -36,7 +61,9 @@ object Skew {
     * distribution changes (integer partial sums are associative, so the
     * two-stage split is exact, unlike float sums). The salt hashes the
     * FULL input row (before the key projection) so rows of one hot key
-    * spread even when the key itself is the hot value.
+    * spread even when the key itself is the hot value — which is also the
+    * input contract: `df` must carry a distinguishing column beyond the
+    * key (see [[contentSalt]]); a keys-only projection defeats the spread.
     */
   def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame = {
     df.withColumn("salt", contentSalt(df, salts))

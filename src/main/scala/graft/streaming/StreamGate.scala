@@ -783,18 +783,49 @@ object StreamGate {
       root.resolve("dimlake").toString, Seq("user_id", "version_no"), 4)
     val joinSchema = Relational.temporalJoinOn(
       Relational.purchaseFacts(events), Relational.scd2Versions(events)).schema
-    // CURRENCY-FENCE expectations, ONE batch build for all grid steps:
-    // chunks are value-chunked on the order key (stageChunkFiles), so a
-    // same-microsecond change group never straddles a chunk boundary and
-    // the prefix-i version build equals the FULL build filtered to the
-    // prefix's max event ts — count and valid_from frontier exactly
-    // (valid_to differs, open vs later-closed, but the fence never reads
-    // it). Re-deriving scd2Versions per prefix cost ~2x the whole gate.
-    val versionFroms = Relational.scd2Versions(events)
-      .select(col("valid_from_us")).cache()
-    val cutoffs = files.map(f =>
-      spark.read.schema(schema).parquet(f.toString)
-        .agg(max(unix_micros(col("ts")))).head().getLong(0))
+    // CURRENCY-FENCE expectations, TWO jobs total for all grid steps
+    // (the r17 form re-aggregated a cached version build once per chunk —
+    // ~2.5 s/run, the gate's whole 2x-vs-r16 regression):
+    //  1. per-chunk event-time cutoffs in ONE pass over the staged files
+    //     (input_file_name groups rows back to their chunk);
+    //  2. ONE aggregation charging each version row to the first chunk
+    //     whose running-max cutoff covers its valid_from (slot = count of
+    //     cutoffs strictly below it, over a <=Chunks-element literal).
+    // Prefix-folding the <=Chunks+1 slot rows on the driver then yields
+    // every grid step's (expected count, max valid_from) as running
+    // scalars. Chunks are value-chunked on the order key
+    // (stageChunkFiles), so a same-microsecond change group never
+    // straddles a boundary and the prefix-i version build equals the FULL
+    // build filtered to the prefix's max event ts — count and valid_from
+    // frontier exactly (valid_to differs, open vs later-closed, but the
+    // fence never reads it).
+    val cutoffByFile = spark.read.schema(schema)
+      .parquet(files.map(_.toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(max(unix_micros(col("ts"))).as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cutoffs = files.map { f =>
+      val name = f.getFileName.toString
+      cutoffByFile.collectFirst { case (uri, hi) if uri.endsWith(name) => hi }
+        .getOrElse(throw new IllegalStateException(
+          s"temporalJoinLive: no cutoff for staged chunk $name"))
+    }
+    // running-max cutoffs: the fence compares against the PREFIX frontier
+    val cuts = cutoffs.scanLeft(Long.MinValue)(math.max).tail
+    val cutsLit = s"array(${cuts.mkString("L, ")}L)"
+    val slotRows = Relational.scd2Versions(events)
+      .select(col("valid_from_us"))
+      .withColumn("slot", expr(
+        s"aggregate($cutsLit, 0, (acc, c) -> acc + IF(c < valid_from_us, 1, 0))"))
+      .groupBy("slot")
+      .agg(count(lit(1)).as("n"), max("valid_from_us").as("hi"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    // expected (count, frontier) after each chunk prefix — driver fold
+    val expectAt: Seq[(Long, Long)] = cuts.indices.map { i =>
+      val covered = (0 to i).flatMap(slotRows.get)
+      (covered.map(_._1).sum,
+        if (covered.isEmpty) Long.MinValue else covered.map(_._2).max)
+    }
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     try {
       withGateParallelism(spark, GateStatePartitions) {
@@ -820,22 +851,20 @@ object StreamGate {
             // both. A lost dim chunk (the replay race this gate once had)
             // or a stale lake read fails HERE, loudly, instead of
             // surfacing as a nondeterministic hash mismatch downstream.
-            val cut = cutoffs.take(i + 1).max
-            val expect = versionFroms.filter(col("valid_from_us") <= cut)
-              .agg(count(lit(1)).as("n"), max(col("valid_from_us")).as("hi")).head()
-            if (expect.getLong(0) > 0L) {
+            val (expectN, expectHi) = expectAt(i)
+            if (expectN > 0L) {
               val got = lake.snapshot(spark)
                 .agg(count(lit(1)).as("n"), max(col("valid_from_us")).as("hi")).head()
-              if (got.getLong(0) != expect.getLong(0) || got.getLong(1) != expect.getLong(1))
+              if (got.getLong(0) != expectN || got.getLong(1) != expectHi)
                 throw new IllegalStateException(
                   s"temporalJoinLive: version lake not current after dim chunk $i — " +
-                    s"expected (count=${expect.getLong(0)}, maxValidFrom=${expect.getLong(1)}), " +
+                    s"expected (count=$expectN, maxValidFrom=$expectHi), " +
                     s"lake has (count=${got.getLong(0)}, maxValidFrom=${got.getLong(1)})")
             }
             atomicFeed(f, factWatch, Some((i + 1) * 60000L))
             factQ.processAllAvailable()
           }
-        } finally { dimQ.stop(); factQ.stop(); versionFroms.unpersist(); () }
+        } finally { dimQ.stop(); factQ.stop(); () }
       }
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(buf.synchronized(buf.toList).asJava, joinSchema)
@@ -872,6 +901,40 @@ object StreamGate {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(acc.values.toList.asJava, schema)
       .orderBy("user_id", "version_no")
+  }
+
+  /** The incremental SCD2 build again, through `transformWithState`
+    * ([[Scd2StreamV2]], RocksDB-backed) — the LAST
+    * flatMapGroupsWithState-only stateful operator migrated to the modern
+    * API, gated against the SAME rel_scd2_build oracle as [[scd2Build]]:
+    * same fold cursor, same upsert-changelog contract, same final fold.
+    */
+  def scd2BuildV2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val stream = replayCached(spark, s"evnonpurch|$dir")(
+      (Tables.load(spark, dir, "events").filter(col("event_type") =!= "purchase"),
+        unix_micros(col("ts"))))
+    val schema = Relational.scd2Build(spark, dir).schema
+    val ck = gateTmp("graft-gate-scd2v2-ck")
+    val acc = scala.collection.concurrent.TrieMap.empty[(Long, Int), Row]
+    try {
+      withRocksDb(spark) {
+        withGateParallelism(spark, GateStatePartitions) {
+          val q = Scd2StreamV2.scd2Stream(stream).toDF().writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ck.toString)
+            .foreachBatch { (b: Dataset[Row], _: Long) =>
+              b.collect().foreach(r => acc((r.getLong(0), r.getInt(4))) = r)
+              ()
+            }
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(acc.values.toList.asJava, schema)
+        .orderBy("user_id", "version_no")
+    } finally rmrf(ck)
   }
 
   /** CONTINUOUS CORPUS-DRIFT MONITORING under the hard gate: the
@@ -967,6 +1030,136 @@ object StreamGate {
       materialize(Similarity.ivfKmeansServe(spark, table, model))
         .orderBy("q_id", "rank")
     } finally { Seq(table, model).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); () }
+  }
+
+  /** CONTINUOUS PQ ADMISSION under the hard gate — FAISS
+    * `add()`-after-`train()` live, on the COMPRESSED index: the coarse
+    * quantizer and all slice codebooks are trained on two-thirds of the
+    * corpus and FROZEN; the remaining third arrives as a replayed stream,
+    * encoded and appended under those stale codebooks
+    * ([[graft.operators.Similarity.pqAdmitStream]] — each batch pays two
+    * bounded model reads and a map-only encode). The served result must
+    * equal an index whose models were fit on the build subset but whose
+    * membership is the FULL corpus (the pqIngestOracle) for ANY chunking
+    * of the stream: encoding under frozen models is per-row
+    * deterministic, so every chunking grows the identical code index.
+    */
+  def pqIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val id = runId.incrementAndGet()
+    val (table, coarseT, booksT) =
+      (s"gate_pq_index_$id", s"gate_pq_coarse_$id", s"gate_pq_books_$id")
+    Seq(table, coarseT, booksT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val all = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val stream = replayCached(spark, s"embrb|$dir", chunks = 3)(
+      (all.filter(col("vec_id") % Similarity.IvfRbIngestMod === 0), col("vec_id")))
+    try {
+      Similarity.buildPqIndex(spark,
+        all.filter(col("vec_id") % Similarity.IvfRbIngestMod =!= 0),
+        table, coarseT, booksT)
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = Similarity.pqAdmitStream(stream, table, coarseT, booksT)
+        try q.processAllAvailable() finally q.stop()
+      }
+      materialize(Similarity.pqServe(spark, dir, table, coarseT, booksT))
+        .orderBy("q_id", "rank")
+    } finally {
+      Seq(table, coarseT, booksT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); ()
+    }
+  }
+
+  /** THE REBALANCE POLICY DECIDING UNDER LIVE INGEST — the maintenance
+    * loop a standing ANN index actually runs, with the trigger making
+    * real decisions instead of the forced re-train
+    * ([[ivfRebalance]] calls rebalanceIvfIndex unconditionally):
+    *   - train + build on two-thirds; the remaining third arrives as a
+    *     replayed stream admitted under the live model;
+    *   - after EVERY chunk, a maintenance window runs
+    *     [[graft.operators.Similarity.rebalanceIfSkewed]] at the
+    *     calibrated threshold ([[graft.operators.Similarity
+    *     .IvfPolicySkewMax]]): uniform arrivals keep skew near 1.1-1.4,
+    *     so these windows must SKIP — steady state pays only the K-row
+    *     histogram;
+    *   - then one tenant leaves: every vector the COMMISSIONING model
+    *     assigns to its [[graft.operators.Similarity
+    *     .IvfPolicyDoomedLists]] smallest lists is deleted in one atomic
+    *     map-only-predicate rewrite (no id list is ever collected or
+    *     broadcast — the model travels as a K-struct literal, the
+    *     scale-correct shape for a data-proportional deletion);
+    *   - the post-forget window measures the hollowed index (skew
+    *     ~2.1-2.4) and must FIRE the re-train; a skip here is a loud
+    *     IllegalStateException, not a downstream hash mismatch.
+    * The served result must equal an index trained FRESH on the
+    * survivors (ivfPolicyOracle) for ANY schedule of mid-stream
+    * decisions: a fired re-train is bit-identical to a fresh fit on
+    * current content, a skip changes nothing, and membership is
+    * schedule-independent (admission never drops rows; the forget
+    * predicate depends only on the frozen commissioning model).
+    * IvfRebalanceSpec asserts the decision log carries both outcomes.
+    */
+  def ivfPolicy(spark: SparkSession, dir: String): DataFrame =
+    ivfPolicyWithLog(spark, dir)._1
+
+  private[graft] def ivfPolicyWithLog(spark: SparkSession,
+      dir: String): (DataFrame, Seq[(Double, Boolean)]) = {
+    import graft.operators.{Clustering, Dedup, Similarity}
+    val id = runId.incrementAndGet()
+    val (table, model) = (s"gate_pol_index_$id", s"gate_pol_model_$id")
+    Seq(table, model).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val all = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val files = stagedFilesCached(spark, s"embrb|$dir", chunks = 3)(
+      (all.filter(col("vec_id") % Similarity.IvfRbIngestMod === 0), col("vec_id")))
+    val root = gateTmp("graft-gate-ivfpolicy")
+    val watched = root.resolve("watched")
+    Files.createDirectories(watched)
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+    try {
+      Similarity.buildKmeansIvf(spark,
+        all.filter(col("vec_id") % Similarity.IvfRbIngestMod =!= 0), table, model)
+      // the commissioning model, held for the forget predicate: the
+      // tenant is defined by the model that admitted it, not by whatever
+      // model a mid-stream re-train may have installed since
+      val initCents = Clustering.loadCentroids(spark, model)
+      withGateParallelism(spark, GateStatePartitions) {
+        val stream = spark.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val q = Similarity.ivfKmeansAdmitStream(stream, table, model)
+        try files.foreach { f =>
+          atomicFeed(f, watched, None)
+          q.processAllAvailable()
+          // MAINTENANCE WINDOW: the policy decides per chunk
+          decisions += Similarity.rebalanceIfSkewed(spark, table, model,
+            Similarity.IvfPolicySkewMax)
+        } finally q.stop()
+      }
+      // the hollow-out: delete the doomed tenant by re-deriving each
+      // row's commissioning assignment (map-only against the K-struct
+      // literal) inside the atomic rewrite
+      val doomed = Clustering.withAssignment(
+          all.selectExpr("vec_id", Clustering.quantizeSql), initCents)
+        .groupBy(col("best.cid").as("cid")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy { case (cid, n) => (n, cid) }
+        .take(Similarity.IvfPolicyDoomedLists).map(_._1).toSeq
+      Dedup.rewriteBucketedTable(spark, table, "cluster_id")(df =>
+        Clustering.withAssignment(
+            df.selectExpr("cluster_id", "vec_id", "embedding", "nrm",
+              Clustering.quantizeSql), initCents)
+          .filter(!col("best.cid").isin(doomed: _*)))
+      val (skew, fired) = Similarity.rebalanceIfSkewed(spark, table, model,
+        Similarity.IvfPolicySkewMax)
+      decisions += ((skew, fired))
+      if (!fired)
+        throw new IllegalStateException(
+          s"ivfPolicy: post-forget window measured skew $skew <= " +
+            s"${Similarity.IvfPolicySkewMax} and skipped the re-train — " +
+            "the hollowed index would serve under a stale model")
+      (materialize(Similarity.ivfKmeansServe(spark, table, model))
+        .orderBy("q_id", "rank"), decisions.toSeq)
+    } finally {
+      rmrf(root)
+      Seq(table, model).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); ()
+    }
   }
 
   /** CONTINUOUS HYBRID SERVING under the hard gate: retrieval queries

@@ -1215,9 +1215,15 @@ object Scd2Stream {
   case class Scd2Version(user_id: Long, seg: String, valid_from_us: Long,
       valid_to_us: Long, version_no: Int)
 
-  private def update(key: Long, rows: Iterator[Scd2Event],
-      state: GroupState[Scd2State]): Iterator[Scd2Version] = {
-    val prev = state.getOption.getOrElse(Scd2State(null, null, 0L, 0))
+  /** The per-batch fold cursor, shared verbatim by the V1
+    * (flatMapGroupsWithState) and V2 (transformWithState) forms: change
+    * detection against the previous EVENT in (ts, id) order,
+    * same-microsecond changes collapsed to the last event (the batch
+    * build's uniq step), upserts keyed by version_no (each key at most
+    * once per batch). Returns (next state, emissions).
+    */
+  private[streaming] def fold(key: Long, rows: Iterator[Scd2Event],
+      prev: Scd2State): (Scd2State, List[Scd2Version]) = {
     // change detection runs against the previous EVENT in (ts, id) order
     var prevSeg = prev.prevSeg
     val changes = scala.collection.mutable.ArrayBuffer.empty[Scd2Event]
@@ -1236,12 +1242,27 @@ object Scd2Stream {
       openVer += 1; openSeg = c.seg; openFrom = c.ts_us
       out(openVer) = Scd2Version(key, openSeg, openFrom, Scd2OpenUs, openVer)
     }
-    state.update(Scd2State(prevSeg, openSeg, openFrom, openVer))
-    out.valuesIterator.toList.iterator
+    (Scd2State(prevSeg, openSeg, openFrom, openVer), out.valuesIterator.toList)
+  }
+
+  private def update(key: Long, rows: Iterator[Scd2Event],
+      state: GroupState[Scd2State]): Iterator[Scd2Version] = {
+    val (next, out) = fold(key, rows,
+      state.getOption.getOrElse(Scd2State(null, null, 0L, 0)))
+    state.update(next)
+    out.iterator
   }
 
   /** Non-purchase events stream (raw rows) -> SCD2 upsert changelog. */
   def scd2Stream(events: DataFrame): Dataset[Scd2Version] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    scd2Events(events)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+  }
+
+  private[streaming] def scd2Events(events: DataFrame): Dataset[Scd2Event] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -1249,7 +1270,47 @@ object Scd2Stream {
       .select(col("user_id"), col("event_type").as("seg"),
         unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .as[Scd2Event]
+  }
+}
+
+/** [[Scd2Stream]] again, on Spark 4's `transformWithState` — the last
+  * flatMapGroupsWithState-only stateful operator migrated to the modern
+  * arbitrary-state API (RocksDB-backed, like the TTL/Q3/funnel/cascade V2
+  * twins): the SAME per-key fold cursor ([[Scd2Stream.fold]] — previous
+  * event's seg + the open version, 2 strings + 2 longs per key) and the
+  * same upsert-changelog emission contract, so it gates against the same
+  * rel_scd2_build oracle as the V1 form. No timers: the SCD2 maintainer
+  * reacts only to arriving change rows, never to time passing.
+  */
+object Scd2StreamV2 {
+  import Scd2Stream.{Scd2Event, Scd2State, Scd2Version, fold, scd2Events}
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  class Processor extends StatefulProcessor[Long, Scd2Event, Scd2Version] {
+    @transient private var state: ValueState[Scd2State] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Scd2State]("scd2",
+        Encoders.product[Scd2State], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Scd2Event],
+        timers: TimerValues): Iterator[Scd2Version] = {
+      val (next, out) = fold(key, rows,
+        if (state.exists()) state.get() else Scd2State(null, null, 0L, 0))
+      state.update(next)
+      out.iterator
+    }
+  }
+
+  /** Non-purchase events stream -> SCD2 upsert changelog (update mode),
+    * V2 API. Requires the RocksDB state-store provider on the session.
+    */
+  def scd2Stream(events: DataFrame): Dataset[Scd2Version] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    scd2Events(events)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(update)
+      .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -169,4 +169,23 @@ class IvfRebalanceSpec extends SparkSpec {
       assert(skewAfter < skewBefore)
     } finally Seq(Table, Model).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("policy gate: uniform ingest windows SKIP, the hollowed-index window FIRES") {
+    // the stream_ivf_policy gate end-to-end at the spec SF, with the
+    // decision log exposed: three maintenance windows during uniform
+    // admission must each pay only the K-row histogram (skew stays in the
+    // measured 1.1-1.4 steady band, under the 1.7 threshold), and the
+    // post-forget window must fire the re-train (skew ~2.2-2.4)
+    val (served, decisions) =
+      graft.streaming.StreamGate.ivfPolicyWithLog(spark, Sf0001)
+    info(s"decisions: ${decisions.map { case (s, f) => f"$s%.3f->" + (if (f) "FIRE" else "skip") }.mkString(", ")}")
+    assert(decisions.length === 4, "3 ingest windows + 1 post-forget window")
+    assert(decisions.init.forall(!_._2),
+      s"a uniform-admission window fired: $decisions")
+    assert(decisions.last._2, s"the hollowed-index window skipped: $decisions")
+    assert(decisions.init.map(_._1).forall(s => s > 1.0 && s < Similarity.IvfPolicySkewMax))
+    assert(decisions.last._1 > Similarity.IvfPolicySkewMax)
+    val n = served.count()
+    assert(n > 0 && n % Similarity.TopK === 0, s"served $n rows")
+  }
 }

@@ -358,15 +358,27 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("salted aggregation equals direct aggregation on a hot-key distribution") {
-    // 90% of rows share one key — the shape that melts a single reducer
+    // 90% of rows share one key — the shape that melts a single reducer.
+    // The frame keeps its row id: contentSalt's input contract requires a
+    // distinguishing column alongside the key (a keys-only projection has
+    // byte-identical hot rows, which all hash to ONE salt — the
+    // degeneration the spread assertion below would catch).
     val skewed = spark.range(100000)
-      .selectExpr("CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 97) END AS k")
+      .selectExpr("id",
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 97) END AS k")
     val direct = skewed.groupBy("k").count()
       .as[(String, Long)].collect().toMap
     val salted = Skew.saltedCount(skewed, col("k"), salts = 16)
       .as[(String, Long)].collect().toMap
     assert(salted === direct)
     assert(direct("hot") === 90000L)
+    // the skew-mitigation contract itself: the hot key's 90k rows must
+    // actually SPREAD over the salt space, not collapse to one reducer
+    val hotSpread = skewed.filter(col("k") === "hot")
+      .select(Skew.contentSalt(skewed, 16).as("salt"))
+      .distinct().count()
+    assert(hotSpread === 16L,
+      s"hot key spread over $hotSpread of 16 salts — salting degenerated")
   }
 
   test("sessionization: session bounds respect the 30-min gap") {

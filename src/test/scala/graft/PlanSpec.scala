@@ -202,6 +202,27 @@ class PlanSpec extends SparkSpec {
     assert(bnl <= 1, s"corpus-side nested loop crept in ($bnl):\n${p.take(1200)}")
   }
 
+  test("PQ serve over stored codes: same join discipline as the inline search") {
+    // the persisted-code apply path (the lifecycle family's serving tier):
+    // reconstruction is map-only over the bucketed code index, probes and
+    // pools broadcast, the index never cross-joins or shuffles for a join
+    spark.sql("DROP TABLE IF EXISTS planspec_pq_t")
+    spark.sql("DROP TABLE IF EXISTS planspec_pq_c")
+    spark.sql("DROP TABLE IF EXISTS planspec_pq_b")
+    Similarity.buildPqIndex(spark,
+      graft.core.Tables.load(spark, Sf0001, "embeddings")
+        .select("vec_id", "embedding"),
+      "planspec_pq_t", "planspec_pq_c", "planspec_pq_b")
+    val p = plan(Similarity.pqServe(spark, Sf0001,
+      "planspec_pq_t", "planspec_pq_c", "planspec_pq_b"))
+    assert(!p.contains("CartesianProduct"),
+      s"PQ serve must never cross-join the code index:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe/refine must broadcast the small side:\n${p.take(800)}")
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"index-side nested loop crept in ($bnl):\n${p.take(1200)}")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
     import org.apache.spark.sql.functions._
     val restore = Seq(

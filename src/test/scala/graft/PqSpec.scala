@@ -79,4 +79,97 @@ class PqSpec extends SparkSpec {
     assert(atFull >= atProbe, s"full-probe recall $atFull < nprobe recall $atProbe")
     assert(atFull > 0.35, s"full-probe recall $atFull")
   }
+
+  // ---------------------------------------------------------------------
+  // Lifecycle verbs (persisted code index: build/admit/forget/retrain)
+  // ---------------------------------------------------------------------
+
+  private def allVecs(dir: String) =
+    Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+
+  private def dropAll(names: String*): Unit =
+    names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private def indexContent(table: String): Seq[(Int, Long, Seq[Int])] =
+    spark.table(table).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Int](2).toSeq)).toSeq
+      .sortBy(t => (t._1, t._2))
+
+  private def modelContent(table: String): Seq[Seq[Any]] =
+    spark.table(table).collect().map(_.toSeq.map {
+      case s: Seq[_] => s.toList
+      case x => x
+    }).toSeq.sortBy(_.toString)
+
+  test("pq serve over stored codes equals the inline search (same models, same membership)") {
+    dropAll("pqspec_sv_t", "pqspec_sv_c", "pqspec_sv_b")
+    Similarity.buildPqIndex(spark, allVecs(Sf0001),
+      "pqspec_sv_t", "pqspec_sv_c", "pqspec_sv_b")
+    val served = Similarity.pqServe(spark, Sf0001,
+      "pqspec_sv_t", "pqspec_sv_c", "pqspec_sv_b").collect().toSeq
+    val inline = Similarity.pqTopkInline(spark, Sf0001, Similarity.NProbe)
+      .collect().toSeq
+    assert(served.nonEmpty && served === inline)
+  }
+
+  test("pq admission under frozen codebooks is chunking-invariant and matches the one-shot admit") {
+    val all = allVecs(Sf0001)
+    val build = all.filter(col("vec_id") % Similarity.IvfRbIngestMod =!= 0)
+    val ing = all.filter(col("vec_id") % Similarity.IvfRbIngestMod === 0)
+    dropAll("pqspec_a1_t", "pqspec_a1_c", "pqspec_a1_b",
+      "pqspec_a3_t", "pqspec_a3_c", "pqspec_a3_b")
+    Similarity.buildPqIndex(spark, build, "pqspec_a1_t", "pqspec_a1_c", "pqspec_a1_b")
+    Similarity.pqAdmit(ing, "pqspec_a1_t", "pqspec_a1_c", "pqspec_a1_b")
+    Similarity.buildPqIndex(spark, build, "pqspec_a3_t", "pqspec_a3_c", "pqspec_a3_b")
+    (0 until 3).foreach { i =>
+      // ing ids are all ≡ 0 (mod 3); chunk by the quotient instead
+      Similarity.pqAdmit(ing.filter((col("vec_id") / 3) % 3 === i),
+        "pqspec_a3_t", "pqspec_a3_c", "pqspec_a3_b")
+    }
+    val one = indexContent("pqspec_a1_t")
+    val three = indexContent("pqspec_a3_t")
+    assert(one.nonEmpty && one === three)
+    // and the admitted rows are genuinely new members, not re-encodes
+    assert(one.map(_._2).toSet === all.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("pq forget removes exactly the requested ids, leaves other codes untouched, idempotent") {
+    dropAll("pqspec_fg_t", "pqspec_fg_c", "pqspec_fg_b")
+    Similarity.buildPqIndex(spark, allVecs(Sf0001),
+      "pqspec_fg_t", "pqspec_fg_c", "pqspec_fg_b")
+    val before = indexContent("pqspec_fg_t")
+    val forgetIds = allVecs(Sf0001).select("vec_id")
+      .filter(col("vec_id") % Similarity.IvfForgetMod === Similarity.IvfForgetRem)
+    val gone = forgetIds.collect().map(_.getLong(0)).toSet
+    Similarity.forgetPqVectors(spark, "pqspec_fg_t", forgetIds)
+    val after = indexContent("pqspec_fg_t")
+    assert(after === before.filterNot(t => gone(t._2)))
+    Similarity.forgetPqVectors(spark, "pqspec_fg_t", forgetIds)
+    assert(indexContent("pqspec_fg_t") === after, "second forget not a no-op")
+  }
+
+  test("pq retrain is bit-identical to a fresh build on the current content") {
+    val all = allVecs(Sf0001)
+    val build = all.filter(col("vec_id") % Similarity.IvfRbIngestMod =!= 0)
+    val ing = all.filter(col("vec_id") % Similarity.IvfRbIngestMod === 0)
+    val survivors = all.filter(
+      !(col("vec_id") % Similarity.IvfForgetMod === Similarity.IvfForgetRem))
+    dropAll("pqspec_rt_t", "pqspec_rt_c", "pqspec_rt_b",
+      "pqspec_fr_t", "pqspec_fr_c", "pqspec_fr_b")
+    // the skewed history: stale-model admits, then a forget
+    Similarity.buildPqIndex(spark, build, "pqspec_rt_t", "pqspec_rt_c", "pqspec_rt_b")
+    Similarity.pqAdmit(ing, "pqspec_rt_t", "pqspec_rt_c", "pqspec_rt_b")
+    Similarity.forgetPqVectors(spark, "pqspec_rt_t",
+      all.select("vec_id").filter(
+        col("vec_id") % Similarity.IvfForgetMod === Similarity.IvfForgetRem))
+    Similarity.retrainPq(spark, Sf0001, "pqspec_rt_t", "pqspec_rt_c", "pqspec_rt_b")
+    // the reference: a fresh build on exactly the surviving content
+    Similarity.buildPqIndex(spark, survivors, "pqspec_fr_t", "pqspec_fr_c", "pqspec_fr_b")
+    assert(indexContent("pqspec_rt_t") === indexContent("pqspec_fr_t"),
+      "re-trained index differs from a fresh build on the same content")
+    assert(modelContent("pqspec_rt_c") === modelContent("pqspec_fr_c"),
+      "re-trained coarse model differs from a fresh fit")
+    assert(modelContent("pqspec_rt_b") === modelContent("pqspec_fr_b"),
+      "re-trained codebooks differ from a fresh fit")
+  }
 }

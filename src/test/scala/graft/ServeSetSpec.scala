@@ -17,28 +17,48 @@ import graft.operators.{Similarity, TextAnalysis}
   */
 class ServeSetSpec extends SparkSpec {
 
-  /** Build `df` while counting Spark jobs; a leaked collect fails. The
-    * only jobs allowed through are parquet FOOTER reads (stage name
-    * `parquet at Tables.scala`) — schema inference at `spark.read`
-    * construction is bounded metadata work (one footer per source),
-    * categorically different from the data-proportional id collect this
-    * pin exists to forbid.
+  /** Build `df` while metering every Spark job's task metrics; a leaked
+    * collect fails. The pin is STRUCTURAL, not name-based (the r17 form
+    * whitelisted the stage-name substring `parquet at Tables.scala`,
+    * which both breaks on call-site moves and would silently bless a
+    * real collect at that site): the only jobs allowed through are ones
+    * whose tasks read ZERO input records and ZERO shuffle records —
+    * parquet FOOTER reads at `spark.read` construction are bounded
+    * metadata work with no row input, categorically different from the
+    * data-proportional id collect this pin exists to forbid, which must
+    * scan its source (input records > 0) or shuffle to rank it.
     */
   private def assertCollectFree[T](label: String)(mk: => T): T = {
-    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    import org.apache.spark.scheduler.SparkListenerTaskEnd
+    val jobName = scala.collection.concurrent.TrieMap.empty[Int, String]
+    val stageJob = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val jobRecords = scala.collection.concurrent.TrieMap.empty[Int, Long]
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        names.add(j.stageInfos.map(_.name).mkString(" | ")); ()
+        jobName(j.jobId) = j.stageInfos.map(_.name).mkString(" | ")
+        j.stageIds.foreach(sid => stageJob(sid) = j.jobId)
+        ()
+      }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val rows = Option(t.taskMetrics).map(m =>
+          m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead)
+          .getOrElse(0L)
+        stageJob.get(t.stageId).foreach { jid =>
+          jobRecords(jid) = jobRecords.getOrElse(jid, 0L) + rows
+        }
+        ()
       }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       val out = mk
       org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark.sparkContext, 30000)
-      val dataJobs = names.toArray(Array.empty[String])
-        .filterNot(_.contains("parquet at Tables.scala"))
+      val dataJobs = jobName.toSeq.collect {
+        case (jid, name) if jobRecords.getOrElse(jid, 0L) > 0L =>
+          s"$name (${jobRecords(jid)} records)"
+      }
       assert(dataJobs.isEmpty,
-        s"$label plan construction ran ${dataJobs.length} non-footer jobs — " +
+        s"$label plan construction ran ${dataJobs.length} row-reading jobs — " +
           s"a collect leaked in: ${dataJobs.mkString("[", " /// ", "]")}")
       out
     } finally spark.sparkContext.removeSparkListener(listener)
