@@ -65,7 +65,7 @@ class CurationSpec extends SparkSpec {
     val expectedDups = spark.read.parquet(s"$Sf0001/documents.parquet")
       .groupBy((col("doc_id") % 3).as("k"), col("text")).count()
       .filter(col("count") > 1)
-      .agg(coalesce(sum(col("count") - 1), lit(0L))).head.getLong(0)
+      .agg(coalesce(sum(col("count") - 1), lit(0L))).head().getLong(0)
     assert(feats.count(f => !f._4).toLong === expectedDups)
   }
 

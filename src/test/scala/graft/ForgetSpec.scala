@@ -40,7 +40,7 @@ class ForgetSpec extends SparkSpec {
       // contract
       def folded(t: String) = spark.table(t)
         .agg(sum("n_docs").cast("bigint"), sum("sum_dl").cast("bigint"))
-        .head.toString
+        .head().toString
       assert(folded(a(2)) === folded(b(2)), "folded stats differ")
       // and no forgotten doc survives anywhere
       assert(spark.table(a(0))

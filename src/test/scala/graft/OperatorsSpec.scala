@@ -1057,7 +1057,7 @@ class OperatorsSpec extends SparkSpec {
       val n = out.count().toDouble
       val acc = out.filter(col("hit")).count() / n
       val prior = out.groupBy("lang").count()
-        .agg(max("count")).head.getLong(0) / n
+        .agg(max("count")).head().getLong(0) / n
       // the fixture langs share one vocabulary and differ only in token
       // frequencies (measured: acc 0.438 vs prior 0.386 at this SF) — the
       // learned frequency signal must still beat always-guess-majority,

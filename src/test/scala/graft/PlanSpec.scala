@@ -206,9 +206,7 @@ class PlanSpec extends SparkSpec {
     // the persisted-code apply path (the lifecycle family's serving tier):
     // reconstruction is map-only over the bucketed code index, probes and
     // pools broadcast, the index never cross-joins or shuffles for a join
-    spark.sql("DROP TABLE IF EXISTS planspec_pq_t")
-    spark.sql("DROP TABLE IF EXISTS planspec_pq_c")
-    spark.sql("DROP TABLE IF EXISTS planspec_pq_b")
+    dropTables("planspec_pq_t", "planspec_pq_c", "planspec_pq_b")
     Similarity.buildPqIndex(spark,
       graft.core.Tables.load(spark, Sf0001, "embeddings")
         .select("vec_id", "embedding"),

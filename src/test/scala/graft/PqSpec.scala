@@ -87,8 +87,7 @@ class PqSpec extends SparkSpec {
   private def allVecs(dir: String) =
     Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
 
-  private def dropAll(names: String*): Unit =
-    names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  private def dropAll(names: String*): Unit = dropTables(names: _*)
 
   private def indexContent(table: String): Seq[(Int, Long, Seq[Int])] =
     spark.table(table).collect()

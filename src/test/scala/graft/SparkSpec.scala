@@ -9,6 +9,24 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
 
   val Sf0001 = "/root/testdata/sf0.001"
+
+  /** Drop test tables AND scrub their managed warehouse locations: a
+    * previous JVM's run registers nothing in this run's catalog, so
+    * `DROP TABLE IF EXISTS` alone is a no-op while the directory survives
+    * and the next `saveAsTable` dies with LOCATION_ALREADY_EXISTS.
+    */
+  def dropTables(names: String*): Unit = names.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, t)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(loc)
+    }
+  }
 }
 
 object SparkSpec {
