@@ -1455,7 +1455,19 @@ object Similarity {
     * membership sets decoupled (forget shrinks membership, ingest admits
     * members the fit never saw, re-train collapses both to the same set).
     */
-  private def pqLifecycleOracle(fitPred: String, memberPred: String): String = {
+  private def pqLifecycleOracle(fitPred: String, memberPred: String): String =
+    pqLifecycleOracleFrom(
+      s"""qfit AS (SELECT vec_id, q FROM q WHERE $fitPred),
+         |mem AS (SELECT vec_id, q FROM q WHERE $memberPred)""".stripMargin)
+
+  /** The generator's general form: `prelude` supplies the CTEs `qfit`
+    * (the fit content) and `mem` (the index membership), each (vec_id, q),
+    * derived however the scenario needs — simple predicates
+    * ([[pqLifecycleOracle]]) or a replayed commissioning model + doomed
+    * lists ([[pqPolicyOracle]]). A `q` CTE with the full quantized corpus
+    * is always in scope (the exact re-rank reads original vectors).
+    */
+  private def pqLifecycleOracleFrom(prelude: String): String = {
     // assignment of an arbitrary (vec_id, q) CTE against a centroid CTE
     def assignCte(src: String, c: String): String =
       Clustering.oracleAssignSql(src, c)
@@ -1476,7 +1488,7 @@ object Similarity {
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${Clustering.Scale}) AS BIGINT)) AS q
        |  FROM embeddings
        |),
-       |qfit AS (SELECT vec_id, q FROM q WHERE $fitPred),
+       |$prelude,
        |${Clustering.lloydCtes("qfit", "pc", 64, Clustering.K)},
        |resf AS (
        |  SELECT f.vec_id,
@@ -1485,7 +1497,6 @@ object Similarity {
        |  JOIN pcc3 c ON c.cid = a.cluster_id
        |),
        |$sliceFits,
-       |mem AS (SELECT vec_id, q FROM q WHERE $memberPred),
        |ma AS (${assignCte("mem", "pcc3")}),
        |mres AS (
        |  SELECT m.vec_id, ma.cluster_id,
@@ -1538,6 +1549,57 @@ object Similarity {
        |WHERE rank <= $TopK
        |ORDER BY q_id, rank""".stripMargin
   }
+
+  /** Skew-TRIGGERED PQ re-train — [[rebalanceIfSkewed]]'s sibling for the
+    * compressed index: the PQ coarse lists are the same learned-kmeans
+    * clusters, so the same K-row cluster_id histogram over the bucketed
+    * code index is the drift symptom (hot coarse lists = hot ADC scans =
+    * tail latency), with the same calibrated threshold
+    * ([[IvfPolicySkewMax]] — identical fit, identical size distribution).
+    * When it fires, [[retrainPq]] repairs BOTH quantizer levels: the
+    * coarse re-fit rebalances the lists and the slice codebooks re-fit on
+    * the new residual distribution — the codebook-drift repair the coarse
+    * histogram is the observable proxy for. Steady state pays the K-row
+    * histogram (+ a listing refresh); the full re-train is paid only on
+    * real drift.
+    */
+  def retrainPqIfSkewed(spark: SparkSession, dir: String, table: String,
+      coarseTable: String, booksTable: String,
+      maxSkew: Double = IvfPolicySkewMax): (Double, Boolean) = {
+    spark.catalog.refreshTable(table)
+    val sizes = spark.table(table).groupBy("cluster_id").count()
+      .collect().map(_.getLong(1))
+    val n = sizes.sum
+    val skew = if (n == 0L) 0.0
+      else sizes.max * Clustering.K.toDouble / n
+    val run = skew > maxSkew
+    if (run) { retrainPq(spark, dir, table, coarseTable, booksTable); () }
+    (skew, run)
+  }
+
+  /** `stream_pq_policy` oracle: commissioning coarse fit on the build
+    * two-thirds, full-corpus assignment, doomed-list selection
+    * ([[IvfPolicyDoomedLists]] smallest), then a FRESH full PQ fit +
+    * encode + search on the survivors — the bit-identity the final fired
+    * re-train must restore for any schedule of mid-stream decisions.
+    */
+  val pqPolicyOracle: String = pqLifecycleOracleFrom(
+    s"""qb AS (SELECT vec_id, q FROM q WHERE vec_id % $IvfRbIngestMod <> 0),
+       |${Clustering.lloydCtes("qb", "ib", 64, Clustering.K)},
+       |aall AS (${Clustering.oracleAssignSql("q", "ibc3")}),
+       |sizes AS (SELECT cluster_id, count(*) AS n FROM aall GROUP BY cluster_id),
+       |doomed AS (
+       |  SELECT cluster_id FROM (
+       |    SELECT cluster_id, row_number() OVER (ORDER BY n, cluster_id) AS rn
+       |    FROM sizes
+       |  ) WHERE rn <= $IvfPolicyDoomedLists
+       |),
+       |qs AS MATERIALIZED (
+       |  SELECT q.vec_id, q.q FROM q JOIN aall a ON a.vec_id = q.vec_id
+       |  WHERE a.cluster_id NOT IN (SELECT cluster_id FROM doomed)
+       |),
+       |qfit AS (SELECT vec_id, q FROM qs),
+       |mem AS (SELECT vec_id, q FROM qs)""".stripMargin)
 
   private def pqSurvivePred: String =
     s"NOT (vec_id % $IvfForgetMod = $IvfForgetRem)"

@@ -1162,6 +1162,89 @@ object StreamGate {
     }
   }
 
+  /** THE PQ RE-TRAIN POLICY DECIDING UNDER LIVE INGEST — [[ivfPolicy]]'s
+    * twin on the COMPRESSED index: codebooks train on two-thirds and
+    * freeze; the remaining third streams in encoded under the stale
+    * models ([[graft.operators.Similarity.pqAdmitStream]]); after every
+    * chunk a maintenance window runs
+    * [[graft.operators.Similarity.retrainPqIfSkewed]] — the coarse-list
+    * histogram is the observable drift proxy, and the same calibrated
+    * threshold applies because the PQ coarse quantizer is the same
+    * learned-kmeans fit (uniform windows must SKIP); then the doomed
+    * tenant leaves (every vector the COMMISSIONING coarse model assigns
+    * to its 4 smallest lists — the code index stores no embeddings, so
+    * the deletion predicate joins survivors' raw vectors back from the
+    * base table inside the atomic rewrite, the same id-join a PQ
+    * re-train inherently pays; stored codes of survivors are NOT
+    * re-encoded by a deletion) and the hollowed window must FIRE,
+    * re-fitting BOTH quantizer levels. The served result must equal a
+    * fresh PQ build on the survivors (pqPolicyOracle) for any schedule
+    * of mid-stream decisions.
+    */
+  def pqPolicy(spark: SparkSession, dir: String): DataFrame =
+    pqPolicyWithLog(spark, dir)._1
+
+  private[graft] def pqPolicyWithLog(spark: SparkSession,
+      dir: String): (DataFrame, Seq[(Double, Boolean)]) = {
+    import graft.operators.{Clustering, Dedup, Similarity}
+    val id = runId.incrementAndGet()
+    val (table, coarseT, booksT) =
+      (s"gate_pqp_index_$id", s"gate_pqp_coarse_$id", s"gate_pqp_books_$id")
+    Seq(table, coarseT, booksT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val all = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val files = stagedFilesCached(spark, s"embrb|$dir", chunks = 3)(
+      (all.filter(col("vec_id") % Similarity.IvfRbIngestMod === 0), col("vec_id")))
+    val root = gateTmp("graft-gate-pqpolicy")
+    val watched = root.resolve("watched")
+    Files.createDirectories(watched)
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+    try {
+      Similarity.buildPqIndex(spark,
+        all.filter(col("vec_id") % Similarity.IvfRbIngestMod =!= 0),
+        table, coarseT, booksT)
+      val initCoarse = Clustering.loadCentroids(spark, coarseT)
+      withGateParallelism(spark, GateStatePartitions) {
+        val stream = spark.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val q = Similarity.pqAdmitStream(stream, table, coarseT, booksT)
+        try files.foreach { f =>
+          atomicFeed(f, watched, None)
+          q.processAllAvailable()
+          decisions += Similarity.retrainPqIfSkewed(spark, dir, table,
+            coarseT, booksT)
+        } finally q.stop()
+      }
+      // the hollow-out: commissioning assignment re-derived from raw
+      // vectors (codes carry no embedding) inside the atomic rewrite;
+      // survivors keep their stored codes — deletion never re-encodes
+      val doomed = Clustering.withAssignment(
+          all.selectExpr("vec_id", Clustering.quantizeSql), initCoarse)
+        .groupBy(col("best.cid").as("cid")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy { case (cid, n) => (n, cid) }
+        .take(Similarity.IvfPolicyDoomedLists).map(_._1).toSeq
+      Dedup.rewriteBucketedTable(spark, table, "cluster_id")(df =>
+        Clustering.withAssignment(
+            df.join(all, Seq("vec_id"))
+              .selectExpr("cluster_id", "vec_id", "code", Clustering.quantizeSql),
+            initCoarse)
+          .filter(!col("best.cid").isin(doomed: _*)))
+      val (skew, fired) = Similarity.retrainPqIfSkewed(spark, dir, table,
+        coarseT, booksT)
+      decisions += ((skew, fired))
+      if (!fired)
+        throw new IllegalStateException(
+          s"pqPolicy: post-forget window measured skew $skew <= " +
+            s"${Similarity.IvfPolicySkewMax} and skipped the re-train — " +
+            "the hollowed index would serve under stale codebooks")
+      (materialize(Similarity.pqServe(spark, dir, table, coarseT, booksT))
+        .orderBy("q_id", "rank"), decisions.toSeq)
+    } finally {
+      rmrf(root)
+      Seq(table, coarseT, booksT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); ()
+    }
+  }
+
   /** CONTINUOUS HYBRID SERVING under the hard gate: retrieval queries
     * (the shared doc/vec id space, every
     * [[graft.operators.TextAnalysis.Bm25QueryStride]]-th id) arrive as a

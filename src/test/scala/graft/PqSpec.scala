@@ -171,4 +171,20 @@ class PqSpec extends SparkSpec {
     assert(modelContent("pqspec_rt_b") === modelContent("pqspec_fr_b"),
       "re-trained codebooks differ from a fresh fit")
   }
+
+  test("pq policy gate: uniform ingest windows SKIP, the hollowed-index window FIRES") {
+    // ivfPolicy's twin on the compressed index: same coarse-list skew
+    // proxy, same calibrated threshold (identical kmeans fit on the same
+    // data), so the decision trajectory must match — three skips during
+    // uniform admission, one fire after the doomed tenant leaves
+    val (served, decisions) =
+      graft.streaming.StreamGate.pqPolicyWithLog(spark, Sf0001)
+    info(s"decisions: ${decisions.map { case (s, f) => f"$s%.3f->" + (if (f) "FIRE" else "skip") }.mkString(", ")}")
+    assert(decisions.length === 4, "3 ingest windows + 1 post-forget window")
+    assert(decisions.init.forall(!_._2),
+      s"a uniform-admission window fired: $decisions")
+    assert(decisions.last._2, s"the hollowed-index window skipped: $decisions")
+    val n = served.count()
+    assert(n > 0 && n % Similarity.TopK === 0, s"served $n rows")
+  }
 }
