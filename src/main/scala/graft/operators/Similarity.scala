@@ -1264,6 +1264,16 @@ object Similarity {
       }
       .start()
 
+  /** Replay repair for continuous PQ admission — [[compactIvfIndex]]'s
+    * sibling on the code index: an at-least-once source re-delivering a
+    * micro-batch appends exact duplicate (cluster_id, vec_id, code) rows
+    * (encoding under frozen models is per-row deterministic), and a
+    * duplicated vec_id fills two ADC pool slots at serving time. No
+    * derived stats ⇒ a single atomic distinct rewrite, no marker window.
+    */
+  def compactPqIndex(spark: SparkSession, table: String): (Long, Long) =
+    graft.operators.Dedup.compactBucketedTable(spark, table, "cluster_id")
+
   /** Delete the given vec_ids from a persisted PQ index: one atomic
     * bucket-aligned anti-join rewrite ([[graft.operators.Dedup
     * .rewriteBucketedTable]] — torn-run recovery inherited). Like

@@ -172,6 +172,32 @@ class PqSpec extends SparkSpec {
       "re-trained codebooks differ from a fresh fit")
   }
 
+  test("pq replay corruption skews serving; compaction restores bit-equality") {
+    // the at-least-once failure mode: a re-delivered admission batch
+    // appends exact duplicate code rows (encoding under frozen models is
+    // per-row deterministic) and the duplicate ids corrupt the ADC pool
+    val all = allVecs(Sf0001)
+    val build = all.filter(col("vec_id") % Similarity.IvfRbIngestMod =!= 0)
+    val ing = all.filter(col("vec_id") % Similarity.IvfRbIngestMod === 0)
+    dropAll("pqspec_cp_t", "pqspec_cp_c", "pqspec_cp_b")
+    Similarity.buildPqIndex(spark, build, "pqspec_cp_t", "pqspec_cp_c", "pqspec_cp_b")
+    Similarity.pqAdmit(ing, "pqspec_cp_t", "pqspec_cp_c", "pqspec_cp_b")
+    val clean = Similarity.pqServe(spark, Sf0001,
+      "pqspec_cp_t", "pqspec_cp_c", "pqspec_cp_b").collect().toSeq
+    // the replay: the same admission batch lands twice
+    Similarity.pqAdmit(ing, "pqspec_cp_t", "pqspec_cp_c", "pqspec_cp_b")
+    spark.catalog.refreshTable("pqspec_cp_t")
+    val corrupted = Similarity.pqServe(spark, Sf0001,
+      "pqspec_cp_t", "pqspec_cp_c", "pqspec_cp_b").collect().toSeq
+    assert(corrupted !== clean,
+      "duplicate admission should visibly corrupt the served ranking")
+    val (before, after) = Similarity.compactPqIndex(spark, "pqspec_cp_t")
+    assert(after <= before)
+    val repaired = Similarity.pqServe(spark, Sf0001,
+      "pqspec_cp_t", "pqspec_cp_c", "pqspec_cp_b").collect().toSeq
+    assert(repaired === clean, "compaction must restore the clean serving answer")
+  }
+
   test("pq policy gate: uniform ingest windows SKIP, the hollowed-index window FIRES") {
     // ivfPolicy's twin on the compressed index: same coarse-list skew
     // proxy, same calibrated threshold (identical kmeans fit on the same
