@@ -1256,13 +1256,15 @@ object Similarity {
     * the stream, exactly like the BM25/IVF maintenance discipline.
     */
   def pqAdmitStream(newVectors: DataFrame, table: String, coarseTable: String,
-      booksTable: String): org.apache.spark.sql.streaming.StreamingQuery =
-    newVectors.writeStream
+      booksTable: String, checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) pqAdmit(batch.toDF(), table, coarseTable, booksTable)
       }
-      .start()
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Replay repair for continuous PQ admission — [[compactIvfIndex]]'s
     * sibling on the code index: an at-least-once source re-delivering a

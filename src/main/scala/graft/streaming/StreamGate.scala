@@ -1068,6 +1068,59 @@ object StreamGate {
     }
   }
 
+  /** CHECKPOINT-RESTARTED INDEX ADMISSION under the hard gate — the
+    * restart contract ([[q1Restart]]) proven for the WRITE-side of an
+    * index, not just window state: the PQ admission stream ingests the
+    * first chunks under one query instance, STOPS, and a new instance
+    * resumes from the same checkpoint to finish the history. Source
+    * offsets restore exactly-once, so no admitted batch is re-encoded or
+    * doubled across the restart boundary; a post-stream
+    * [[graft.operators.Similarity.compactPqIndex]] pass then runs as the
+    * standing at-least-once repair (a distinct rewrite — a NO-OP here
+    * when the checkpoint protocol held, and the repair if a crash-replay
+    * ever double-appends; PqSpec proves the repair on a forced
+    * duplicate). The served result must equal the unrestarted ingest
+    * (the pqIngestOracle): nothing about the restart may show.
+    */
+  def pqRestart(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val id = runId.incrementAndGet()
+    val (table, coarseT, booksT) =
+      (s"gate_pqr_index_$id", s"gate_pqr_coarse_$id", s"gate_pqr_books_$id")
+    Seq(table, coarseT, booksT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val all = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val files = stagedFilesCached(spark, s"embrb|$dir", chunks = 3)(
+      (all.filter(col("vec_id") % Similarity.IvfRbIngestMod === 0), col("vec_id")))
+    val root = gateTmp("graft-gate-pqrestart")
+    val watched = root.resolve("watched")
+    Files.createDirectories(watched)
+    val ck = root.resolve("ck")
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+      val q = Similarity.pqAdmitStream(stream, table, coarseT, booksT,
+        Some(ck.toString))
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      Similarity.buildPqIndex(spark,
+        all.filter(col("vec_id") % Similarity.IvfRbIngestMod =!= 0),
+        table, coarseT, booksT)
+      withGateParallelism(spark, GateStatePartitions) {
+        files.take(2).foreach(f => atomicFeed(f, watched, None))
+        runOnce() // first instance admits two chunks, then STOPS
+        files.drop(2).foreach(f => atomicFeed(f, watched, None))
+        runOnce() // recovery: offsets restore, the rest admits once
+      }
+      Similarity.compactPqIndex(spark, table)
+      materialize(Similarity.pqServe(spark, dir, table, coarseT, booksT))
+        .orderBy("q_id", "rank")
+    } finally {
+      rmrf(root)
+      Seq(table, coarseT, booksT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); ()
+    }
+  }
+
   /** THE REBALANCE POLICY DECIDING UNDER LIVE INGEST — the maintenance
     * loop a standing ANN index actually runs, with the trigger making
     * real decisions instead of the forced re-train
