@@ -129,7 +129,11 @@ object Bench {
     // first ~10 (alphabetical) queries of the stdout line, which silently
     // ate the dedup family's numbers every round
     val sfBase = new java.io.File(sfDir).getName
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/${sfBase}_full.json")
+    // a SPARK_GRAFT_ONLY-filtered run must never clobber the committed
+    // full artifact — route it to /tmp unless an out path is explicit
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (only.isDefined) s"/tmp/graft_bench_${sfBase}_partial.json"
+      else s"bench/${sfBase}_full.json")
     try {
       val f = new java.io.File(outPath)
       Option(f.getParentFile).foreach(_.mkdirs())

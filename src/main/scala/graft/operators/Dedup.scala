@@ -657,6 +657,51 @@ object Dedup {
   def compactWindowTable(spark: SparkSession, table: String): (Long, Long) =
     compactBucketedTable(spark, table, "whash")
 
+  /** Files-per-bucket threshold above which [[compactIfFragmented]] fires.
+    * A freshly compacted table sits at 1.0; each streaming admit appends
+    * up to one file per touched bucket, so the ratio counts the appends
+    * since the last fold. 2.5 tolerates a couple of small appends (the
+    * fold would cost more than the reads it saves) and fires before scan
+    * task counts triple. Deployments tune it per ingest cadence.
+    */
+  val CompactMaxFilesPerBucket = 2.5
+
+  /** THE SMALL-FILE MAINTENANCE TRIGGER — the fragmentation twin of the
+    * index family's skew triggers (`Similarity.rebalanceIfSkewed` /
+    * `retrainPqIfSkewed`): measure files-per-bucket from the table's file
+    * listing (pure metadata — one namenode listing, zero data jobs) and
+    * run the full [[compactBucketedTable]] fold only when it exceeds
+    * `maxFilesPerBucket`. This is the decision a production LSM-style
+    * maintenance scheduler makes every window: steady-state ingest pays
+    * only the listing; the rewrite runs when accumulated appends have
+    * actually degraded the table (a year of hourly admits is ~9k files
+    * per bucket unfolded — scan task counts, listing latency, and
+    * replay-duplicate rows all grow with it).
+    *
+    * Same SINGLE-WRITER contract as [[compactCorpusBands]]: call it from
+    * the maintenance window between micro-batches, never concurrently
+    * with the admitting stream. Returns (files-per-bucket ratio measured,
+    * fired?).
+    */
+  def compactIfFragmented(spark: SparkSession, table: String, keyCol: String,
+      maxFilesPerBucket: Double = CompactMaxFilesPerBucket): (Double, Boolean) = {
+    val catalog = spark.sessionState.catalog
+    // same stale-listing hazard as rewriteBucketedTable: streaming appends
+    // do not invalidate this session's cached file listing
+    spark.catalog.refreshTable(table)
+    val meta = catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(s"$table is not a bucketed table"))
+    val p = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p).count(_.getPath.getName.startsWith("part-")).toLong
+    val ratio = files.toDouble / buckets
+    if (ratio > maxFilesPerBucket) {
+      compactBucketedTable(spark, table, keyCol); (ratio, true)
+    } else (ratio, false)
+  }
+
   private[graft] def compactBucketedTable(spark: SparkSession, table: String,
       keyCol: String): (Long, Long) =
     rewriteBucketedTable(spark, table, keyCol)(_.distinct())

@@ -170,6 +170,172 @@ object Multimodal {
       |FROM feat
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Perceptual-hash NEAR-dup (the multimodal twin of SimHash dedup)
+  // -------------------------------------------------------------------------
+
+  /** Bit width / band split / Hamming radius of the perceptual hash.
+    * 60 bits (the repo-wide md5-prefix convention) in [[PhashBands]] bands
+    * of [[PhashBandBits]]; by pigeonhole, two hashes within Hamming
+    * distance [[PhashMaxHamming]] = bands - 1 MUST agree on at least one
+    * full band, so the banded candidate join is EXACT — not a recall
+    * trade like MinHash banding — while never going all-pairs.
+    */
+  val PhashBands = 4
+  val PhashBandBits = 15
+  val PhashMaxHamming: Int = PhashBands - 1
+
+  /** The perceptual-hash seam, split from [[MediaDecoder]] so the decode
+    * schema stays put: a real deployment binds pHash/aHash (images),
+    * chromaprint (audio) or a frame-pooled variant (video) here. The
+    * stand-in is a real byte-level SimHash — each overlapping 4-byte gram
+    * votes ±1 per bit by its 60-bit md5-prefix hash — which IS a valid
+    * perceptual hash for raw byte streams (locality: payloads differing
+    * in a few bytes flip few votes), and is exactly replayable in SQL so
+    * the near-dup verdicts stay oracle-checkable. md5-per-gram buys the
+    * cross-engine agreement; a production hasher would swap in a rolling
+    * 64-bit mix at this one seam.
+    */
+  trait PerceptualHasher extends Serializable {
+    def phash(r: MediaRecord): Long
+  }
+
+  object ByteSimHashHasher extends PerceptualHasher {
+    def phash(r: MediaRecord): Long = {
+      val votes = new Array[Long](60)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = 0
+      while (i + 4 <= r.payload.length) {
+        md.reset()
+        md.update(r.payload, i, 4)
+        val d = md.digest()
+        // first 15 hex digits = 60 bits, same convention as hash60
+        var h = 0L
+        var k = 0
+        while (k < 8) { // 7.5 bytes; mask the low nibble of byte 7 out below
+          h = (h << 8) | (d(k) & 0xffL); k += 1
+        }
+        h = h >>> 4 // keep the TOP 15 nibbles of the 16 consumed
+        var j = 0
+        while (j < 60) { votes(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L); j += 1 }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 60) { if (votes(j) > 0) out |= 1L << j; j += 1 }
+      out
+    }
+  }
+
+  /** records -> (doc_id, kind, phash) via mapPartitions, the same
+    * partition-local-init pattern as [[decodeFeatures]]: only the
+    * fixed-width hash leaves the decode stage, payload bytes never
+    * shuffle.
+    */
+  def phashes(ds: Dataset[MediaRecord], hasher: PerceptualHasher = ByteSimHashHasher): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val h = hasher
+      it.map(r => (r.doc_id, r.kind, h.phash(r)))
+    }.toDF("doc_id", "kind", "phash")
+  }
+
+  /** PERCEPTUAL NEAR-DUP over media payloads — what [[payloadDedup]]
+    * cannot see: re-encoded/lightly-corrupted copies whose bytes differ
+    * but whose perceptual signature survives (the image-dedup verb every
+    * multimodal training pipeline runs before captioning). A doc keeps
+    * unless some LOWER-id same-kind doc sits within Hamming
+    * [[PhashMaxHamming]] of its phash; the reported match is the
+    * (closest, then smallest-id) such doc.
+    *
+    * Scale shape: candidates ride a hash EQUI-join on (kind, band,
+    * band-sig) — never all-pairs — and the pigeonhole argument above
+    * makes that pruning EXACT at this radius. Only (doc_id, kind, phash)
+    * tuples move; the best-match fold is a min-of-struct aggregate whose
+    * partial collapses per doc before the exchange (band-duplicate
+    * candidate pairs fold away in the same aggregate, no distinct pass).
+    */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ph = phashes(mediaRecords(spark, dir))
+    val mask = (1L << PhashBandBits) - 1
+    val bandCols = (0 until PhashBands).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(phash, ${b * PhashBandBits}) & $mask").as("bsig")))
+    val bands = ph.select(col("doc_id"), col("kind"), col("phash"),
+        explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("kind"), col("phash"),
+        col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+    val best = bands.as("a").join(bands.as("b"),
+        expr("a.kind = b.kind AND a.band = b.band AND a.bsig = b.bsig " +
+          "AND a.doc_id > b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"),
+        expr("bit_count(a.phash ^ b.phash)").as("ham"),
+        col("b.doc_id").as("cand_id"))
+      .filter(col("ham") <= PhashMaxHamming)
+      .groupBy("doc_id")
+      .agg(min(struct(col("ham"), col("cand_id"))).as("m"))
+      .select(col("doc_id"), col("m.cand_id").as("match_id"),
+        col("m.ham").cast("long").as("match_ham"))
+    ph.select("doc_id", "kind")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kind"), col("match_id").isNull.as("keep"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("match_ham"), lit(-1L)).as("match_ham"))
+      .orderBy("doc_id")
+  }
+
+  /** Replays the byte-SimHash (every overlapping 4-char gram votes by its
+    * md5-prefix hash — payloads are the UTF-8 text bytes, ASCII here, so
+    * substr grams ARE the byte grams) and then judges near-dups by
+    * BRUTE-FORCE pairing — the independent formulation: the Spark side
+    * must reach the same verdicts through the banded equi-join, which the
+    * pigeonhole bound says is lossless at this radius.
+    */
+  val phashDedupOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    text
+       |  FROM documents
+       |),
+       |grams AS (
+       |  -- range() as a scalar list (not a lateral table function — DuckDB
+       |  -- rejects column params there); empty for docs under 4 bytes
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 2, 1)),
+       |    i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 4)), 1, 15)) AS BIGINT))) AS h
+       |  FROM d
+       |),
+       |votes AS (
+       |  SELECT g.doc_id, j,
+       |    sum(CASE WHEN (g.h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM grams g, range(0, 60) q(j)
+       |  GROUP BY g.doc_id, j
+       |),
+       |ph AS (
+       |  SELECT d.doc_id, d.kind,
+       |    coalesce((SELECT CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+       |              FROM votes v WHERE v.doc_id = d.doc_id), 0) AS phash
+       |  FROM d
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id, bit_count(CAST(xor(a.phash, b.phash) AS BIT)) AS ham, b.doc_id AS cand_id
+       |  FROM ph a JOIN ph b ON a.kind = b.kind AND a.doc_id > b.doc_id
+       |  WHERE bit_count(CAST(xor(a.phash, b.phash) AS BIT)) <= $PhashMaxHamming
+       |),
+       |best AS (
+       |  SELECT doc_id, cand_id AS match_id, CAST(ham AS BIGINT) AS match_ham FROM (
+       |    SELECT doc_id, ham, cand_id,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY ham, cand_id) AS rn
+       |    FROM pairs
+       |  ) WHERE rn = 1
+       |)
+       |SELECT ph.doc_id, ph.kind, best.match_id IS NULL AS keep,
+       |  coalesce(best.match_id, CAST(-1 AS BIGINT)) AS match_id,
+       |  coalesce(best.match_ham, CAST(-1 AS BIGINT)) AS match_ham
+       |FROM ph LEFT JOIN best ON ph.doc_id = best.doc_id
+       |ORDER BY ph.doc_id""".stripMargin
+
   /** The fake decode arithmetic, replayed relationally over the original
     * text (payload bytes are ASCII here, so ascii()/length() line up with
     * the byte math).

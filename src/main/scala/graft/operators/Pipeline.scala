@@ -921,6 +921,227 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Per-source TOKEN budgets via two-phase hash-prefix CDF
+  // -------------------------------------------------------------------------
+
+  /** Token budget kept per source, as an integer fraction of the source's
+    * total tokens: numerator/denominator with integer division (both
+    * engines truncate BIGINT `DIV` identically — a float fraction would
+    * put an IEEE rounding step between the two budget computations).
+    */
+  val TokenBudgetNum = 2L
+  val TokenBudgetDen = 5L
+
+  /** Hash-prefix buckets for the CDF phase: the top 10 bits of the 48-bit
+    * routing hash, so the bucket is monotone in the hash and the
+    * per-bucket CDF concatenates to the exact global per-source order.
+    */
+  val TokenBudgetShift = 38
+
+  /** PER-SOURCE TOKEN BUDGETS — the mixture primitive pretraining recipes
+    * are actually written in: each source contributes AT MOST a token
+    * budget (here [[TokenBudgetNum]]/[[TokenBudgetDen]] of its own total;
+    * in production an absolute per-source count from the recipe), the
+    * survivors chosen by seeded-hash order so the sample is reproducible
+    * and doc-id-stable across re-crawls. [[mixtureSample]] hits its
+    * ratios binomially in DOCUMENT counts; this is the exact-cutoff
+    * TOKEN-denominated form: keep a doc iff its source's running token
+    * sum, in (hash, doc_id) order, stays inside the budget.
+    *
+    * Scale shape — the naive plan is a running sum partitioned only by
+    * source, which caps parallelism at #sources and sorts whole sources
+    * in single window partitions (the exact degeneration the
+    * q3_over_daily variant was quarantined for). Instead, the same
+    * bounded-domain trick as [[lengthBuckets]], keyed by hash prefix:
+    * (1) per-(source, bucket) token sums — a metadata-scale aggregate of
+    * #sources x 1024 rows however big the corpus is; (2) the bucket-level
+    * CDF over that tiny frame decides entire buckets (running sum ends
+    * inside the budget: all keep; starts beyond it: all drop); (3) only
+    * each source's ONE crossing bucket — ~1/1024th of the source — pays
+    * an exact within-bucket running sum, partitioned by (source, bucket).
+    * Bucket = top bits of the hash, so bucket-then-hash order IS global
+    * hash order and the stitched decision is bit-identical to the
+    * oracle's single window. Token counts are integers end to end.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).selectExpr(
+        "doc_id", "source",
+        "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_tokens",
+        "CAST(conv(substr(md5(concat('tb:', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT) AS h")
+      .withColumn("bkt", expr(s"h DIV ${1L << TokenBudgetShift}"))
+    // phase 1: metadata-scale histogram (#sources x 1024 rows max)
+    val hist = d.groupBy("source", "bkt").agg(sum("n_tokens").as("bkt_tok"))
+    val budgets = hist.groupBy("source")
+      .agg(expr(s"(sum(bkt_tok) * $TokenBudgetNum) DIV $TokenBudgetDen").as("budget"))
+    // phase 2: bucket-level CDF — a serial window over the tiny histogram
+    val cdf = hist
+      .withColumn("cum_before",
+        coalesce(sum("bkt_tok").over(Window.partitionBy("source").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(budgets, "source")
+      // 0 = bucket fully inside budget, 1 = fully beyond, 2 = crossing.
+      // Fully-beyond is STRICT cum_before > budget: a 0-token doc sitting
+      // exactly at the boundary keeps (cum <= budget) and must not be
+      // swept into a dropped bucket.
+      .withColumn("cls",
+        when(col("cum_before") + col("bkt_tok") <= col("budget"), lit(0))
+          .when(col("cum_before") > col("budget"), lit(1))
+          .otherwise(lit(2)))
+    // phase 3: decisions broadcast back; only crossing buckets pay a window
+    val j = d.join(broadcast(cdf.select("source", "bkt", "cls", "cum_before", "budget")),
+      Seq("source", "bkt"))
+    val settled = j.filter(col("cls") =!= 2)
+      .select(col("doc_id"), col("source"), col("n_tokens"), (col("cls") === 0).as("keep"))
+    val crossing = j.filter(col("cls") === 2)
+      .withColumn("cum_in", sum("n_tokens").over(
+        Window.partitionBy("source", "bkt").orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum_before") + col("cum_in") <= col("budget")).as("keep"))
+    settled.unionByName(crossing).orderBy("doc_id")
+  }
+
+  /** The semantic spec [[tokenBudget]] must reproduce exactly: ONE running
+    * token sum per source in (hash, doc_id) order against the integer
+    * budget. DuckDB runs this directly; the Spark side must reach the
+    * same keep set through the bucketed three-phase plan.
+    */
+  val tokenBudgetOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+       |    CAST(concat('0x', substr(md5(concat('tb:', CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) AS h
+       |  FROM documents
+       |),
+       |b AS (
+       |  SELECT source,
+       |    (CAST(sum(n_tokens) AS BIGINT) * $TokenBudgetNum) // $TokenBudgetDen AS budget
+       |  FROM d GROUP BY source
+       |),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d
+       |)
+       |SELECT c.doc_id, c.source, c.n_tokens, c.cum <= b.budget AS keep
+       |FROM c JOIN b USING (source)
+       |ORDER BY c.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Streaming FIFO token-budget admission (continuous ingest form)
+  // -------------------------------------------------------------------------
+
+  /** The frozen per-source token budgets [[TokenBudgetStream]] admits
+    * against: the same integer [[TokenBudgetNum]]/[[TokenBudgetDen]]
+    * fraction as [[tokenBudget]], computed once from the reference corpus
+    * before the stream starts (in production the recipe hands the pipeline
+    * absolute per-source token counts — this derivation stands in for
+    * that). #sources rows of driver traffic — model-scale, like vocab and
+    * centroid loads.
+    */
+  def tokenBudgets(spark: SparkSession, dir: String): Map[String, Long] =
+    docs(spark, dir).selectExpr("source",
+        "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_tokens")
+      .groupBy("source")
+      .agg(expr(s"(sum(n_tokens) * $TokenBudgetNum) DIV $TokenBudgetDen").as("budget"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** STREAMING token-budget admission — the deployment twin of
+    * [[tokenBudget]]: documents arrive continuously and each source's
+    * budget is spent FIRST-COME-FIRST-KEPT, the greedy contract a live
+    * ingest pipeline actually has (it cannot see future arrivals to pick
+    * a hash-ordered sample; the batch form re-draws the reproducible
+    * sample offline). Per source the processor carries ONE long — tokens
+    * seen so far — and a document keeps iff the running sum INCLUDING it
+    * stays inside the frozen budget. The sum advances on dropped
+    * documents too: the cutoff is a prefix of the arrival order, not
+    * best-fit packing, so verdicts never depend on what arrives later
+    * and an emitted verdict is final (append mode).
+    *
+    * Scale shape: token counting is map-only BEFORE the keyed shuffle, so
+    * only (doc_id, source, n_tokens) — three fixed-width fields — reaches
+    * the stateful operator; text never shuffles. State is one long per
+    * source. The per-source serialization of the boundary decision is
+    * inherent to FIFO admission (it IS a sequential counter); within a
+    * micro-batch rows are ordered by doc_id, the deterministic tiebreak
+    * for same-batch arrivals, and the buffer is one batch's per-source
+    * arrivals of those three fields, not documents.
+    */
+  object TokenBudgetStream {
+    import org.apache.spark.sql.{Dataset, Encoders, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    case class TokDoc(doc_id: Long, source: String, n_tokens: Long)
+    case class TokVerdict(doc_id: Long, source: String, n_tokens: Long, keep: Boolean)
+
+    class Processor(budgets: Map[String, Long])
+        extends StatefulProcessor[String, TokDoc, TokVerdict] {
+      @transient private var used: ValueState[Long] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        used = getHandle.getValueState[Long]("used", Encoders.scalaLong, TTLConfig.NONE)
+
+      override def handleInputRows(key: String, rows: Iterator[TokDoc],
+                                   timers: TimerValues): Iterator[TokVerdict] = {
+        var cum = if (used.exists()) used.get() else 0L
+        val budget = budgets.getOrElse(key, 0L)
+        val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+          cum += d.n_tokens
+          TokVerdict(d.doc_id, d.source, d.n_tokens, cum <= budget)
+        }
+        used.update(cum)
+        out.iterator
+      }
+    }
+
+    /** documents stream -> per-document admission verdicts (append mode).
+      * Requires the RocksDB state-store provider (transformWithState's
+      * backing store) on the session.
+      */
+    def query(newDocs: DataFrame, budgets: Map[String, Long]): Dataset[TokVerdict] = {
+      val spark = newDocs.sparkSession
+      import spark.implicits._
+      newDocs.selectExpr(
+          "doc_id", "source",
+          "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_tokens")
+        .as[TokDoc]
+        .groupByKey(_.source)
+        .transformWithState(new Processor(budgets), TimeMode.None(), OutputMode.Append())
+    }
+  }
+
+  /** The FIFO contract the streaming gate must land on. The gate replays
+    * the corpus range-chunked by doc_id, and within a batch the processor
+    * orders by doc_id — so the arrival order IS doc_id order and the
+    * oracle is one running sum per source over it. Budgets re-derive from
+    * the same corpus the gate froze them from. Crossings provably span
+    * micro-batches (the gate asserts a boundary in chunk >= 1), so a
+    * processor that forgot carried state could not hash-match.
+    */
+  val tokenBudgetFifoOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |),
+       |b AS (
+       |  SELECT source,
+       |    (CAST(sum(n_tokens) AS BIGINT) * $TokenBudgetNum) // $TokenBudgetDen AS budget
+       |  FROM d GROUP BY source
+       |),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM d
+       |)
+       |SELECT c.doc_id, c.source, c.n_tokens, c.cum <= b.budget AS keep
+       |FROM c JOIN b USING (source)
+       |ORDER BY c.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Corpus-distribution drift monitor (continuous ingest QA)
   // -------------------------------------------------------------------------
 

@@ -1923,6 +1923,84 @@ object Similarity {
        |ORDER BY v.vec_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Semantic decontamination (embedding-space eval-set overlap)
+  // -------------------------------------------------------------------------
+
+  /** Every [[SemDecontMod]]-th vector models the held-out benchmark/eval
+    * set (the text-side decontamination family's `% 50` convention).
+    */
+  val SemDecontMod = 50
+
+  /** SEMANTIC DECONTAMINATION — the embedding-space leg of benchmark
+    * decontamination: a training vector is flagged when some EVAL-set
+    * vector sits within cosine >= [[SemDupSim]] in its LSH bucket. The
+    * n-gram legs (`pipe_contamination*`) catch verbatim and lightly-edited
+    * leakage; this catches the paraphrased contamination that shares no
+    * surface n-grams at all — the published gap the fuzzy leg still
+    * misses. Output is the per-train-vector verdict with the strongest
+    * eval match as the audit trail, the same row shape as
+    * [[semanticDedup]].
+    *
+    * Scale: the eval side is benchmark-sized (10^4..10^6 vectors), so it
+    * BROADCASTS — the corpus never shuffles; candidate pairs ride the
+    * sketch-bucket equi-join exactly like [[semanticDedup]]. The
+    * best-match selection is a max-of-struct AGGREGATE, not a row_number
+    * window: the partial aggregate collapses to one row per train vector
+    * per task BEFORE the exchange (struct max plans as SortAggregate —
+    * the sort is partition-local pre-agg, not a post-shuffle sort of all
+    * candidate pairs, which is what the window form would pay).
+    */
+  def contaminationSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val s = sketched(spark, dir)
+    val bench = s.filter(col("vec_id") % SemDecontMod === 0)
+      .select(col("bucket"), col("vec_id").as("bench_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val train = s.filter(col("vec_id") % SemDecontMod =!= 0)
+    val best = train.join(broadcast(bench), Seq("bucket"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("b_emb")) / (col("nrm") * col("b_nrm")))
+      .filter(col("cosine") >= SemDupSim)
+      // max of (cosine, -bench_id): strongest match, smallest eval id on
+      // exact-double ties — the same pick as the oracle's ordered window
+      .groupBy("vec_id")
+      .agg(max(struct(col("cosine").as("c"), (-col("bench_id")).as("nid"))).as("m"))
+      .select(col("vec_id"), (-col("m.nid")).as("bench_id"), col("m.c").as("cosine"))
+    emb(spark, dir).select("vec_id").filter(col("vec_id") % SemDecontMod =!= 0)
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bench_id").isNull.as("keep"),
+        coalesce(col("bench_id"), lit(-1L)).as("match_id"),
+        coalesce(col("cosine"), lit(0.0)).as("match_cos"))
+      .orderBy("vec_id")
+  }
+
+  val contaminationSemanticOracle: String =
+    s"""WITH $duckSketchCte,
+       |bench AS (
+       |  SELECT bucket, vec_id AS bench_id, embedding AS b_emb, nrm AS b_nrm
+       |  FROM e WHERE vec_id % $SemDecontMod = 0
+       |),
+       |hits AS (
+       |  SELECT t.vec_id, b.bench_id,
+       |    ${duckDot("t.embedding", "b.b_emb")} / (t.nrm * b.b_nrm) AS cosine
+       |  FROM e t JOIN bench b USING (bucket)
+       |  WHERE t.vec_id % $SemDecontMod <> 0
+       |    AND ${duckDot("t.embedding", "b.b_emb")} / (t.nrm * b.b_nrm) >= $SemDupSim
+       |),
+       |best AS (
+       |  SELECT vec_id, bench_id, cosine FROM (
+       |    SELECT vec_id, bench_id, cosine,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn
+       |    FROM hits
+       |  ) WHERE rn = 1
+       |)
+       |SELECT v.vec_id, best.bench_id IS NULL AS keep,
+       |  coalesce(best.bench_id, CAST(-1 AS BIGINT)) AS match_id,
+       |  coalesce(best.cosine, CAST(0.0 AS DOUBLE)) AS match_cos
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % $SemDecontMod <> 0) v
+       |LEFT JOIN best ON v.vec_id = best.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Hybrid retrieval: reciprocal-rank fusion of lexical + semantic top-k
   // -------------------------------------------------------------------------
 

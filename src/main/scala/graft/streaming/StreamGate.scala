@@ -1684,6 +1684,112 @@ object StreamGate {
     }
   }
 
+  /** THE COMPACTION TRIGGER DECIDING UNDER LIVE INGEST — [[ingestAdmit]]
+    * with the unconditional between-batch fold replaced by
+    * [[graft.operators.Dedup.compactIfFragmented]]: each maintenance
+    * window measures files-per-bucket from the table listing (metadata
+    * only — the steady-state cost of the policy) and folds only when
+    * accumulated appends crossed the threshold. This completes the
+    * maintenance-policy family — the skew triggers (`stream_ivf_policy`,
+    * `stream_pq_policy`) decide when a LEARNED layout has drifted; this
+    * one decides when a PHYSICAL layout has fragmented, the other
+    * decision an LSM-style scheduler makes every window.
+    *
+    * The base table is folded to its 1.0 files-per-bucket floor before
+    * the stream starts, so the measured ratios are purely the appends:
+    * the fixture's three admit batches append enough files that at least
+    * one window must SKIP (fold would cost more than it saves) and at
+    * least one must FIRE — both asserted here, so a policy that
+    * degenerates to always/never firing fails the gate rather than
+    * passing on final-state equality.
+    *
+    * Oracle: [[graft.operators.Dedup.ingestAdmitOracle]] UNCHANGED —
+    * admission verdicts must be invariant under ANY maintenance
+    * schedule, which is exactly the claim that makes a trigger policy
+    * deployable (compaction folds replay residue and small files; it
+    * must never change what the corpus admits).
+    */
+  def compactPolicy(spark: SparkSession, dir: String): DataFrame =
+    compactPolicyWithLog(spark, dir)._1
+
+  private[graft] def compactPolicyWithLog(spark: SparkSession,
+      dir: String): (DataFrame, Seq[(Double, Boolean)]) = {
+    import graft.operators.Dedup
+    val table = s"graft_gate_cpolicy_${runId.incrementAndGet()}"
+    Dedup.persistCorpusBands(spark, dir, table)
+    Dedup.compactCorpusBands(spark, table) // seal the base layout at 1.0
+    val incoming = Dedup.ingestArrivals(spark, dir)
+    val files = stagedFilesCached(spark, s"ingest|$dir", chunks = 3)(
+      (incoming, col("doc_id")))
+    val root = gateTmp("graft-gate-cpolicy")
+    val watched = root.resolve("watched")
+    Files.createDirectories(watched)
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+    try {
+      val schema = Dedup.incremental(spark, dir).schema // lazy: no job
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      withGateParallelism(spark, GateStatePartitions) {
+        val stream = spark.readStream.schema(incoming.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val q = Dedup.incrementalStreamAdmitting(stream, table,
+            Some(root.resolve("ck").toString)) { v =>
+          buf.synchronized { buf ++= v.collect() }; ()
+        }
+        try files.foreach { f =>
+          atomicFeed(f, watched, None)
+          q.processAllAvailable()
+          decisions += Dedup.compactIfFragmented(spark, table, "band_key")
+        } finally q.stop()
+      }
+      if (!decisions.exists(_._2) || !decisions.exists(!_._2))
+        throw new IllegalStateException(
+          s"compactPolicy: the gate needs both a fired and a skipped window " +
+            s"to be non-vacuous; got ${decisions.toList}")
+      import scala.jdk.CollectionConverters._
+      (spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+        .orderBy("doc_id"), decisions.toSeq)
+    } finally {
+      rmrf(root)
+      spark.sql(s"DROP TABLE IF EXISTS $table"); ()
+    }
+  }
+
+  /** FIFO token-budget admission under the hard gate:
+    * [[graft.operators.Pipeline.TokenBudgetStream]] (transformWithState,
+    * RocksDB-backed — one long of state per source) spends each source's
+    * FROZEN token budget first-come-first-kept as document micro-batches
+    * arrive. The replay range-chunks by doc_id and the processor orders
+    * within a batch by doc_id, so the arrival order the verdicts commit
+    * to IS doc_id order — the oracle replays it as one running sum per
+    * source. Because the running sum carries across micro-batches, a
+    * processor that lost or double-counted state at any batch boundary
+    * shifts every later verdict and hash-fails; the explicit check below
+    * additionally requires some source's keep→drop BOUNDARY to fall in
+    * chunk >= 1, so the boundary decision itself provably consumed
+    * carried state (not just the tail verdicts).
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val budgets = Pipeline.tokenBudgets(spark, dir) // the frozen recipe
+    val stream = replayCached(spark, s"docs|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "documents"), col("doc_id")))
+    val out = withRocksDb(spark) {
+      runToMemory(Pipeline.TokenBudgetStream.query(stream, budgets).toDF(), "append")
+    }
+    // same integer chunk arithmetic as stageChunkFiles
+    val ids = Tables.load(spark, dir, "documents")
+      .agg(min(col("doc_id")).as("t0"), max(col("doc_id")).as("t1")).head()
+    val (t0, span) = (ids.getLong(0), math.max(1L, ids.getLong(1) - ids.getLong(0) + 1))
+    val lateCrossings = out.filter(!col("keep"))
+      .groupBy("source").agg(min(col("doc_id")).as("first_drop"))
+      .filter(((col("first_drop") - t0) * 3 / span).cast("int") >= 1)
+    if (lateCrossings.isEmpty)
+      throw new IllegalStateException(
+        "tokenBudget gate: every budget crossing fell in chunk 0 — " +
+          "the cross-batch state claim would be vacuous")
+    out.orderBy("doc_id")
+  }
+
   /** The idle-state TTL continuous count under the hard gate:
     * [[TtlContinuousCount]] (flatMapGroupsWithState + EventTimeTimeout —
     * the reference's withIdleStateRetentionTime, SURVEY A6) over chunk

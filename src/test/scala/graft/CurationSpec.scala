@@ -154,4 +154,106 @@ class CurationSpec extends SparkSpec {
     val unmatchedIds = unmatched.map(_._1).toSet
     assert(overlong.filterNot(dropped).subsetOf(unmatchedIds))
   }
+
+  test("token budget: bucketed three-phase plan equals the single-window spec") {
+    import org.apache.spark.sql.expressions.Window
+    val Pipeline = graft.operators.Pipeline
+    // the straight formulation the oracle runs in DuckDB, here in Spark:
+    // one running token sum per source in (hash, doc_id) order
+    val d = spark.read.parquet(s"$Sf0001/documents.parquet").selectExpr(
+      "doc_id", "source",
+      "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_tokens",
+      "CAST(conv(substr(md5(concat('tb:', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT) AS h")
+    val budgets = d.groupBy("source").agg(
+      expr(s"(sum(n_tokens) * ${Pipeline.TokenBudgetNum}) DIV ${Pipeline.TokenBudgetDen}")
+        .as("budget"))
+    val expected = d
+      .withColumn("cum", sum("n_tokens").over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(budgets, "source")
+      .select(col("doc_id"), (col("cum") <= col("budget")).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    val got = Pipeline.tokenBudget(spark, Sf0001)
+      .select("doc_id", "keep")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sorted.toSeq
+    assert(got === expected)
+    // non-vacuous: both verdicts occur, and every source keeps something
+    val bySource = Pipeline.tokenBudget(spark, Sf0001)
+      .groupBy("source").agg(
+        sum(when(col("keep"), 1).otherwise(0)).as("kept"),
+        sum(when(col("keep"), 0).otherwise(1)).as("dropped"))
+      .collect()
+    assert(bySource.forall(r => r.getLong(1) > 0), "every source must keep inside its budget")
+    assert(bySource.exists(r => r.getLong(2) > 0), "the budget must actually cut something")
+  }
+
+  test("phash near-dup: banded equi-join equals brute-force pairing (pigeonhole exactness)") {
+    // the pigeonhole claim is the load-bearing scale argument: at Hamming
+    // <= bands-1, band pruning loses NOTHING vs all-pairs
+    val ph = Multimodal.phashes(Multimodal.mediaRecords(spark, Sf0001)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = ph.map { case (id, kind, h) =>
+      val cands = ph.filter { case (id2, kind2, h2) =>
+        id2 < id && kind2 == kind &&
+          java.lang.Long.bitCount(h ^ h2) <= Multimodal.PhashMaxHamming
+      }.map { case (id2, _, h2) => (java.lang.Long.bitCount(h ^ h2).toLong, id2) }
+      if (cands.isEmpty) (id, kind, true, -1L, -1L)
+      else { val (ham, mid) = cands.min; (id, kind, false, mid, ham) }
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.phashDedup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got === brute)
+    // non-vacuous: the fixture's exact-duplicate texts are Hamming-0
+    // near-dups, so drops must occur; distinct docs must also survive
+    assert(got.exists(!_._3), "no near-dup found — the radius/banding is vacuous")
+    assert(got.exists(_._3), "everything matched — the radius is degenerate")
+    got.filter(!_._3).foreach { case (id, _, _, mid, ham) =>
+      assert(mid >= 0 && mid < id && ham >= 0 && ham <= Multimodal.PhashMaxHamming)
+    }
+  }
+
+  test("streaming token budget: prefix cutoff carries across batches, dropped docs still spend") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Pipeline
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // n words of plain letters = n tokens under the budget regex
+      def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+      val budgets = Map("a" -> 10L, "b" -> 3L) // "c" absent => budget 0
+      val input = MemoryStream[(Long, String, String)](spark)
+      val docs = input.toDF().toDF("doc_id", "source", "text")
+      val q = Pipeline.TokenBudgetStream.query(docs, budgets).toDF()
+        .writeStream.format("memory").queryName("tok_budget_v")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("tokbudck").toString)
+        .start()
+      // batch 1: a consumes 4 + 3 = 7 of 10
+      input.addData((1L, "a", words(4)), (2L, "a", words(3)))
+      q.processAllAvailable()
+      // batch 2, deliberately added out of doc_id order: verdicts must
+      // follow doc_id order. doc 3 (5 tokens) crosses: 7+5=12 > 10, drop;
+      // doc 4 (2 tokens) would fit the REMAINDER (7+2=9) but the cutoff
+      // is a prefix of the order, so the spent sum is 14 and it drops.
+      // Source b lands exactly on its boundary (cum 3 <= 3, keep); c has
+      // no budget entry and drops at cum 1 > 0.
+      input.addData((4L, "a", words(2)), (3L, "a", words(5)),
+        (5L, "b", words(3)), (6L, "c", words(1)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tok_budget_v")
+        .select("doc_id", "n_tokens", "keep")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toList
+      assert(got === List((1L, 4L, true), (2L, 3L, true), (3L, 5L, false),
+        (4L, 2L, false), (5L, 3L, true), (6L, 1L, false)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }

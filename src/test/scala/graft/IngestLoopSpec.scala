@@ -78,4 +78,41 @@ class IngestLoopSpec extends SparkSpec {
       s2.sql("DROP TABLE IF EXISTS corpus_loop_t"); ()
     }
   }
+
+  test("compaction trigger: skips at the sealed floor, fires past the threshold, folds back") {
+    val s2 = spark.newSession()
+    Dedup.persistCorpusBands(s2, Sf0001, "corpus_cpol_t", buckets = 4)
+    try {
+      Dedup.compactCorpusBands(s2, "corpus_cpol_t")
+      val rows0 = s2.table("corpus_cpol_t").count()
+      val (r0, f0) = Dedup.compactIfFragmented(s2, "corpus_cpol_t", "band_key")
+      assert(!f0 && r0 <= Dedup.CompactMaxFilesPerBucket,
+        s"the sealed layout must be below the trigger: $r0")
+      // replay-style appends: re-append the table's own rows (worst-case
+      // residue — every row a duplicate) until fragmentation crosses the
+      // threshold; pre-fire decisions must be consistent with the measured
+      // ratio in BOTH directions
+      def append(): Unit = s2.table("corpus_cpol_t")
+        .write.mode("append").bucketBy(4, "band_key").saveAsTable("corpus_cpol_t")
+      var fired = false
+      var rounds = 0
+      while (!fired && rounds < 5) {
+        append()
+        val (r, f) = Dedup.compactIfFragmented(s2, "corpus_cpol_t", "band_key")
+        assert(f === (r > Dedup.CompactMaxFilesPerBucket),
+          s"decision must follow the measured ratio: ($r, $f)")
+        fired = f
+        rounds += 1
+      }
+      assert(fired, "appends must eventually cross the threshold")
+      // the fold lands back at the one-file-per-bucket floor and DISTINCT
+      // drops the duplicate rows the appends (= replay residue) left
+      val (r2, f2) = Dedup.compactIfFragmented(s2, "corpus_cpol_t", "band_key")
+      assert(!f2 && r2 <= 1.0, s"post-fold layout must sit at the floor: $r2")
+      assert(s2.table("corpus_cpol_t").count() === rows0,
+        "the fold must restore the distinct row set")
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS corpus_cpol_t"); ()
+    }
+  }
 }

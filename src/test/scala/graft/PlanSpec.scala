@@ -184,6 +184,12 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must ride the bucket equi-join:\n${p.take(800)}")
   }
 
+  test("phash near-dup joins on (kind, band, band-sig), never all pairs") {
+    val p = plan(graft.operators.Multimodal.phashDedup(spark, Sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must ride the band equi-join:\n${p.take(800)}")
+  }
+
   test("IVF-PQ: corpus rides broadcast joins (probe + refine), never an all-pairs scan") {
     Similarity.persistPqModel(spark, Sf0001)
     val p = plan(Similarity.pqTopkAgainst(spark, Sf0001,
@@ -448,6 +454,26 @@ class PlanSpec extends SparkSpec {
     // output orderBy's range partitioning
     val ex = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(ex <= 2, s"expected key-shuffle + output-sort exchanges only, got $ex:\n${p.take(800)}")
+  }
+
+  test("token budget pays no whole-source window over corpus rows") {
+    val df = Pipeline.tokenBudget(spark, Sf0001)
+    df.collect() // finalize AQE
+    val p = plan(df)
+    // the only Window touching corpus rows (it sums n_tokens) must be
+    // partitioned by (source, bkt) — a source-only partition over the
+    // corpus is the parallelism ceiling the two-phase design exists to
+    // avoid; source-only windows are fine over the metadata histogram
+    // (they sum bkt_tok, not n_tokens)
+    val corpusWindows = p.linesIterator
+      .filter(l => l.contains("Window") && l.contains("n_tokens")).toSeq
+    assert(corpusWindows.nonEmpty, s"expected the crossing-bucket window:\n${p.take(1200)}")
+    corpusWindows.foreach(w =>
+      assert(w.contains("bkt#"),
+        s"corpus-row window must be bucket-partitioned, not per-source:\n$w"))
+    // bucket decisions come back as a broadcast, never a shuffled join
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket classifications must broadcast onto the corpus:\n${p.take(1200)}")
   }
 
   test("whole-stage codegen covers the taxi filter-project pipeline") {
