@@ -706,6 +706,112 @@ object Dedup {
       keyCol: String): (Long, Long) =
     rewriteBucketedTable(spark, table, keyCol)(_.distinct())
 
+  // -------------------------------------------------------------------------
+  // Right-to-be-forgotten for the dedup index
+  // -------------------------------------------------------------------------
+
+  private[graft] val CorpusFgTable = "dedup_fg_bands"
+
+  /** RIGHT-TO-BE-FORGOTTEN for the dedup corpus index — the last persisted
+    * index family without the verb (BM25, IVF and PQ have it): one atomic
+    * bucket-aligned anti-join rewrite of the band table through the
+    * [[rewriteBucketedTable]] fence (no derived stats ⇒ no marker window),
+    * idempotent under re-forget. The dedup-specific contract is the
+    * OBSERVABLE half: a forgotten document must stop suppressing
+    * near-duplicate arrivals — its content becomes re-admittable. Ghost
+    * suppression (deleting the text but keeping the signatures) would
+    * keep the forgotten content effectively present, which is exactly
+    * what a deletion request forbids.
+    */
+  def forgetCorpusDocs(spark: SparkSession, table: String,
+      forgetIds: DataFrame): (Long, Long) =
+    rewriteBucketedTable(spark, table, "band_key")(
+      _.join(broadcast(forgetIds.select("doc_id")), Seq("doc_id"), "left_anti"))
+
+  /** `dedup_forget`: build the band table, forget EXACTLY the corpus docs
+    * currently suppressing an arrival (the contested content — the shape
+    * a real deletion wave has), and re-run the incremental verdicts.
+    * Every previously-suppressed arrival must either become admitted or
+    * match a DIFFERENT corpus doc, so the query is non-vacuous wherever
+    * the fixture has any suppression at all. Build + derive + forget run
+    * under the build-then-mutate staleness gate ([[graft.core.ModelTables
+    * .persistGroupMutatedIfStale]]); steady-state calls pay only the
+    * verdict join. The forget-set derivation and the anti-join rewrite
+    * read the same pre-forget generation (the rewrite plans against the
+    * canonical table before the swap), so the mutation is well-defined
+    * and its retry re-derives an identical set.
+    */
+  def corpusForget(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
+      "dedup-forget:v1")(
+      CorpusFgTable -> (() => persistCorpusBands(spark, dir, CorpusFgTable)))(
+      () => {
+        val v0 = incrementalAgainst(spark, dir, CorpusFgTable)
+        forgetCorpusDocs(spark, CorpusFgTable,
+          v0.filter(!col("keep")).select(col("match_doc").as("doc_id")).distinct())
+        ()
+      })
+    incrementalAgainst(spark, dir, CorpusFgTable)
+  }
+
+  /** The incremental chain unrolled TWICE: level 0 derives the standard
+    * verdicts, the forget set is the distinct match docs of level 0's
+    * suppressions, and level 1 re-judges every arrival against the corpus
+    * minus that set — the same induction style as [[ingestAdmitOracle]].
+    */
+  val corpusForgetOracle: String =
+    s"""WITH $minhashSigBandsCte,
+       |x0 AS (
+       |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corp_doc
+       |  FROM bands i JOIN bands c ON i.band = c.band AND i.band_sig = c.band_sig
+       |  WHERE i.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+       |),
+       |s0 AS (
+       |  SELECT x.doc_id, x.corp_doc,
+       |    CAST(sum(CASE WHEN si.minh = sc.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+       |  FROM x0 x
+       |  JOIN sig si ON si.doc_id = x.doc_id
+       |  JOIN sig sc ON sc.doc_id = x.corp_doc AND sc.p = si.p
+       |  GROUP BY x.doc_id, x.corp_doc
+       |),
+       |b0 AS (SELECT doc_id, max(est_sim) AS match_sim FROM s0 GROUP BY doc_id),
+       |bm0 AS (
+       |  SELECT b.doc_id, b.match_sim, min(x.corp_doc) AS match_doc
+       |  FROM b0 b JOIN s0 x ON x.doc_id = b.doc_id AND x.est_sim = b.match_sim
+       |  GROUP BY 1, 2
+       |),
+       |fg AS (
+       |  SELECT DISTINCT match_doc AS doc_id FROM bm0
+       |  WHERE match_sim >= CAST($IncrDupSim AS DOUBLE)
+       |),
+       |x1 AS (
+       |  SELECT DISTINCT i.doc_id AS doc_id, c.doc_id AS corp_doc
+       |  FROM bands i JOIN bands c ON i.band = c.band AND i.band_sig = c.band_sig
+       |  WHERE i.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+       |    AND c.doc_id NOT IN (SELECT doc_id FROM fg)
+       |),
+       |s1 AS (
+       |  SELECT x.doc_id, x.corp_doc,
+       |    CAST(sum(CASE WHEN si.minh = sc.minh THEN 1 ELSE 0 END) AS DOUBLE) / $NumPerms AS est_sim
+       |  FROM x1 x
+       |  JOIN sig si ON si.doc_id = x.doc_id
+       |  JOIN sig sc ON sc.doc_id = x.corp_doc AND sc.p = si.p
+       |  GROUP BY x.doc_id, x.corp_doc
+       |),
+       |b1 AS (SELECT doc_id, max(est_sim) AS match_sim FROM s1 GROUP BY doc_id),
+       |bm1 AS (
+       |  SELECT b.doc_id, b.match_sim, min(x.corp_doc) AS match_doc
+       |  FROM b1 b JOIN s1 x ON x.doc_id = b.doc_id AND x.est_sim = b.match_sim
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(bm1.match_sim, CAST(0.0 AS DOUBLE)) < CAST($IncrDupSim AS DOUBLE) AS keep,
+       |  CAST(coalesce(bm1.match_doc, -1) AS BIGINT) AS match_doc,
+       |  coalesce(bm1.match_sim, CAST(0.0 AS DOUBLE)) AS match_sim
+       |FROM documents d LEFT JOIN bm1 ON bm1.doc_id = d.doc_id
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The general atomic rewrite behind [[compactBucketedTable]] (transform
     * = distinct) and the forget family's anti-join rewrites: snapshot the
     * bucketed table, apply `transform`, write bucket-aligned to a temp

@@ -115,4 +115,44 @@ class ForgetSpec extends SparkSpec {
       assert(served === 0L)
     } finally drop(a, b)
   }
+
+  test("dedup-index forget equals a filtered-corpus build; forgotten docs stop suppressing") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val (a, b) = ("fgs_bands_a", "fgs_bands_b")
+    drop(a, b)
+    try {
+      Dedup.persistCorpusBands(spark, Sf0001, a)
+      val v0 = Dedup.incrementalAgainst(spark, Sf0001, a).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+      val suppressed = v0.filter(!_._2)
+      assert(suppressed.nonEmpty, "fixture must have suppressions or the verb is vacuous")
+      val fgIds = suppressed.map(_._3).toSet
+      Dedup.forgetCorpusDocs(spark, a,
+        fgIds.toSeq.toDF("doc_id"))
+      // reference: band table built from the corpus minus the forget set
+      Dedup.bandKeysOf(spark.read.parquet(s"$Sf0001/documents.parquet")
+          .filter(col("doc_id") % 10 < 8)
+          .filter(!col("doc_id").isin(fgIds.toSeq: _*)))
+        .write.bucketBy(16, "band_key").saveAsTable(b)
+      assert(rows(spark.table(a)) === rows(spark.table(b)),
+        "forgotten band table differs from the filtered-corpus build")
+      // idempotence: re-forgetting the same ids is a no-op on content
+      val before = rows(spark.table(a))
+      Dedup.forgetCorpusDocs(spark, a, fgIds.toSeq.toDF("doc_id"))
+      assert(rows(spark.table(a)) === before)
+      // the RTBF observable: every previously-suppressed arrival now
+      // either keeps or matches a DIFFERENT (unforgotten) corpus doc
+      val v1 = Dedup.incrementalAgainst(spark, Sf0001, a).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      suppressed.foreach { case (id, _, oldMatch, _) =>
+        val (keep, newMatch) = v1(id)
+        assert(keep || (newMatch != oldMatch && !fgIds.contains(newMatch)),
+          s"doc $id still suppressed by forgotten content: old=$oldMatch new=$newMatch")
+      }
+      assert(suppressed.exists { case (id, _, _, _) => v1(id)._1 },
+        "at least one suppressed arrival must become admitted post-forget")
+    } finally drop(a, b)
+  }
 }
