@@ -728,6 +728,23 @@ object Dedup {
     rewriteBucketedTable(spark, table, "band_key")(
       _.join(broadcast(forgetIds.select("doc_id")), Seq("doc_id"), "left_anti"))
 
+  /** Continuous deletion for the dedup index: every micro-batch of
+    * arriving forget requests is applied as one atomic anti-join rewrite —
+    * the dedup twin of `bm25ForgetStream`/`ivfForgetStream`. Anti-joins
+    * compose and re-apply idempotently, so any chunking or redelivery of
+    * the deletion stream lands on the batch-forget band table.
+    */
+  def corpusForgetStream(forgetIds: DataFrame,
+      table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    forgetIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          forgetCorpusDocs(batch.sparkSession, table, batch.toDF()); ()
+        }
+      }
+      .start()
+
   /** `dedup_forget`: build the band table, forget EXACTLY the corpus docs
     * currently suppressing an arrival (the contested content — the shape
     * a real deletion wave has), and re-run the incremental verdicts.

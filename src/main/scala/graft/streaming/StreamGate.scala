@@ -1381,6 +1381,39 @@ object StreamGate {
     } finally { Seq(p, f, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
 
+  /** Continuous deletion for the DEDUP index under the hard gate: the
+    * contested-content forget set (the corpus docs suppressing an
+    * arrival, same derivation as the batch `dedup_forget`) is replayed as
+    * deletion-request micro-batches, each applied as one fenced anti-join
+    * rewrite of the band table ([[graft.operators.Dedup
+    * .corpusForgetStream]]); the post-stream verdicts must equal the
+    * single batch forget — anti-joins compose and re-apply idempotently,
+    * so any chunking of the deletion stream lands on the same index.
+    * Completes batch + continuous deletion across all four persisted
+    * index families (BM25, IVF, PQ, dedup bands). 2 chunks for the same
+    * reason as [[forgetDocs]]: each batch pays the full rewrite, and two
+    * sequential deletes already prove the composition.
+    */
+  def dedupForget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val t = s"gate_fg_bands_${runId.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      Dedup.persistCorpusBands(spark, dir, t)
+      val fgIds = Dedup.incrementalAgainst(spark, dir, t)
+        .filter(!col("keep")).select(col("match_doc").as("doc_id")).distinct()
+      val stream = replayCached(spark, s"dedupfg|$dir", chunks = 2)(
+        (fgIds, col("doc_id")))
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = Dedup.corpusForgetStream(stream, t)
+        try q.processAllAvailable() finally q.stop()
+      }
+      // rewrites ran in the stream's cloned session; refresh THIS one
+      spark.catalog.refreshTable(t)
+      materialize(Dedup.incrementalAgainst(spark, dir, t))
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $t"); () }
+  }
+
   /** LATE-DATA AUDIT under the hard gate: events replayed in ARRIVAL
     * order (rowtime + deterministic bounded jitter — the reference's
     * disorder model, TaxiRideSource.java:126-134), each micro-batch
