@@ -1414,6 +1414,69 @@ object StreamGate {
     } finally { spark.sql(s"DROP TABLE IF EXISTS $t"); () }
   }
 
+  /** CHECKPOINT RECOVERY FOR transformWithState STATE — the restart
+    * surface none of the other restart gates covers: `stream_q1_restart`
+    * restores a built-in window aggregation's state and
+    * `stream_pq_restart` the WRITE side of a persisted index; this gate
+    * restores ARBITRARY RocksDB ValueState held by a user
+    * StatefulProcessor ([[graft.operators.Pipeline.TokenBudgetStream]] —
+    * one spent-token long per source). The admission stream ingests two
+    * of three chunks under one query instance, STOPS, and a new instance
+    * resumes from the same checkpoint to finish the replay. The final
+    * verdict union must hash-match the same FIFO oracle as the
+    * unrestarted gate: a processor whose state failed to restore would
+    * judge every post-restart arrival against a zeroed spent-sum and
+    * flip the over-budget tail back to keeps; a replayed batch would
+    * double-emit verdicts and break the row count.
+    */
+  def tokenBudgetRestart(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val budgets = Pipeline.tokenBudgets(spark, dir)
+    val files = stagedFilesCached(spark, s"docs|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "documents"), col("doc_id")))
+    val root = gateTmp("graft-gate-tokrestart")
+    val watch = root.resolve("watch")
+    Files.createDirectories(watch)
+    val ck = root.resolve("ck")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def copyIn(fs: Seq[Path]): Unit = fs.foreach { f =>
+      val dst = watch.resolve(f.getFileName)
+      Files.copy(f, dst)
+      if (!dst.toFile.setLastModified(f.toFile.lastModified()))
+        throw new java.io.IOException(s"cannot set mtime on $dst")
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(watch.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch.toString)
+      val q = Pipeline.TokenBudgetStream.query(stream, budgets).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          val rows = b.collect()
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      withRocksDb(spark) {
+        withGateParallelism(spark, GateStatePartitions) {
+          copyIn(files.take(2))
+          runOnce() // instance 1: two chunks of spending, then STOP
+          copyIn(files.drop(2))
+          runOnce() // instance 2: RocksDB spent-sums restore, replay ends
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.Encoders
+        .product[Pipeline.TokenBudgetStream.TokVerdict].schema
+      spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+        .orderBy("doc_id")
+    } finally rmrf(root)
+  }
+
   /** LATE-DATA AUDIT under the hard gate: events replayed in ARRIVAL
     * order (rowtime + deterministic bounded jitter — the reference's
     * disorder model, TaxiRideSource.java:126-134), each micro-batch
