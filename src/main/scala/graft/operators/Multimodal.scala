@@ -336,6 +336,222 @@ object Multimodal {
        |FROM ph LEFT JOIN best ON ph.doc_id = best.doc_id
        |ORDER BY ph.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------------
+  // Continuous multimodal admission (the phash ingest loop)
+  // -------------------------------------------------------------------------
+
+  /** (doc_id, kind, phash) -> one row per band: the index layout. The
+    * index is bucketed by band signature, so arriving batches join
+    * co-located — the multimodal twin of the dedup corpus band table.
+    */
+  private[graft] def phashBandsOf(ph: DataFrame): DataFrame = {
+    val mask = (1L << PhashBandBits) - 1
+    val bandCols = (0 until PhashBands).map(b =>
+      struct(lit(b).as("band"),
+        expr(s"shiftright(phash, ${b * PhashBandBits}) & $mask").as("bsig")))
+    ph.select(col("doc_id"), col("kind"), col("phash"),
+        explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("kind"), col("phash"),
+        col("bd.band").as("band"), col("bd.bsig").as("bsig"))
+  }
+
+  /** The 80/20 corpus/arrival split, shared with the text ingest loop so
+    * the fixtures line up across modalities.
+    */
+  private[graft] def corpusMedia(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaRecords(spark, dir).filter(col("doc_id") % 10 < 8).as[MediaRecord]
+  }
+
+  /** Persist the corpus phash band index, bucketed by band signature. */
+  def persistPhashBands(spark: SparkSession, dir: String, table: String,
+      buckets: Int = 8): Unit =
+    phashBandsOf(phashes(corpusMedia(spark, dir)))
+      .write.mode("overwrite").bucketBy(buckets, "bsig").saveAsTable(table)
+
+  /** Per-arrival verdict against the index: suppressed when ANY indexed
+    * same-kind entry sits within Hamming [[PhashMaxHamming]] (pigeonhole
+    * makes the band pruning exact at this radius); the reported match is
+    * the (closest, then smallest-id) indexed entry.
+    */
+  private[graft] def phashVerdictFor(newPh: DataFrame, indexBands: DataFrame): DataFrame = {
+    val cand = phashBandsOf(newPh).as("a")
+      .join(indexBands.as("b"),
+        expr("a.kind = b.kind AND a.band = b.band AND a.bsig = b.bsig"))
+      .select(col("a.doc_id").as("doc_id"),
+        expr("bit_count(a.phash ^ b.phash)").as("ham"),
+        col("b.doc_id").as("cand_id"))
+      .filter(col("ham") <= PhashMaxHamming)
+      .groupBy("doc_id")
+      .agg(min(struct(col("ham"), col("cand_id"))).as("m"))
+      .select(col("doc_id"), col("m.cand_id").as("match_id"),
+        col("m.ham").cast("long").as("match_ham"))
+    newPh.select("doc_id", "kind")
+      .join(cand, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("kind"), col("match_id").isNull.as("keep"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("match_ham"), lit(-1L)).as("match_ham"))
+      .orderBy("doc_id")
+  }
+
+  /** Append the kept arrivals' band rows to the index, preserving the
+    * bucket layout (same single-writer maintenance contract as the text
+    * loop's admitBands).
+    */
+  private[graft] def admitPhashBands(newPh: DataFrame, verdicts: DataFrame,
+      table: String): Unit = {
+    val spark = newPh.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalArgumentException(s"$table is not a bucketed band table"))
+    phashBandsOf(newPh)
+      .join(verdicts.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+      .write.mode("append").bucketBy(buckets, "bsig").saveAsTable(table)
+  }
+
+  /** CONTINUOUS MULTIMODAL ADMISSION — the self-growing phash loop, the
+    * multimodal twin of the text ingest loop (`Dedup
+    * .incrementalStreamAdmitting`): each arriving media micro-batch is
+    * perceptually hashed MAP-ONLY at the decode seam (payload bytes never
+    * leave the stage), judged against the CURRENT index snapshot, handed
+    * to `onBatch`, and its keepers admitted — so a later batch's
+    * re-encoded copy of an admitted original is suppressed at Hamming 0.
+    * Verdicts are judged against corpus + strictly-earlier batches
+    * (same-batch peers are not candidates), which keeps the emission
+    * deterministic under any intra-batch ordering.
+    */
+  def phashAdmitStream(newMedia: DataFrame, table: String,
+      checkpointLocation: Option[String] = None)(
+      onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = newMedia.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val ph = phashes(batch.as[MediaRecord]).cache()
+          try {
+            // replay-safe: an at-least-once re-delivery must not see the
+            // batch's own earlier admission (same contract as the text
+            // loop's replaySafeCorpus)
+            val idx = spark.table(table)
+              .join(broadcast(batch.select("doc_id")), Seq("doc_id"), "left_anti")
+            val v = phashVerdictFor(ph, idx).cache()
+            try {
+              onBatch(v)
+              admitPhashBands(ph, v, table)
+            } finally { v.unpersist(); () }
+          } finally { ph.unpersist(); () }
+        }
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _)).start()
+  }
+
+  /** The gate's arrival stream: every incoming media record (doc_id %
+    * 10 >= 8), followed by a RE-SUBMISSION of the same payload under
+    * doc_id + offset — the copy that makes the loop non-vacuous (an
+    * admitted original must suppress its later copy at Hamming 0). The
+    * offset is the max doc id + 1 rounded UP to a multiple of 3, so the
+    * copy keeps its original's `kind` (kind = doc_id % 3) and, exceeding
+    * the id range, provably lands >= 1 chunk after the original under the
+    * 3-chunk range split.
+    */
+  private[graft] def mmArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val inc = mediaRecords(spark, dir).toDF().filter(col("doc_id") % 10 >= 8)
+    val mx = Tables.load(spark, dir, "documents").agg(max(col("doc_id"))).head().getLong(0)
+    val off = ((mx + 1 + 2) / 3) * 3
+    inc.unionByName(inc.withColumn("doc_id", col("doc_id") + lit(off)))
+  }
+
+  /** The admission induction unrolled per chunk (same style as the text
+    * loop's oracle): chunk k's arrivals are judged — brute-force Hamming
+    * pairs, which the banded join provably equals at this radius —
+    * against the corpus plus the KEPT arrivals of chunks < k. The copy
+    * arithmetic (offset to a multiple of 3, kind preserved) and the
+    * 3-chunk range split are replayed exactly.
+    */
+  val mmAdmitOracle: String = {
+    val levels = (0 until 3).map { k =>
+      val elig = ("e.is_corp" +:
+        (0 until k).map(j => s"e.cand_id IN (SELECT doc_id FROM kept$j)"))
+        .mkString("(", " OR ", ")")
+      s"""p$k AS (
+         |  SELECT e.doc_id, e.ham, e.cand_id FROM cpairs e
+         |  JOIN chunked ci ON ci.doc_id = e.doc_id AND ci.chunk = $k
+         |  WHERE $elig
+         |),
+         |b$k AS (
+         |  SELECT doc_id, cand_id AS match_id, CAST(ham AS BIGINT) AS match_ham FROM (
+         |    SELECT doc_id, ham, cand_id,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY ham, cand_id) AS rn
+         |    FROM p$k
+         |  ) WHERE rn = 1
+         |),
+         |v$k AS (
+         |  SELECT ch.doc_id, ch.kind, b$k.match_id IS NULL AS keep,
+         |    coalesce(b$k.match_id, CAST(-1 AS BIGINT)) AS match_id,
+         |    coalesce(b$k.match_ham, CAST(-1 AS BIGINT)) AS match_ham
+         |  FROM chunked ch LEFT JOIN b$k ON b$k.doc_id = ch.doc_id
+         |  WHERE ch.chunk = $k
+         |),
+         |kept$k AS (SELECT doc_id FROM v$k WHERE keep)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    text
+       |  FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 2, 1)),
+       |    i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 4)), 1, 15)) AS BIGINT))) AS h
+       |  FROM d
+       |),
+       |votes AS (
+       |  SELECT g.doc_id, j,
+       |    sum(CASE WHEN (g.h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM grams g, range(0, 60) q(j)
+       |  GROUP BY g.doc_id, j
+       |),
+       |ph AS (
+       |  SELECT d.doc_id, d.kind,
+       |    coalesce((SELECT CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+       |              FROM votes v WHERE v.doc_id = d.doc_id), 0) AS phash
+       |  FROM d
+       |),
+       |voff AS (SELECT ((max(doc_id) + 1 + 2) // 3) * 3 AS o FROM documents),
+       |aug AS (
+       |  SELECT p.doc_id, p.kind, p.phash FROM ph p WHERE p.doc_id % 10 >= 8
+       |  UNION ALL
+       |  SELECT p.doc_id + o AS doc_id, p.kind, p.phash
+       |  FROM ph p, voff WHERE p.doc_id % 10 >= 8
+       |),
+       |bnd AS (SELECT min(doc_id) AS t0,
+       |               greatest(1, max(doc_id) - min(doc_id) + 1) AS span FROM aug),
+       |chunked AS (
+       |  SELECT doc_id, kind, phash, CAST((doc_id - t0) * 3 // span AS INT) AS chunk
+       |  FROM aug, bnd
+       |),
+       |cpairs AS (
+       |  -- corpus candidates (always eligible) + earlier-arrival candidates
+       |  SELECT a.doc_id, bit_count(CAST(xor(a.phash, c.phash) AS BIT)) AS ham,
+       |    c.doc_id AS cand_id, TRUE AS is_corp
+       |  FROM chunked a JOIN ph c ON c.kind = a.kind AND c.doc_id % 10 < 8
+       |  WHERE bit_count(CAST(xor(a.phash, c.phash) AS BIT)) <= $PhashMaxHamming
+       |  UNION ALL
+       |  SELECT a.doc_id, bit_count(CAST(xor(a.phash, c.phash) AS BIT)) AS ham,
+       |    c.doc_id AS cand_id, FALSE AS is_corp
+       |  FROM chunked a JOIN chunked c ON c.kind = a.kind AND c.chunk < a.chunk
+       |  WHERE bit_count(CAST(xor(a.phash, c.phash) AS BIT)) <= $PhashMaxHamming
+       |),
+       |$levels
+       |SELECT * FROM (
+       |  SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+       |) ORDER BY doc_id""".stripMargin
+  }
+
   /** The fake decode arithmetic, replayed relationally over the original
     * text (payload bytes are ASCII here, so ascii()/length() line up with
     * the byte math).

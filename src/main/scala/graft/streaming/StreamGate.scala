@@ -1414,6 +1414,61 @@ object StreamGate {
     } finally { spark.sql(s"DROP TABLE IF EXISTS $t"); () }
   }
 
+  /** CONTINUOUS MULTIMODAL ADMISSION under the hard gate — the phash
+    * ingest loop ([[graft.operators.Multimodal.phashAdmitStream]]): the
+    * corpus phash index is built first; augmented media arrivals
+    * (originals + offset re-submissions that keep their kind — see
+    * [[graft.operators.Multimodal.mmArrivals]]) replay in 3 doc_id-range
+    * chunks; each micro-batch is hashed at the decode seam, judged
+    * against the CURRENT index, and its keepers admitted — so every kept
+    * original's later copy must be suppressed at Hamming 0, which is the
+    * non-vacuity the re-submissions exist to force. Oracle: the per-chunk
+    * induction with brute-force Hamming pairs (the banded join provably
+    * equals them at this radius).
+    */
+  def mmAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val table = s"graft_gate_mmadmit_${runId.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val incoming = Multimodal.mmArrivals(spark, dir)
+    val files = stagedFilesCached(spark, s"mmadmit|$dir", chunks = 3)(
+      (incoming, col("doc_id")))
+    val root = gateTmp("graft-gate-mmadmit")
+    val watched = root.resolve("watched")
+    Files.createDirectories(watched)
+    try {
+      Multimodal.persistPhashBands(spark, dir, table)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var schema: org.apache.spark.sql.types.StructType = null
+      withGateParallelism(spark, GateStatePartitions) {
+        val stream = spark.readStream.schema(incoming.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val q = Multimodal.phashAdmitStream(stream, table,
+            Some(root.resolve("ck").toString)) { v =>
+          buf.synchronized { if (schema == null) schema = v.schema; buf ++= v.collect() }; ()
+        }
+        try files.foreach { f =>
+          atomicFeed(f, watched, None)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // non-vacuity: at least one kept original's copy arrived later and
+      // was suppressed at Hamming 0 by an ADMITTED (non-corpus) entry
+      val rows = buf.synchronized(buf.toList)
+      val keptIds = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+      val copySuppressions = rows.count(r =>
+        !r.getBoolean(2) && r.getLong(4) == 0L && keptIds.contains(r.getLong(3)))
+      if (copySuppressions == 0)
+        throw new IllegalStateException(
+          "mmAdmit: no copy was suppressed by an admitted original — the loop is vacuous")
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema).orderBy("doc_id")
+    } finally {
+      rmrf(root)
+      spark.sql(s"DROP TABLE IF EXISTS $table"); ()
+    }
+  }
+
   /** CHECKPOINT RECOVERY FOR transformWithState STATE — the restart
     * surface none of the other restart gates covers: `stream_q1_restart`
     * restores a built-in window aggregation's state and
