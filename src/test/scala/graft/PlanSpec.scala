@@ -190,6 +190,17 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must ride the band equi-join:\n${p.take(800)}")
   }
 
+  test("semantic decontamination broadcasts the eval side, never all pairs") {
+    val p = plan(Similarity.contaminationSemantic(spark, Sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidates must ride the sketch-bucket equi-join:\n${p.take(800)}")
+    // the eval side is benchmark-sized BY CONTRACT: it must arrive as a
+    // broadcast build side, so the training corpus never shuffles for
+    // candidate generation
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval side must broadcast:\n${p.take(800)}")
+  }
+
   test("IVF-PQ: corpus rides broadcast joins (probe + refine), never an all-pairs scan") {
     Similarity.persistPqModel(spark, Sf0001)
     val p = plan(Similarity.pqTopkAgainst(spark, Sf0001,
