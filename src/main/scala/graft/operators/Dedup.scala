@@ -686,6 +686,10 @@ object Dedup {
   def compactIfFragmented(spark: SparkSession, table: String, keyCol: String,
       maxFilesPerBucket: Double = CompactMaxFilesPerBucket): (Double, Boolean) = {
     val catalog = spark.sessionState.catalog
+    // self-heal a torn DROP-to-RENAME from a crashed rewrite FIRST: the
+    // metadata probe below would otherwise throw NoSuchTableException
+    // before the fold's own recovery path could run
+    recoverTornRewrite(spark, table)
     // same stale-listing hazard as rewriteBucketedTable: streaming appends
     // do not invalidate this session's cached file listing
     spark.catalog.refreshTable(table)
@@ -838,15 +842,27 @@ object Dedup {
     * not read the table it replaces through any path other than the
     * frame passed to it (the snapshot is the frame).
     */
+  /** Finish a torn previous [[rewriteBucketedTable]] run: canonical gone
+    * + temp present means the crash hit between DROP and RENAME — promote
+    * the temp. Every entry point that probes the canonical table's
+    * metadata (the rewrite itself, [[compactIfFragmented]]'s trigger)
+    * runs this first so a torn state is recoverable from ANY path, not
+    * just a retry of the rewrite.
+    */
+  private[graft] def recoverTornRewrite(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val tmpName = table + "_compact_tmp"
+    if (!catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(table)) &&
+        catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(tmpName)))
+      spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+    ()
+  }
+
   private[graft] def rewriteBucketedTable(spark: SparkSession, table: String,
       keyCol: String)(transform: DataFrame => DataFrame): (Long, Long) = {
     val catalog = spark.sessionState.catalog
     val tmpName = table + "_compact_tmp"
-    // finish a torn previous run: canonical gone + temp present means the
-    // crash hit between DROP and RENAME — promote the temp first
-    if (!catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(table)) &&
-        catalog.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(tmpName)))
-      spark.sql(s"ALTER TABLE $tmpName RENAME TO $table")
+    recoverTornRewrite(spark, table)
     def meta = catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(

@@ -217,6 +217,30 @@ object StreamGate {
     ()
   }
 
+  /** Copier for the restart gates' PRIVATE watched dirs (the query is
+    * stopped while these copies run, so atomicity doesn't matter — order
+    * does). Assigns each copied file a FRESH, STRICTLY INCREASING mtime
+    * (a base captured at construction + a per-file counter) instead of
+    * preserving the source mtimes: chunk files written by one parquet
+    * job can share a millisecond mtime, and FileStreamSource breaks
+    * timestamp ties by listing order — RawLocalFileSystem listing is
+    * unsorted, so two tied chunks could replay out of order and flake
+    * any order-sensitive oracle (the token-budget FIFO hash). The
+    * counter spans calls, so files fed before and after a restart stay
+    * totally ordered.
+    */
+  private final class OrderedCopier(watch: Path) {
+    private val base = System.currentTimeMillis()
+    private var n = 0
+    def copyIn(fs: Seq[Path]): Unit = fs.foreach { f =>
+      val dst = watch.resolve(f.getFileName)
+      Files.copy(f, dst)
+      n += 1
+      if (!dst.toFile.setLastModified(base + n))
+        throw new java.io.IOException(s"cannot set mtime on $dst")
+    }
+  }
+
   /** The shared rides replay every event-time gate uses. */
   private def ridesReplay(spark: SparkSession, dir: String, chunks: Int = Chunks): DataFrame =
     replayCached(spark, s"rides|$dir", chunks)(
@@ -725,12 +749,8 @@ object StreamGate {
     Files.createDirectories(watch)
     val ck = root.resolve("ck")
     val name = s"graft_restart_${runId.incrementAndGet()}"
-    def copyIn(fs: Seq[Path]): Unit = fs.foreach { f =>
-      val dst = watch.resolve(f.getFileName)
-      Files.copy(f, dst)
-      if (!dst.toFile.setLastModified(f.toFile.lastModified()))
-        throw new java.io.IOException(s"cannot set mtime on $dst")
-    }
+    val copier = new OrderedCopier(watch)
+    def copyIn(fs: Seq[Path]): Unit = copier.copyIn(fs)
     def runOnce(): Unit = {
       val stream = spark.readStream
         .schema(spark.read.parquet(watch.toString).schema)
@@ -1494,12 +1514,8 @@ object StreamGate {
     Files.createDirectories(watch)
     val ck = root.resolve("ck")
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-    def copyIn(fs: Seq[Path]): Unit = fs.foreach { f =>
-      val dst = watch.resolve(f.getFileName)
-      Files.copy(f, dst)
-      if (!dst.toFile.setLastModified(f.toFile.lastModified()))
-        throw new java.io.IOException(s"cannot set mtime on $dst")
-    }
+    val copier = new OrderedCopier(watch)
+    def copyIn(fs: Seq[Path]): Unit = copier.copyIn(fs)
     def runOnce(): Unit = {
       val stream = spark.readStream
         .schema(spark.read.parquet(watch.toString).schema)
@@ -1867,16 +1883,20 @@ object StreamGate {
       dir: String): (DataFrame, Seq[(Double, Boolean)]) = {
     import graft.operators.Dedup
     val table = s"graft_gate_cpolicy_${runId.incrementAndGet()}"
-    Dedup.persistCorpusBands(spark, dir, table)
-    Dedup.compactCorpusBands(spark, table) // seal the base layout at 1.0
-    val incoming = Dedup.ingestArrivals(spark, dir)
-    val files = stagedFilesCached(spark, s"ingest|$dir", chunks = 3)(
-      (incoming, col("doc_id")))
     val root = gateTmp("graft-gate-cpolicy")
-    val watched = root.resolve("watched")
-    Files.createDirectories(watched)
     val decisions = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+    // table creation + staging live INSIDE the try: a failure anywhere
+    // after the persist must still hit the finally's DROP TABLE (the
+    // sibling gates' shape — a leaked graft_gate_cpolicy_N otherwise
+    // pollutes the session catalog for its lifetime)
     try {
+      Dedup.persistCorpusBands(spark, dir, table)
+      Dedup.compactCorpusBands(spark, table) // seal the base layout at 1.0
+      val incoming = Dedup.ingestArrivals(spark, dir)
+      val files = stagedFilesCached(spark, s"ingest|$dir", chunks = 3)(
+        (incoming, col("doc_id")))
+      val watched = root.resolve("watched")
+      Files.createDirectories(watched)
       val schema = Dedup.incremental(spark, dir).schema // lazy: no job
       val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
       withGateParallelism(spark, GateStatePartitions) {
