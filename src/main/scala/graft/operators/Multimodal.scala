@@ -552,6 +552,163 @@ object Multimodal {
        |) ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------------
+  // Right-to-be-forgotten + compaction for the phash index
+  // -------------------------------------------------------------------------
+
+  /** Compaction verb for the phash band table — the same distinct-fold
+    * repair the text loop wires in ([[Dedup.compactCorpusBands]]): folds
+    * the per-admit small files back to one per bucket AND drops the
+    * duplicate band rows an at-least-once redelivery of
+    * [[phashAdmitStream]] can leave (verdicts are replay-safe via the
+    * batch anti-join; the append residue is repaired here). Same
+    * single-writer contract as every bucketed rewrite.
+    */
+  def compactPhashBands(spark: SparkSession, table: String): (Long, Long) =
+    Dedup.compactBucketedTable(spark, table, "bsig")
+
+  /** RIGHT-TO-BE-FORGOTTEN for the phash index — closes the verb across
+    * all five persisted index families (BM25, IVF, PQ, dedup bands,
+    * phash bands): one atomic bucket-aligned anti-join rewrite through
+    * the [[Dedup.rewriteBucketedTable]] fence (no derived stats ⇒ no
+    * marker window), idempotent under re-forget. The observable contract
+    * is the same ghost-suppression ban as the text index's
+    * [[Dedup.forgetCorpusDocs]]: a forgotten media document must stop
+    * SUPPRESSING later perceptual copies — its content becomes
+    * re-admittable. Keeping the band signatures while deleting the bytes
+    * would keep the forgotten media effectively present, which is exactly
+    * what a deletion request forbids.
+    */
+  def forgetPhashDocs(spark: SparkSession, table: String,
+      forgetIds: DataFrame): (Long, Long) =
+    Dedup.rewriteBucketedTable(spark, table, "bsig")(
+      _.join(broadcast(forgetIds.select("doc_id")), Seq("doc_id"), "left_anti"))
+
+  /** Continuous deletion for the phash index: every micro-batch of
+    * arriving forget requests is one fenced anti-join rewrite — the
+    * multimodal twin of `corpusForgetStream`. Anti-joins compose and
+    * re-apply idempotently, so any chunking or redelivery of the deletion
+    * stream lands on the batch-forget band table.
+    */
+  def phashForgetStream(forgetIds: DataFrame,
+      table: String): org.apache.spark.sql.streaming.StreamingQuery =
+    forgetIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          forgetPhashDocs(batch.sparkSession, table, batch.toDF()); ()
+        }
+      }
+      .start()
+
+  /** The incoming 20% split (the arrivals the forget contract is judged
+    * on), shared with [[mmArrivals]]' base.
+    */
+  private[graft] def mmIncoming(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaRecords(spark, dir).filter(col("doc_id") % 10 >= 8).as[MediaRecord]
+  }
+
+  /** Incoming arrivals judged against a persisted phash band table. */
+  private[graft] def phashVerdictsAgainst(spark: SparkSession, dir: String,
+      table: String): DataFrame =
+    phashVerdictFor(phashes(mmIncoming(spark, dir)), spark.table(table))
+
+  private[graft] val PhashFgTable = "mm_fg_phash_bands"
+
+  /** `mm_phash_forget`: build the phash band index, forget EXACTLY the
+    * corpus docs currently suppressing an arrival (the contested content —
+    * the shape a real deletion wave has), and re-judge every arrival.
+    * Every previously-suppressed arrival must either become admitted or
+    * match a DIFFERENT corpus doc, so the query is non-vacuous wherever
+    * the fixture has any cross-split perceptual near-dup (probed: 3 at
+    * sf0.001, 2 at sf0.01, 32 at sf0.1). Build + derive + forget run under
+    * the build-then-mutate staleness gate; steady-state calls pay only the
+    * verdict join. The forget-set derivation and the anti-join rewrite
+    * read the same pre-forget generation (the rewrite plans against the
+    * canonical table before the swap), so the mutation is well-defined and
+    * its retry re-derives an identical set.
+    */
+  def phashForget(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
+      "phash-forget:v1")(
+      PhashFgTable -> (() => persistPhashBands(spark, dir, PhashFgTable)))(
+      () => {
+        val v0 = phashVerdictsAgainst(spark, dir, PhashFgTable)
+        forgetPhashDocs(spark, PhashFgTable,
+          v0.filter(!col("keep")).select(col("match_id").as("doc_id")).distinct())
+        ()
+      })
+    phashVerdictsAgainst(spark, dir, PhashFgTable)
+  }
+
+  /** The forget chain unrolled TWICE with brute-force Hamming pairs (the
+    * banded join provably equals them at this radius): level 0 derives
+    * the standard verdicts, the forget set is the distinct match docs of
+    * level 0's suppressions (every matched arrival IS a suppression at
+    * this radius), and level 1 re-judges every arrival against the corpus
+    * minus that set — the same induction style as the text index's
+    * corpusForgetOracle.
+    */
+  val phashForgetOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    text
+       |  FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(length(text) - 2, 1)),
+       |    i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INT), 4)), 1, 15)) AS BIGINT))) AS h
+       |  FROM d
+       |),
+       |votes AS (
+       |  SELECT g.doc_id, j,
+       |    sum(CASE WHEN (g.h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM grams g, range(0, 60) q(j)
+       |  GROUP BY g.doc_id, j
+       |),
+       |ph AS (
+       |  SELECT d.doc_id, d.kind,
+       |    coalesce((SELECT CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+       |              FROM votes v WHERE v.doc_id = d.doc_id), 0) AS phash
+       |  FROM d
+       |),
+       |arr AS (SELECT doc_id, kind, phash FROM ph WHERE doc_id % 10 >= 8),
+       |corp AS (SELECT doc_id, kind, phash FROM ph WHERE doc_id % 10 < 8),
+       |p0 AS (
+       |  SELECT a.doc_id, bit_count(CAST(xor(a.phash, c.phash) AS BIT)) AS ham, c.doc_id AS cand_id
+       |  FROM arr a JOIN corp c ON a.kind = c.kind
+       |  WHERE bit_count(CAST(xor(a.phash, c.phash) AS BIT)) <= $PhashMaxHamming
+       |),
+       |b0 AS (
+       |  SELECT doc_id, cand_id AS match_id FROM (
+       |    SELECT doc_id, cand_id,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY ham, cand_id) AS rn
+       |    FROM p0
+       |  ) WHERE rn = 1
+       |),
+       |fg AS (SELECT DISTINCT match_id AS doc_id FROM b0),
+       |p1 AS (
+       |  SELECT a.doc_id, bit_count(CAST(xor(a.phash, c.phash) AS BIT)) AS ham, c.doc_id AS cand_id
+       |  FROM arr a JOIN corp c ON a.kind = c.kind
+       |  WHERE bit_count(CAST(xor(a.phash, c.phash) AS BIT)) <= $PhashMaxHamming
+       |    AND c.doc_id NOT IN (SELECT doc_id FROM fg)
+       |),
+       |b1 AS (
+       |  SELECT doc_id, cand_id AS match_id, CAST(ham AS BIGINT) AS match_ham FROM (
+       |    SELECT doc_id, ham, cand_id,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY ham, cand_id) AS rn
+       |    FROM p1
+       |  ) WHERE rn = 1
+       |)
+       |SELECT arr.doc_id, arr.kind, b1.match_id IS NULL AS keep,
+       |  coalesce(b1.match_id, CAST(-1 AS BIGINT)) AS match_id,
+       |  coalesce(b1.match_ham, CAST(-1 AS BIGINT)) AS match_ham
+       |FROM arr LEFT JOIN b1 ON arr.doc_id = b1.doc_id
+       |ORDER BY arr.doc_id""".stripMargin
+
   /** The fake decode arithmetic, replayed relationally over the original
     * text (payload bytes are ASCII here, so ascii()/length() line up with
     * the byte math).

@@ -1434,6 +1434,39 @@ object StreamGate {
     } finally { spark.sql(s"DROP TABLE IF EXISTS $t"); () }
   }
 
+  /** Continuous deletion for the PHASH index under the hard gate — the
+    * fifth and last persisted index family to get the verb (BM25, IVF,
+    * PQ, dedup bands have it): the contested-content forget set (the
+    * corpus docs perceptually suppressing an arrival, same derivation as
+    * the batch `mm_phash_forget`) is replayed as deletion-request
+    * micro-batches, each applied as one fenced anti-join rewrite of the
+    * phash band table ([[graft.operators.Multimodal.phashForgetStream]]);
+    * the post-stream verdicts must equal the single batch forget —
+    * anti-joins compose and re-apply idempotently, so any chunking of the
+    * deletion stream lands on the same index. 2 chunks for the same
+    * reason as [[forgetDocs]]: each batch pays the full rewrite, and two
+    * sequential deletes already prove the composition.
+    */
+  def mmForget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val t = s"gate_fg_phash_${runId.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      Multimodal.persistPhashBands(spark, dir, t)
+      val fgIds = Multimodal.phashVerdictsAgainst(spark, dir, t)
+        .filter(!col("keep")).select(col("match_id").as("doc_id")).distinct()
+      val stream = replayCached(spark, s"mmfg|$dir", chunks = 2)(
+        (fgIds, col("doc_id")))
+      withGateParallelism(spark, GateStatePartitions) {
+        val q = Multimodal.phashForgetStream(stream, t)
+        try q.processAllAvailable() finally q.stop()
+      }
+      // rewrites ran in the stream's cloned session; refresh THIS one
+      spark.catalog.refreshTable(t)
+      materialize(Multimodal.phashVerdictsAgainst(spark, dir, t))
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $t"); () }
+  }
+
   /** CONTINUOUS MULTIMODAL ADMISSION under the hard gate — the phash
     * ingest loop ([[graft.operators.Multimodal.phashAdmitStream]]): the
     * corpus phash index is built first; augmented media arrivals
@@ -2265,6 +2298,61 @@ object StreamGate {
       val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
       require(bad == 0, s"lake retract fold left $bad non-unit multiplicities")
       materialize(folded.filter(col("mult") === 1L)
+        .select(col("cell"), col("dept_cnt")).orderBy("cell"))
+    } finally rmrf(tmp)
+  }
+
+  /** RETENTION for the retract changelog under the hard gate: the same
+    * level-1 cascade as [[q4RetractLake]], then the log-compaction verb
+    * ([[LakeRetractStream.compactRetractLog]]) run TWICE — first sealing
+    * only the replay's earlier batches (so the reader must stitch the
+    * snapshot segment to the live logs above the seal), then sealing
+    * everything. After each pass the consumer fold must be IDENTICAL to
+    * the uncompacted fold — net-0 groups (an add canceled by its
+    * retract) vanish physically, net-1 groups survive as one add — and
+    * the final fold is hash-checked against the batch oracle. Non-vacuity
+    * is asserted twice: the compaction must physically drop records
+    * (superseded pairs existed), and live batches above the first seal
+    * must exist (the mixed snapshot+log read path actually ran).
+    */
+  def q4RetractCompact(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = gateTmp("graft-gate-retractcompact")
+    val retr = new LakeRetractStream(tmp.resolve("retract").toString, Seq("cell"))
+    val stream = ridesReplay(spark, dir)
+    try {
+      withGateParallelism(spark, 4) {
+        val q = StreamingQueries.q4Level1(stream).writeStream
+          .outputMode("update")
+          .option("checkpointLocation", tmp.resolve("ck").toString)
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            if (!b.isEmpty) retr.onBatch(b.toDF(), id)
+          }.start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def fold(df: DataFrame): DataFrame = df
+        .groupBy("cell", "dept_cnt")
+        .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
+      def foldRows(df: DataFrame): Set[String] =
+        fold(df).filter(col("mult") === 1L).select("cell", "dept_cnt")
+          .collect().map(_.toString).toSet
+      val rawCount = retr.emitted(spark).count()
+      val want = foldRows(retr.emitted(spark))
+      val last = retr.lastBatchId(spark)
+      // seal the first half only: snapshot + live logs must read together
+      val (in1, out1) = retr.compactRetractLog(spark, last / 2)
+      require(retr.emitted(spark).filter(col("batch") > last / 2).count() > 0,
+        "mid-seal gate is vacuous: no live batches above the seal")
+      require(foldRows(retr.emitted(spark)) == want,
+        "mid-seal compaction changed the consumer fold")
+      // seal everything: the changelog is now one snapshot segment
+      retr.compactRetractLog(spark, last)
+      require(foldRows(retr.emitted(spark)) == want,
+        "full-seal compaction changed the consumer fold")
+      val compactCount = retr.emitted(spark).count()
+      require(compactCount < rawCount,
+        s"compaction is vacuous: no superseded records dropped " +
+          s"($rawCount -> $compactCount; mid-seal folded $in1 -> $out1)")
+      materialize(fold(retr.emitted(spark)).filter(col("mult") === 1L)
         .select(col("cell"), col("dept_cnt")).orderBy("cell"))
     } finally rmrf(tmp)
   }

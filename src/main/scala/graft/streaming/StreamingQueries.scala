@@ -465,12 +465,141 @@ class LakeRetractStream(root: String, keyFields: Seq[String],
     () // replay after publish: log is truth, re-upsert
   }
 
-  /** Every (is_add, row) record emitted so far, batch id as a partition
-    * column — the cluster-scale consumer reads this lake instead of a
-    * driver callback.
+  /** Every (is_add, row) record emitted so far, batch id as a (long)
+    * partition column — the cluster-scale consumer reads this lake
+    * instead of a driver callback. After a [[compactRetractLog]] pass the
+    * read is the snapshot segment (carrying batch = its sealed id) plus
+    * the live logs ABOVE the seal; leftovers a torn compaction can leave
+    * (a stale older segment, already-folded batch dirs) are ignored by
+    * construction — the max segment id wins and logs at or below it are
+    * filtered out — so the fold result is identical at every point of a
+    * crashed compaction.
     */
-  def emitted(spark: SparkSession): DataFrame =
-    spark.read.parquet(emitRoot)
+  def emitted(spark: SparkSession): DataFrame = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (batchIds(fs).nonEmpty)
+        Some(spark.read.parquet(emitRoot)
+          .withColumn("batch", col("batch").cast("long")))
+      else None
+    segIds(fs).maxOption match {
+      case None => live.getOrElse(
+        sys.error(s"no emitted records under $emitRoot"))
+      case Some(sealedId) =>
+        val snap = spark.read.parquet(s"$snapRoot/seg=$sealedId")
+          .withColumn("batch", lit(sealedId))
+        live.map(_.filter(col("batch") > sealedId)) match {
+          case Some(l) => snap.select(l.columns.map(col).toIndexedSeq: _*).unionByName(l)
+          case None => snap
+        }
+    }
+  }
+
+  private val snapRoot = s"$root/snapshot"
+
+  private def childIds(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      prefix: String): Seq[Long] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong)
+  }
+
+  private def batchIds(fs: org.apache.hadoop.fs.FileSystem): Seq[Long] =
+    childIds(fs, emitRoot, "batch=")
+
+  private def segIds(fs: org.apache.hadoop.fs.FileSystem): Seq[Long] =
+    childIds(fs, snapRoot, "seg=")
+
+  /** The highest batch id with a published emission log (the newest
+    * record the changelog carries) — the natural `sealedBatchId` argument
+    * for a [[compactRetractLog]] run once the stream is stopped.
+    */
+  def lastBatchId(spark: SparkSession): Long = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (batchIds(fs) ++ segIds(fs)).max
+  }
+
+  /** RETENTION for the changelog — the verb that stops the per-batch
+    * emission logs from growing without bound (at 100x a year of
+    * micro-batches is the lake's dominant storage): fold every record in
+    * batches `<= sealedBatchId` into ONE snapshot segment holding only
+    * the NET-SURVIVING rows (each record group's adds minus retracts; a
+    * consistent changelog nets every group to 0 — superseded — or 1 —
+    * live), publish it atomically, and drop the folded logs. The fold a
+    * consumer computes over [[emitted]] is UNCHANGED by construction:
+    * net-0 groups contribute nothing to any fold and net-1 groups are
+    * re-emitted as a single add.
+    *
+    * Crash contract (the [[emitted]] reader enforces it): the segment is
+    * written to a dot-prefixed temp dir and RENAMED into place — a crash
+    * before the rename leaves the previous generation untouched; a crash
+    * after it leaves stale leftovers (the older segment, folded batch
+    * dirs) that the reader ignores and the next call sweeps. A re-run
+    * with the same seal detects the published segment and only sweeps.
+    *
+    * SINGLE-WRITER contract, plus one sealing rule: seal only batch ids
+    * whose processing the checkpoint has committed (e.g. after the query
+    * stopped, or `< ` the last committed offset) — [[onChangelog]]'s
+    * replay path reuses a batch's published log verbatim, and compacting
+    * a batch that can still replay would force a re-derivation against
+    * the already-mutated lake.
+    *
+    * Returns (records folded in, records in the published segment).
+    */
+  def compactRetractLog(spark: SparkSession, sealedBatchId: Long): (Long, Long) =
+    compactRetractLogHooked(spark, sealedBatchId)(() => ())
+
+  private[graft] def compactRetractLogHooked(spark: SparkSession,
+      sealedBatchId: Long)(afterPublish: () => Unit): (Long, Long) = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dest = new Path(s"$snapRoot/seg=$sealedBatchId")
+    if (fs.exists(dest)) { sweep(fs); return (0L, 0L) } // already published: repair only
+    val cur = segIds(fs).maxOption
+    require(cur.forall(_ <= sealedBatchId),
+      s"seal $sealedBatchId is below the published segment ${cur.get}")
+    val input = emitted(spark).filter(col("batch") <= sealedBatchId)
+    val valueCols = input.columns.filterNot(c => c == "is_add" || c == "batch").toSeq
+    val folded = input.groupBy(valueCols.map(col): _*)
+      .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
+      .persist()
+    try {
+      val bad = folded.filter(col("mult") =!= 0L && col("mult") =!= 1L).count()
+      require(bad == 0L,
+        s"changelog is inconsistent: $bad record groups with net multiplicity outside {0,1}")
+      val before = input.count()
+      val snap = folded.filter(col("mult") === 1L)
+        .withColumn("is_add", lit(true))
+        .select((col("is_add") +: valueCols.map(col)).toIndexedSeq: _*)
+      val after = snap.count()
+      val tmp = new Path(s"$snapRoot/.tmp-seg-$sealedBatchId")
+      snap.write.mode("overwrite").parquet(tmp.toString)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(tmp, dest) && !fs.exists(dest))
+        sys.error(s"could not publish snapshot segment $sealedBatchId")
+      afterPublish() // crash-injection seam: leftovers below are sweepable
+      sweep(fs)
+      (before, after)
+    } finally { folded.unpersist(); () }
+  }
+
+  /** Drop everything the max published segment supersedes: older
+    * segments, batch logs at or below the seal, and any temp dirs. Safe
+    * at every torn state — the reader never looks at what this deletes.
+    */
+  private def sweep(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    segIds(fs).maxOption.foreach { sealedId =>
+      segIds(fs).filter(_ < sealedId).foreach(i =>
+        fs.delete(new Path(s"$snapRoot/seg=$i"), true))
+      batchIds(fs).filter(_ <= sealedId).foreach(i =>
+        fs.delete(new Path(s"$emitRoot/batch=$i"), true))
+    }
+    Seq(snapRoot, emitRoot).foreach { d =>
+      val p = new Path(d)
+      if (fs.exists(p)) fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-")).foreach(fs.delete(_, true))
+    }
+  }
 }
 
 /** Stateful two-level cascade for Q4 (TaxiRideQueries.scala:148-167),

@@ -155,4 +155,65 @@ class ForgetSpec extends SparkSpec {
         "at least one suppressed arrival must become admitted post-forget")
     } finally drop(a, b)
   }
+
+  test("phash-index forget equals a filtered-corpus build; forgotten media stop suppressing") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    val (a, b) = ("fgs_phash_a", "fgs_phash_b")
+    drop(a, b)
+    try {
+      Multimodal.persistPhashBands(spark, Sf0001, a)
+      val v0 = Multimodal.phashVerdictsAgainst(spark, Sf0001, a).collect()
+        .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3)))
+      val suppressed = v0.filter(!_._2)
+      assert(suppressed.nonEmpty, "fixture must have suppressions or the verb is vacuous")
+      val fgIds = suppressed.map(_._3).toSet
+      Multimodal.forgetPhashDocs(spark, a, fgIds.toSeq.toDF("doc_id"))
+      // reference: phash band table built from the corpus minus the forget set
+      Multimodal.phashBandsOf(Multimodal.phashes(
+          Multimodal.corpusMedia(spark, Sf0001)
+            .filter(!col("doc_id").isin(fgIds.toSeq: _*))
+            .as[graft.operators.MediaRecord]))
+        .write.bucketBy(8, "bsig").saveAsTable(b)
+      assert(rows(spark.table(a)) === rows(spark.table(b)),
+        "forgotten phash band table differs from the filtered-corpus build")
+      // idempotence: re-forgetting the same ids is a no-op on content
+      val before = rows(spark.table(a))
+      Multimodal.forgetPhashDocs(spark, a, fgIds.toSeq.toDF("doc_id"))
+      assert(rows(spark.table(a)) === before)
+      // the RTBF observable: every previously-suppressed arrival now
+      // either keeps or matches a DIFFERENT (unforgotten) corpus doc —
+      // its perceptual content is re-admittable, no ghost suppression
+      val v1 = Multimodal.phashVerdictsAgainst(spark, Sf0001, a).collect()
+        .map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+      suppressed.foreach { case (id, _, oldMatch) =>
+        val (keep, newMatch) = v1(id)
+        assert(keep || (newMatch != oldMatch && !fgIds.contains(newMatch)),
+          s"doc $id still suppressed by forgotten content: old=$oldMatch new=$newMatch")
+      }
+      assert(suppressed.exists { case (id, _, _) => v1(id)._1 },
+        "at least one suppressed arrival must become admitted post-forget")
+    } finally drop(a, b)
+  }
+
+  test("phash band compaction drops replay residue and folds files, content-invariant") {
+    import graft.operators.Multimodal
+    val t = "fgs_phash_compact"
+    drop(t)
+    try {
+      Multimodal.persistPhashBands(spark, Sf0001, t)
+      val want = rows(spark.table(t))
+      // simulate at-least-once replay residue: re-append one arrival's
+      // band rows twice (the admit path's append, duplicated)
+      val dup = spark.table(t).limit(4)
+      dup.write.mode("append").bucketBy(8, "bsig").saveAsTable(t)
+      dup.write.mode("append").bucketBy(8, "bsig").saveAsTable(t)
+      spark.catalog.refreshTable(t)
+      assert(rows(spark.table(t)).size === want.size + 8)
+      val (beforeFiles, afterFiles) = Multimodal.compactPhashBands(spark, t)
+      assert(afterFiles <= beforeFiles)
+      assert(rows(spark.table(t)) === want,
+        "distinct-fold must restore the exact pre-residue content")
+    } finally drop(t)
+  }
 }

@@ -169,6 +169,43 @@ class StreamingSpec extends SparkSpec {
     assert(b2 === List((true, 1L)), s"got $b2")
   }
 
+  test("retract-log compaction preserves the fold, is idempotent, and survives a torn run") {
+    import graft.streaming.LakeRetractStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("lakeretract-compact")
+    val retr = new LakeRetractStream(root.resolve("r").toString, Seq("k"))
+    // k=1: 10 -> 20 (10 superseded); k=2: 5 deleted; k=3: 7 lives
+    retr.onChangelog(Seq((1L, 10L), (2L, 5L)).toDF("k", "v"), null, 0L)
+    retr.onChangelog(Seq((1L, 20L)).toDF("k", "v"), Seq((2L, 0L)).toDF("k", "v"), 1L)
+    retr.onChangelog(Seq((3L, 7L)).toDF("k", "v"), null, 2L)
+    def fold(): Set[(Long, Long)] = retr.emitted(spark)
+      .groupBy("k", "v").agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("m"))
+      .filter(col("m") === 1L).select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = fold()
+    assert(want === Set((1L, 20L), (3L, 7L)))
+    // seal batches 0-1: snapshot + live batch 2 read together
+    val (in1, out1) = retr.compactRetractLog(spark, 1L)
+    assert(in1 === 5L && out1 === 1L) // 2 adds + (1 retract + 1 add) + 1 retract -> k=1 lives
+    assert(fold() === want, "mid-seal compaction changed the fold")
+    assert(retr.emitted(spark).count() === 2L) // snapshot(1) + batch 2's add
+    // idempotent: re-sealing the same id only sweeps, changes nothing
+    assert(retr.compactRetractLog(spark, 1L) === ((0L, 0L)))
+    assert(fold() === want)
+    // torn run: crash AFTER the new segment publishes, BEFORE the sweep —
+    // the reader must ignore the stale older segment and the folded log
+    intercept[RuntimeException] {
+      retr.compactRetractLogHooked(spark, 2L)(
+        () => throw new RuntimeException("crash before sweep"))
+    }
+    assert(fold() === want, "torn compaction changed the fold")
+    // the next call sweeps the leftovers; everything is one segment
+    retr.compactRetractLog(spark, 2L)
+    assert(fold() === want)
+    assert(retr.emitted(spark).count() === 2L)
+    assert(retr.lastBatchId(spark) === 2L)
+  }
+
   test("Q4 cascade: changelog replay equals batch two-level aggregate") {
     val cells = TrieMap.empty[Int, Long]
     val hist = TrieMap.empty[Long, Long]
