@@ -684,7 +684,21 @@ object Dedup {
     * fired?).
     */
   def compactIfFragmented(spark: SparkSession, table: String, keyCol: String,
-      maxFilesPerBucket: Double = CompactMaxFilesPerBucket): (Double, Boolean) = {
+      maxFilesPerBucket: Double = CompactMaxFilesPerBucket): (Double, Boolean) =
+    compactIfFragmentedWith(spark, table, maxFilesPerBucket)(
+      () => { compactBucketedTable(spark, table, keyCol); () })
+
+  /** [[compactIfFragmented]] with the FOLD supplied — the trigger is
+    * index-family-generic (any bucketed table fragments the same way
+    * under streaming appends), but the repair verb is not: dedup/phash
+    * bands and IVF/PQ code tables fold with a plain distinct rewrite,
+    * while BM25 goes through its marker-fenced compaction (the postings
+    * rewrite must rebuild df/stats inside the fence). `fire` runs only
+    * past the threshold; steady state pays one file listing.
+    */
+  def compactIfFragmentedWith(spark: SparkSession, table: String,
+      maxFilesPerBucket: Double = CompactMaxFilesPerBucket)(
+      fire: () => Unit): (Double, Boolean) = {
     val catalog = spark.sessionState.catalog
     // self-heal a torn DROP-to-RENAME from a crashed rewrite FIRST: the
     // metadata probe below would otherwise throw NoSuchTableException
@@ -702,7 +716,7 @@ object Dedup {
     val files = fs.listStatus(p).count(_.getPath.getName.startsWith("part-")).toLong
     val ratio = files.toDouble / buckets
     if (ratio > maxFilesPerBucket) {
-      compactBucketedTable(spark, table, keyCol); (ratio, true)
+      fire(); (ratio, true)
     } else (ratio, false)
   }
 

@@ -200,6 +200,48 @@ object Multimodal {
     def phash(r: MediaRecord): Long
   }
 
+  /** The PRODUCTION hasher for the byte-SimHash seam: the same
+    * vote-per-overlapping-4-byte-gram structure as [[ByteSimHashHasher]]
+    * (locality lives in the VOTE structure — a few corrupted bytes touch
+    * a few grams and shift a few votes — not in the per-gram hash), but
+    * the gram hash is a rolling 32-bit byte window finalized by the
+    * SplitMix64 mixer (Steele et al., JDK SplittableRandom): O(1) work
+    * and ZERO allocation per byte, where the stand-in pays a full
+    * MessageDigest reset/update/digest per gram — O(payload) MD5 calls
+    * per record, the decode stage's dominant cost at media scale. Not
+    * SQL-replayable (DuckDB has no SplitMix64), which is exactly why the
+    * md5 stand-in remains the CORRECTNESS default: the oracle queries
+    * replay md5; deployments bind this one at the [[PerceptualHasher]]
+    * seam. HasherSpec pins the locality contract and that the dedup
+    * chain is hasher-generic.
+    */
+  object RollingMixHasher extends PerceptualHasher {
+    private def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def phash(r: MediaRecord): Long = {
+      val votes = new Array[Int](60)
+      var g = 0L
+      var i = 0
+      while (i < r.payload.length) {
+        g = ((g << 8) | (r.payload(i) & 0xffL)) & 0xffffffffL
+        if (i >= 3) {
+          val h = mix64(g) >>> 4 // 60 bits, same width as the md5 prefix
+          var j = 0
+          while (j < 60) { votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1); j += 1 }
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 60) { if (votes(j) > 0) out |= 1L << j; j += 1 }
+      out
+    }
+  }
+
   object ByteSimHashHasher extends PerceptualHasher {
     def phash(r: MediaRecord): Long = {
       val votes = new Array[Long](60)
@@ -255,8 +297,18 @@ object Multimodal {
     * partial collapses per doc before the exchange (band-duplicate
     * candidate pairs fold away in the same aggregate, no distinct pass).
     */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ph = phashes(mediaRecords(spark, dir))
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashDedupWith(spark, dir, ByteSimHashHasher)
+
+  /** [[phashDedup]] with the hasher supplied — the chain is
+    * hasher-generic: banding, candidate join, and best-match fold see
+    * only 60-bit longs. The default stays [[ByteSimHashHasher]] because
+    * its md5 grams are SQL-replayable (the oracle); production binds
+    * [[RollingMixHasher]] here.
+    */
+  def phashDedupWith(spark: SparkSession, dir: String,
+      hasher: PerceptualHasher): DataFrame = {
+    val ph = phashes(mediaRecords(spark, dir), hasher)
     val mask = (1L << PhashBandBits) - 1
     val bandCols = (0 until PhashBands).map(b =>
       struct(lit(b).as("band"),

@@ -1103,12 +1103,71 @@ object Pipeline {
     def query(newDocs: DataFrame, budgets: Map[String, Long]): Dataset[TokVerdict] = {
       val spark = newDocs.sparkSession
       import spark.implicits._
+      tokDocs(newDocs)
+        .groupByKey(_.source)
+        .transformWithState(new Processor(budgets), TimeMode.None(), OutputMode.Append())
+    }
+
+    private def tokDocs(newDocs: DataFrame): Dataset[TokDoc] = {
+      val spark = newDocs.sparkSession
+      import spark.implicits._
       newDocs.selectExpr(
           "doc_id", "source",
           "CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_tokens")
         .as[TokDoc]
+    }
+
+    /** The EVOLVED state shape for [[ProcessorEvolved]]: the spent-sum
+      * long widened to a struct with a new NULLABLE field (micro-batches
+      * seen per source) — the exact production event the restart trilogy
+      * doesn't cover: a stream restarting from its checkpoint with a
+      * CHANGED state schema. The field name `value` deliberately matches
+      * the schema Spark derives for `Encoders.scalaLong` (a one-column
+      * struct named `value`), so the Avro state encoding evolves the old
+      * record by name and fills `batches` with null.
+      */
+    case class TokSpent(value: Long, batches: Option[Long])
+
+    /** [[Processor]] after a state-schema migration: reads the same
+      * "used" ValueState under the widened [[TokSpent]] schema. A
+      * restored pre-evolution record surfaces with batches = None, which
+      * the processor treats as 0 — and the restored spent-sum CARRIES,
+      * so admission verdicts are bit-identical to an unevolved run (the
+      * gate's oracle). Requires RocksDB + the Avro state encoding
+      * (`spark.sql.streaming.stateStore.encodingFormat = avro`) from the
+      * FIRST run — UnsafeRow-encoded state rejects any schema change.
+      */
+    class ProcessorEvolved(budgets: Map[String, Long])
+        extends StatefulProcessor[String, TokDoc, TokVerdict] {
+      @transient private var used: ValueState[TokSpent] = _
+
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        used = getHandle.getValueState[TokSpent]("used",
+          Encoders.product[TokSpent], TTLConfig.NONE)
+
+      override def handleInputRows(key: String, rows: Iterator[TokDoc],
+                                   timers: TimerValues): Iterator[TokVerdict] = {
+        val prev = if (used.exists()) used.get() else TokSpent(0L, Some(0L))
+        var cum = prev.value
+        val budget = budgets.getOrElse(key, 0L)
+        val out = rows.toSeq.sortBy(_.doc_id).map { d =>
+          cum += d.n_tokens
+          TokVerdict(d.doc_id, d.source, d.n_tokens, cum <= budget)
+        }
+        used.update(TokSpent(cum, Some(prev.batches.getOrElse(0L) + 1)))
+        out.iterator
+      }
+    }
+
+    /** [[query]] with the evolved processor — what the restarted
+      * deployment runs after the migration.
+      */
+    def queryEvolved(newDocs: DataFrame, budgets: Map[String, Long]): Dataset[TokVerdict] = {
+      val spark = newDocs.sparkSession
+      import spark.implicits._
+      tokDocs(newDocs)
         .groupByKey(_.source)
-        .transformWithState(new Processor(budgets), TimeMode.None(), OutputMode.Append())
+        .transformWithState(new ProcessorEvolved(budgets), TimeMode.None(), OutputMode.Append())
     }
   }
 

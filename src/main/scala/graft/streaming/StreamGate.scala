@@ -406,6 +406,24 @@ object StreamGate {
     }
   }
 
+  /** Run `body` with the Avro state encoding (the format under which
+    * Spark 4's transformWithState supports state SCHEMA EVOLUTION across
+    * a checkpoint restart — UnsafeRow-encoded state rejects any change),
+    * restoring the prior setting. Must wrap BOTH sides of an evolution
+    * gate: the encoding is frozen into the checkpoint at first start.
+    */
+  private def withAvroState[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.encodingFormat"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "avro")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   private def runToMemory(out: DataFrame, mode: String): DataFrame = {
     val spark = out.sparkSession
     val name = s"graft_gate_${runId.incrementAndGet()}"
@@ -1581,6 +1599,69 @@ object StreamGate {
     } finally rmrf(root)
   }
 
+  /** STATE-SCHEMA EVOLUTION across a checkpoint restart — the production
+    * event the restart trilogy ([[q1Restart]], [[pqRestart]],
+    * [[tokenBudgetRestart]]) doesn't cover: those resume the SAME
+    * processor; real streams restart with CHANGED state shapes. Under
+    * the Avro state encoding, instance 1 runs the V1 processor (state =
+    * one spent-sum long per source) over two of three chunks, STOPS, and
+    * instance 2 resumes the same checkpoint with
+    * [[graft.operators.Pipeline.TokenBudgetStream.ProcessorEvolved]] —
+    * the state widened to a struct with a new nullable field. Spark
+    * evolves each restored record by field name (batches surfaces as
+    * null), and the restored spent-sum must CARRY: the final verdict
+    * union hash-matches the same FIFO oracle as the unevolved gate. A
+    * migration that zeroed or re-keyed the state would flip the
+    * over-budget tail back to keeps; a schema mismatch would kill the
+    * restarted query outright.
+    */
+  def tokenBudgetEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pipeline
+    val budgets = Pipeline.tokenBudgets(spark, dir)
+    val files = stagedFilesCached(spark, s"docs|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "documents"), col("doc_id")))
+    val root = gateTmp("graft-gate-tokevolve")
+    val watch = root.resolve("watch")
+    Files.createDirectories(watch)
+    val ck = root.resolve("ck")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val copier = new OrderedCopier(watch)
+    def runOnce(mk: DataFrame => DataFrame): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(watch.toString).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch.toString)
+      val q = mk(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          val rows = b.collect()
+          buf.synchronized { buf ++= rows }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      withAvroState(spark) {
+        withRocksDb(spark) {
+          withGateParallelism(spark, GateStatePartitions) {
+            copier.copyIn(files.take(2))
+            runOnce(s => Pipeline.TokenBudgetStream.query(s, budgets).toDF())
+            copier.copyIn(files.drop(2))
+            // the MIGRATED deployment resumes: same checkpoint, same
+            // state name, widened schema
+            runOnce(s => Pipeline.TokenBudgetStream.queryEvolved(s, budgets).toDF())
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.Encoders
+        .product[Pipeline.TokenBudgetStream.TokVerdict].schema
+      spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+        .orderBy("doc_id")
+    } finally rmrf(root)
+  }
+
   /** LATE-DATA AUDIT under the hard gate: events replayed in ARRIVAL
     * order (rowtime + deterministic bounded jitter — the reference's
     * disorder model, TaxiRideSource.java:126-134), each micro-batch
@@ -1956,6 +2037,208 @@ object StreamGate {
       rmrf(root)
       spark.sql(s"DROP TABLE IF EXISTS $table"); ()
     }
+  }
+
+  /** Shared chunked-ingest-with-maintenance loop for the per-family
+    * compaction-policy gates: feed staged chunk files one at a time into
+    * a private watched dir, drain the micro-batch, then run the
+    * family's `trigger` (a [[graft.operators.Dedup
+    * .compactIfFragmentedWith]] decision) as the maintenance window.
+    * Requires the decision log to carry BOTH outcomes — a gate whose
+    * threshold never skips measures nothing about steady state, and one
+    * that never fires measures nothing about the repair.
+    */
+  private def chunkedIngestWithTrigger(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, files: Seq[Path],
+      gatePrefix: String,
+      start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery)(
+      trigger: () => (Double, Boolean)): Seq[(Double, Boolean)] = {
+    val root = gateTmp(gatePrefix)
+    val watched = root.resolve("watched")
+    Files.createDirectories(watched)
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+    try {
+      withGateParallelism(spark, GateStatePartitions) {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val q = start(stream)
+        try files.foreach { f =>
+          atomicFeed(f, watched, None)
+          q.processAllAvailable()
+          decisions += trigger()
+        } finally q.stop()
+      }
+      if (!decisions.exists(_._2) || !decisions.exists(!_._2))
+        throw new IllegalStateException(
+          s"$gatePrefix: the gate needs both a fired and a skipped window " +
+            s"to be non-vacuous; got ${decisions.toList}")
+      decisions.toSeq
+    } finally rmrf(root)
+  }
+
+  /** Files-per-bucket thresholds for the per-family policy gates, chosen
+    * against the MEASURED per-append growth at the gate's write width
+    * (each streaming append adds up to one file per (write task, touched
+    * bucket) pair, so ratios climb in family-specific steps — probed via
+    * `tools.CompactPolicyProbe` at sf0.01: bm25 ~3.7/append, ivf/pq
+    * ~0.6, phash ~1.0): low enough that the replay's appends provably
+    * cross it, high enough that at least one window — including the one
+    * right after a fold (ratio back at ~1.0) — skips. Deployments tune
+    * per ingest cadence, exactly like
+    * [[graft.operators.Dedup.CompactMaxFilesPerBucket]].
+    */
+  private val Bm25PolicyMaxFiles = 5.5
+  private val IvfPolicyMaxFiles = 1.5
+  private val PqPolicyMaxFiles = 2.2
+  private val MmPolicyMaxFiles = 2.5
+
+  /** THE FRAGMENTATION POLICY ON THE BM25 INDEX — the text-retrieval
+    * sibling of [[compactPolicy]] (which runs it on the dedup band
+    * table): documents replay as micro-batches into an empty index
+    * ([[graft.operators.TextAnalysis.bm25IngestStream]] — pure partial
+    * appends), and after every batch a maintenance window measures the
+    * POSTINGS table's files-per-bucket and fires the marker-fenced
+    * [[graft.operators.TextAnalysis.compactBm25Index]] only past the
+    * threshold. Compaction is content-invariant (distinct postings +
+    * df/stats rebuilt from them), so the post-stream search must equal
+    * the batch-built index — the bm25TopkOracle — under ANY decision
+    * schedule; the gate additionally requires both outcomes to occur.
+    */
+  def compactPolicyBm25(spark: SparkSession, dir: String): DataFrame =
+    compactPolicyBm25WithLog(spark, dir)._1
+
+  private[graft] def compactPolicyBm25WithLog(spark: SparkSession,
+      dir: String): (DataFrame, Seq[(Double, Boolean)]) = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val id = runId.incrementAndGet()
+    val (p, f, st) = (s"gate_cp_post_$id", s"gate_cp_df_$id", s"gate_cp_stats_$id")
+    Seq(p, f, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val docsDf = Tables.load(spark, dir, "documents")
+      val files = stagedFilesCached(spark, s"docs|$dir", chunks = 3)(
+        (docsDf, col("doc_id")))
+      val decisions = chunkedIngestWithTrigger(spark, docsDf.schema, files,
+        "graft-gate-cp-bm25",
+        s => TextAnalysis.bm25IngestStream(s, p, f, st)())(
+        () => Dedup.compactIfFragmentedWith(spark, p, Bm25PolicyMaxFiles)(
+          () => { TextAnalysis.compactBm25Index(spark, p, f, st); () }))
+      Seq(p, f, st).foreach(spark.catalog.refreshTable)
+      (materialize(TextAnalysis.bm25SearchAgainst(spark,
+          TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir)), p, f, st))
+        .orderBy("query_id", "rk"), decisions)
+    } finally { Seq(p, f, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); () }
+  }
+
+  /** The fragmentation policy on the IVF-Flat index: vectors replay into
+    * an empty index ([[graft.operators.Similarity.ivfIngestStream]]);
+    * maintenance windows fire [[graft.operators.Similarity
+    * .compactIvfIndex]] (single atomic distinct rewrite — no derived
+    * stats, no marker) only past the threshold. Served top-k must equal
+    * the batch-built index (ivfTopkOracle) under any schedule.
+    */
+  def compactPolicyIvf(spark: SparkSession, dir: String): DataFrame =
+    compactPolicyIvfWithLog(spark, dir)._1
+
+  private[graft] def compactPolicyIvfWithLog(spark: SparkSession,
+      dir: String): (DataFrame, Seq[(Double, Boolean)]) = {
+    import graft.operators.{Dedup, Similarity}
+    val table = s"gate_cp_ivf_${runId.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val all = Tables.load(spark, dir, "embeddings")
+      val files = stagedFilesCached(spark, s"emb|$dir", chunks = 3)(
+        (all, col("vec_id")))
+      val decisions = chunkedIngestWithTrigger(spark, all.schema, files,
+        "graft-gate-cp-ivf",
+        s => Similarity.ivfIngestStream(s, table)())(
+        () => Dedup.compactIfFragmentedWith(spark, table, IvfPolicyMaxFiles)(
+          () => { Similarity.compactIvfIndex(spark, table); () }))
+      spark.catalog.refreshTable(table)
+      (materialize(Similarity.ivfTopkAgainst(spark, dir, table))
+        .orderBy("q_id", "rank"), decisions)
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $table"); () }
+  }
+
+  /** The fragmentation policy on the PQ code index: models train on
+    * two-thirds and freeze ([[pqIngest]]'s split), the rest replays as
+    * admission micro-batches, and maintenance windows fire
+    * [[graft.operators.Similarity.compactPqIndex]] only past the
+    * threshold. The base index is sealed to one file per bucket first so
+    * the first window measures ingest growth, not build layout. Served
+    * result must equal the unscheduled ingest (pqIngestOracle).
+    */
+  def compactPolicyPq(spark: SparkSession, dir: String): DataFrame =
+    compactPolicyPqWithLog(spark, dir)._1
+
+  private[graft] def compactPolicyPqWithLog(spark: SparkSession,
+      dir: String): (DataFrame, Seq[(Double, Boolean)]) = {
+    import graft.operators.{Dedup, Similarity}
+    val id = runId.incrementAndGet()
+    val (table, coarseT, booksT) =
+      (s"gate_cp_pq_$id", s"gate_cp_pqc_$id", s"gate_cp_pqb_$id")
+    Seq(table, coarseT, booksT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val all = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+      val files = stagedFilesCached(spark, s"embrb|$dir", chunks = 3)(
+        (all.filter(col("vec_id") % Similarity.IvfRbIngestMod === 0), col("vec_id")))
+      Similarity.buildPqIndex(spark,
+        all.filter(col("vec_id") % Similarity.IvfRbIngestMod =!= 0),
+        table, coarseT, booksT)
+      Similarity.compactPqIndex(spark, table) // seal the base layout at 1.0
+      val decisions = chunkedIngestWithTrigger(spark, all.schema, files,
+        "graft-gate-cp-pq",
+        s => Similarity.pqAdmitStream(s, table, coarseT, booksT))(
+        () => Dedup.compactIfFragmentedWith(spark, table, PqPolicyMaxFiles)(
+          () => { Similarity.compactPqIndex(spark, table); () }))
+      spark.catalog.refreshTable(table)
+      (materialize(Similarity.pqServe(spark, dir, table, coarseT, booksT))
+        .orderBy("q_id", "rank"), decisions)
+    } finally {
+      Seq(table, coarseT, booksT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t")); ()
+    }
+  }
+
+  /** The fragmentation policy on the PHASH band index — closing the
+    * trigger across all five ingesting index families (dedup bands run
+    * it in [[compactPolicy]], BM25/IVF/PQ above): the [[mmAdmit]]
+    * admission loop with a maintenance window after every batch firing
+    * [[graft.operators.Multimodal.compactPhashBands]] only past the
+    * threshold. Admission verdicts are judged against table CONTENT and
+    * compaction is content-invariant, so the verdict stream must equal
+    * the unscheduled loop (mmAdmitOracle) — including the suppressed
+    * copies the loop exists to force.
+    */
+  def compactPolicyMm(spark: SparkSession, dir: String): DataFrame =
+    compactPolicyMmWithLog(spark, dir)._1
+
+  private[graft] def compactPolicyMmWithLog(spark: SparkSession,
+      dir: String): (DataFrame, Seq[(Double, Boolean)]) = {
+    import graft.operators.{Dedup, Multimodal}
+    val table = s"gate_cp_mm_${runId.incrementAndGet()}"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      Multimodal.persistPhashBands(spark, dir, table)
+      Multimodal.compactPhashBands(spark, table) // seal the base layout at 1.0
+      val incoming = Multimodal.mmArrivals(spark, dir)
+      val files = stagedFilesCached(spark, s"mmadmit|$dir", chunks = 3)(
+        (incoming, col("doc_id")))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var schema: org.apache.spark.sql.types.StructType = null
+      val decisions = chunkedIngestWithTrigger(spark, incoming.schema, files,
+        "graft-gate-cp-mm",
+        s => Multimodal.phashAdmitStream(s, table, None) { v =>
+          buf.synchronized { if (schema == null) schema = v.schema; buf ++= v.collect() }; ()
+        })(
+        () => Dedup.compactIfFragmentedWith(spark, table, MmPolicyMaxFiles)(
+          () => { Multimodal.compactPhashBands(spark, table); () }))
+      val rows = buf.synchronized(buf.toList)
+      val keptIds = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+      if (!rows.exists(r => !r.getBoolean(2) && r.getLong(4) == 0L && keptIds.contains(r.getLong(3))))
+        throw new IllegalStateException(
+          "compactPolicyMm: no copy was suppressed by an admitted original — the loop is vacuous")
+      import scala.jdk.CollectionConverters._
+      (spark.createDataFrame(rows.asJava, schema).orderBy("doc_id"), decisions)
+    } finally { spark.sql(s"DROP TABLE IF EXISTS $table"); () }
   }
 
   /** FIFO token-budget admission under the hard gate:

@@ -115,4 +115,76 @@ class IngestLoopSpec extends SparkSpec {
       s2.sql("DROP TABLE IF EXISTS corpus_cpol_t"); ()
     }
   }
+
+  test("the fragmentation trigger is family-generic: IVF fires its distinct rewrite, content-invariant") {
+    import graft.operators.Similarity
+    val s2 = spark.newSession()
+    s2.sql("DROP TABLE IF EXISTS cpol_ivf_t")
+    try {
+      Similarity.persistIvfIndex(s2, Sf0001, "cpol_ivf_t")
+      Similarity.compactIvfIndex(s2, "cpol_ivf_t")
+      val rows0 = s2.table("cpol_ivf_t").count()
+      var fires = 0
+      def trigger() = Dedup.compactIfFragmentedWith(s2, "cpol_ivf_t")(
+        () => { fires += 1; Similarity.compactIvfIndex(s2, "cpol_ivf_t"); () })
+      val (r0, f0) = trigger()
+      assert(!f0 && fires === 0 && r0 <= Dedup.CompactMaxFilesPerBucket,
+        s"the sealed layout must skip: $r0")
+      def append(): Unit = s2.table("cpol_ivf_t")
+        .write.mode("append").bucketBy(8, "label").saveAsTable("cpol_ivf_t")
+      var fired = false
+      var rounds = 0
+      while (!fired && rounds < 5) {
+        append()
+        val (r, f) = trigger()
+        assert(f === (r > Dedup.CompactMaxFilesPerBucket),
+          s"decision must follow the measured ratio: ($r, $f)")
+        fired = f
+        rounds += 1
+      }
+      assert(fired && fires === 1, "appends must eventually cross the threshold")
+      assert(s2.table("cpol_ivf_t").count() === rows0,
+        "the fired fold must restore the distinct row set")
+    } finally { s2.sql("DROP TABLE IF EXISTS cpol_ivf_t"); () }
+  }
+
+  test("the fragmentation trigger fires BM25's marker-fenced compaction, search-invariant") {
+    import graft.operators.TextAnalysis
+    val s2 = spark.newSession()
+    val (p, f, st) = ("cpol_bm_post", "cpol_bm_df", "cpol_bm_stats")
+    Seq(p, f, st).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      TextAnalysis.bm25IndexWrites(s2, Sf0001, p, f, st).foreach(_._2())
+      TextAnalysis.compactBm25Index(s2, p, f, st) // seal at the floor
+      val queries = TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(s2, Sf0001))
+      val want = TextAnalysis.bm25SearchAgainst(s2, queries, p, f, st)
+        .collect().map(_.toString).toSeq
+      var fires = 0
+      def trigger() = Dedup.compactIfFragmentedWith(s2, p)(
+        () => { fires += 1; TextAnalysis.compactBm25Index(s2, p, f, st); () })
+      // sealed = at most one file per bucket (a bucket with no rows at
+      // this SF writes no file, so the ratio can sit just under 1.0)
+      val (rSealed, fSealed) = trigger()
+      assert(!fSealed && rSealed <= 1.0, s"sealed postings must skip at <=1.0: $rSealed")
+      // replay residue: re-admit the same batch (exact duplicate partials)
+      val batch = graft.core.Tables.load(s2, Sf0001, "documents")
+        .select("doc_id", "text").limit(50)
+      var fired = false
+      var rounds = 0
+      while (!fired && rounds < 8) {
+        TextAnalysis.bm25AdmitDocs(batch, p, f, st)
+        val (r, fl) = trigger()
+        assert(fl === (r > Dedup.CompactMaxFilesPerBucket),
+          s"decision must follow the measured ratio: ($r, $fl)")
+        fired = fl
+        rounds += 1
+      }
+      assert(fired && fires === 1, "admissions must eventually cross the threshold")
+      // the fired marker-fenced fold dropped the duplicate partials:
+      // search scores exactly as before the residue
+      val got = TextAnalysis.bm25SearchAgainst(s2, queries, p, f, st)
+        .collect().map(_.toString).toSeq
+      assert(got === want, "post-fire search differs from the sealed index")
+    } finally { Seq(p, f, st).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
+  }
 }
