@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Compare two Bench artifacts: median per-query ratio over shared queries,
+common-query totals, and the outliers in both directions.
+
+Usage: python3 tools/bench_compare.py <new.json> <old.json> [ratio_floor]
+"""
+import json
+import sys
+
+
+def medians(path):
+    d = json.load(open(path))
+    med = d.get("median")
+    if med is None:  # older artifacts: single run under "queries"
+        med = d.get("queries", {})
+    return {k: v for k, v in med.items() if isinstance(v, (int, float)) and v > 0}
+
+
+def main():
+    new, old = medians(sys.argv[1]), medians(sys.argv[2])
+    floor = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    shared = sorted(set(new) & set(old))
+    ratios = sorted((new[q] / old[q], q) for q in shared)
+    med = ratios[len(ratios) // 2]
+    print(f"shared queries: {len(shared)}")
+    print(f"median per-query ratio: {med[0]:.2f}x (at {med[1]})")
+    print(f"common-query totals: new {sum(new[q] for q in shared):.1f} s, "
+          f"old {sum(old[q] for q in shared):.1f} s")
+    hi = [(r, q) for r, q in ratios if r > floor]
+    lo = [(r, q) for r, q in ratios if r < 1 / floor]
+    print(f"\n> {floor}x ({len(hi)}):")
+    for r, q in sorted(hi, reverse=True):
+        print(f"  {q}: {old[q]:.2f} -> {new[q]:.2f} s ({r:.2f}x)")
+    print(f"\n< {1/floor:.2f}x ({len(lo)}):")
+    for r, q in lo:
+        print(f"  {q}: {old[q]:.2f} -> {new[q]:.2f} s ({r:.2f}x)")
+    only_new = sorted(set(new) - set(old))
+    if only_new:
+        print(f"\nnew-only ({len(only_new)}):")
+        for q in only_new:
+            print(f"  {q}: {new[q]:.2f} s")
+
+
+if __name__ == "__main__":
+    main()
