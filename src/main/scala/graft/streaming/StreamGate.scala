@@ -2640,6 +2640,67 @@ object StreamGate {
     } finally rmrf(tmp)
   }
 
+  /** THE RETENTION POLICY DECIDING UNDER LIVE INGEST — the retract log's
+    * member of the maintenance-trigger family (`stream_compact_policy*`
+    * run the fragmentation trigger on the index families; the changelog
+    * fragments by LOG COUNT): the q4 cascade replays chunk-at-a-time
+    * through the lake retract encoder, and after every drained
+    * micro-batch a maintenance window runs
+    * [[LakeRetractStream.compactRetractLogIfLong]] — one listing of the
+    * emission root (zero data jobs) — firing the full fold only past
+    * [[RetractPolicyMaxLogs]] live logs. With 4 chunks and the threshold
+    * at 2, the decision log must carry skips (the windows while the log
+    * builds, and the one right after a fold) AND a fire. Compaction is
+    * fold-invariant, so the final consumer fold must hash-match the
+    * batch oracle under any decision schedule.
+    */
+  def q4RetractPolicy(spark: SparkSession, dir: String): DataFrame =
+    q4RetractPolicyWithLog(spark, dir)._1
+
+  private val RetractPolicyMaxLogs = 2
+
+  private[graft] def q4RetractPolicyWithLog(spark: SparkSession,
+      dir: String): (DataFrame, Seq[(Long, Boolean)]) = {
+    val tmp = gateTmp("graft-gate-retractpolicy")
+    val retr = new LakeRetractStream(tmp.resolve("retract").toString, Seq("cell"))
+    val rides = Rides.fromEvents(spark, dir)
+    val files = stagedFilesCached(spark, s"rides|$dir", chunks = 4)(
+      (rides, unix_millis(col("rowtime"))))
+    val watched = tmp.resolve("watched")
+    Files.createDirectories(watched)
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    try {
+      withGateParallelism(spark, 4) {
+        val stream = spark.readStream.schema(rides.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val q = StreamingQueries.q4Level1(stream).writeStream
+          .outputMode("update")
+          .option("checkpointLocation", tmp.resolve("ck").toString)
+          .foreachBatch { (b: Dataset[Row], id: Long) =>
+            if (!b.isEmpty) retr.onBatch(b.toDF(), id)
+          }.start()
+        try files.foreach { f =>
+          atomicFeed(f, watched, None)
+          q.processAllAvailable()
+          // offsets for every published log are committed here — the
+          // sealing rule's window
+          decisions += retr.compactRetractLogIfLong(spark, RetractPolicyMaxLogs)
+        } finally q.stop()
+      }
+      if (!decisions.exists(_._2) || !decisions.exists(!_._2))
+        throw new IllegalStateException(
+          s"q4RetractPolicy: the gate needs both a fired and a skipped " +
+            s"window to be non-vacuous; got ${decisions.toList}")
+      val folded = retr.emitted(spark)
+        .groupBy("cell", "dept_cnt")
+        .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
+      val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
+      require(bad == 0, s"retract fold left $bad non-unit multiplicities")
+      (materialize(folded.filter(col("mult") === 1L)
+        .select(col("cell"), col("dept_cnt")).orderBy("cell")), decisions.toSeq)
+    } finally rmrf(tmp)
+  }
+
   /** Per-user funnel through micro-batches: [[FunnelStream]]'s update-mode
     * snapshots keyed-upserted into a memory store; the final state per
     * user is the answer. A far-future sentinel of a filtered-out event

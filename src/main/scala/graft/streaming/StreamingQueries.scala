@@ -583,6 +583,28 @@ class LakeRetractStream(root: String, keyFields: Seq[String],
     } finally { folded.unpersist(); () }
   }
 
+  /** THE RETENTION POLICY — the retract log's member of the maintenance-
+    * trigger family (the index families run `compactIfFragmentedWith`;
+    * this artifact fragments by LOG COUNT, not files-per-bucket): one
+    * listing of the emission root counts the live batch logs above the
+    * current seal — pure metadata, zero data jobs, the steady-state cost
+    * of the policy — and the full [[compactRetractLog]] fold runs only
+    * past `maxLiveLogs`, sealing everything published so far. Call it
+    * between micro-batches (after `processAllAvailable`, or from the
+    * maintenance scheduler that serializes against the writer — the
+    * offsets of every published log are then committed, satisfying the
+    * sealing rule). Returns (live log count measured, fired?).
+    */
+  def compactRetractLogIfLong(spark: SparkSession,
+      maxLiveLogs: Int): (Long, Boolean) = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sealedId = segIds(fs).maxOption.getOrElse(-1L)
+    val live = batchIds(fs).count(_ > sealedId).toLong
+    if (live > maxLiveLogs) {
+      compactRetractLog(spark, lastBatchId(spark)); (live, true)
+    } else (live, false)
+  }
+
   /** Drop everything the max published segment supersedes: older
     * segments, batch logs at or below the seal, and any temp dirs. Safe
     * at every torn state — the reader never looks at what this deletes.

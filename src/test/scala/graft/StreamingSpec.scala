@@ -204,6 +204,19 @@ class StreamingSpec extends SparkSpec {
     assert(fold() === want)
     assert(retr.emitted(spark).count() === 2L)
     assert(retr.lastBatchId(spark) === 2L)
+    // the retention POLICY follows the live-log count in both directions:
+    // everything is sealed, so any threshold skips at 0 live logs...
+    assert(retr.compactRetractLogIfLong(spark, 0) === ((0L, false)))
+    // ...new logs accumulate until the count crosses the threshold, the
+    // fired fold seals them, and the next window skips again
+    retr.onChangelog(Seq((4L, 1L)).toDF("k", "v"), null, 3L)
+    assert(retr.compactRetractLogIfLong(spark, 1) === ((1L, false)))
+    retr.onChangelog(Seq((5L, 2L)).toDF("k", "v"), null, 4L)
+    val (live, fired) = retr.compactRetractLogIfLong(spark, 1)
+    assert(live === 2L && fired)
+    assert(retr.compactRetractLogIfLong(spark, 1) === ((0L, false)))
+    assert(fold() === want + ((4L, 1L)) + ((5L, 2L)),
+      "the fired retention fold changed the consumer fold")
   }
 
   test("Q4 cascade: changelog replay equals batch two-level aggregate") {
