@@ -1357,7 +1357,8 @@ object Similarity {
 
   private def pqServeWhere(spark: SparkSession, dir: String, table: String,
       coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]],
-      queryPred: Column, nprobe: Int, refine: Int): DataFrame = {
+      queryPred: Column, nprobe: Int, refine: Int,
+      includeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val bookLits = books.map(Clustering.centroidExpr)
@@ -1379,8 +1380,10 @@ object Similarity {
       .withColumn("p_rank", row_number().over(probeW))
       .filter(col("p_rank") <= nprobe)
       .select(col("q_id"), col("q_q"), col("cid"))
+    val selfCond =
+      if (includeSelf) lit(true) else col("vec_id") =!= col("q_id")
     val scored = rec.join(broadcast(probed),
-        rec("cluster_id") === probed("cid") && col("vec_id") =!= col("q_id"))
+        rec("cluster_id") === probed("cid") && selfCond)
       .withColumn("adc_dist", expr(
         "aggregate(zip_with(q_q, rec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
     val pool = scored
@@ -1479,7 +1482,9 @@ object Similarity {
     * lists ([[pqPolicyOracle]]). A `q` CTE with the full quantized corpus
     * is always in scope (the exact re-rank reads original vectors).
     */
-  private def pqLifecycleOracleFrom(prelude: String): String = {
+  private def pqLifecycleOracleFrom(prelude: String,
+      queryStride: Int = 20, includeSelf: Boolean = false): String = {
+    val selfSql = if (includeSelf) "" else " AND r.vec_id <> p.q_id"
     // assignment of an arbitrary (vec_id, q) CTE against a centroid CTE
     def assignCte(src: String, c: String): String =
       Clustering.oracleAssignSql(src, c)
@@ -1524,7 +1529,7 @@ object Similarity {
        |  JOIN pcc3 cc ON cc.cid = mres.cluster_id
        |  $wordJoins
        |),
-       |qv AS (SELECT vec_id AS q_id, q AS q_q FROM mem WHERE vec_id % 20 = 0),
+       |qv AS (SELECT vec_id AS q_id, q AS q_q FROM mem WHERE vec_id % $queryStride = 0),
        |probe AS (
        |  SELECT q_id, q_q, cid FROM (
        |    SELECT qv.q_id, qv.q_q, c.cid,
@@ -1538,7 +1543,7 @@ object Similarity {
        |  SELECT p.q_id, r.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(list_zip(p.q_q, r.rec),
        |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS adc_dist
-       |  FROM probe p JOIN rec r ON r.cluster_id = p.cid AND r.vec_id <> p.q_id
+       |  FROM probe p JOIN rec r ON r.cluster_id = p.cid$selfSql
        |),
        |pool AS (
        |  SELECT q_id, neighbor_id FROM (
@@ -2064,6 +2069,84 @@ object Similarity {
     rrfFuse(bm25Leg(spark, dir), sem)
   }
 
+  private[graft] val PqHyTable = "pq_hy_index"
+  private[graft] val PqHyCoarse = "pq_hy_coarse"
+  private[graft] val PqHyBooks = "pq_hy_books"
+
+  /** HYBRID SEARCH ON THE COMPRESSED INDEX — [[hybridRrfIvf]] with its
+    * semantic leg served from the persisted IVF-PQ index instead of
+    * IVF-Flat: the RAM-bounded serving shape at 10⁹ vectors, where the
+    * flat index's full vectors no longer fit and the code index (1+PqM
+    * small ints per vector) answers the probe with ADC + an exact
+    * re-rank over only the [[PqRefine]]-bounded pool. Same query set and
+    * self-inclusion as the other hybrid forms (BM25 ranks self too), so
+    * the three fusion variants differ ONLY in the semantic leg's index —
+    * the swap a deployment makes as the corpus outgrows RAM tiers.
+    * Models + index build once behind the staleness gate; steady-state
+    * calls pay the two index-served legs and the metadata-scale fusion.
+    */
+  def hybridRrfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val all = emb(spark, dir).select("vec_id", "embedding")
+    graft.core.ModelTables.persistGroupIfStale(spark, dir, "pq-hybrid:v1")(
+      PqHyCoarse -> (() => ()),
+      PqHyBooks -> (() => ()),
+      PqHyTable -> (() => buildPqIndex(spark, all, PqHyTable, PqHyCoarse,
+        PqHyBooks)))
+    val sem = pqServeWhere(spark, dir, PqHyTable,
+        Clustering.loadCentroids(spark, PqHyCoarse),
+        loadPqBooks(spark, PqHyBooks),
+        col("vec_id") % TextAnalysis.Bm25QueryStride === 0,
+        NProbe, PqRefine, includeSelf = true)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rk_sem"))
+    rrfFuse(bm25Leg(spark, dir), sem)
+  }
+
+  /** Oracle for [[hybridRrfPq]]: the BM25 score chain plus the FULL PQ
+    * lifecycle replay (fit = membership = the whole corpus, query stride
+    * = the BM25 stride, self kept) fused by the same two-term coalesce.
+    * The PQ chain rides as a NESTED WITH inside the `sem` derived table —
+    * its `q` CTE (the quantized corpus) shadows the BM25 chain's `q`
+    * (the query term table) instead of colliding with it.
+    */
+  val hybridRrfPqOracle: String = {
+    val stride = graft.operators.TextAnalysis.Bm25QueryStride
+    val pqSql = pqLifecycleOracleFrom(
+      """qfit AS (SELECT vec_id, q FROM q),
+        |mem AS (SELECT vec_id, q FROM q)""".stripMargin,
+      queryStride = stride, includeSelf = true)
+    s"""WITH ${graft.operators.TextAnalysis.bm25ScoreCtes(stride)},
+       |lex AS (
+       |  SELECT query_id, doc_id, rk AS rk_lex FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rk
+       |    FROM score
+       |  ) WHERE rk <= $TopK
+       |),
+       |sem AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id, rank AS rk_sem
+       |  FROM (
+       |$pqSql
+       |  )
+       |),
+       |fused AS (
+       |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+       |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    coalesce(1.0 / CAST($RrfK + rk_lex AS DOUBLE), 0.0) +
+       |      coalesce(1.0 / CAST($RrfK + rk_sem AS DOUBLE), 0.0) AS rrf
+       |  FROM lex FULL JOIN sem
+       |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+       |)
+       |SELECT query_id, rk, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused
+       |)
+       |WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   /** Serve ONE arriving batch of hybrid queries entirely from the
     * PERSISTED indexes — lexical leg from the bucketed BM25 postings
     * ([[graft.operators.TextAnalysis.bm25SearchAgainst]], identical rows
@@ -2367,6 +2450,89 @@ object Similarity {
     * rankings share the lexical CTE, exactly as the engine shares
     * [[bm25Leg]].
     */
+  /** [[evalHybrid]] for the COMPRESSED-index fusion: recall@k / MRR of
+    * [[hybridRrfPq]] against the exact fusion — what serving the
+    * semantic leg from lossy codes (ADC + bounded exact re-rank) costs,
+    * the certification a deployment reads before swapping the flat
+    * index out for the RAM-bounded one.
+    */
+  def evalHybridPq(spark: SparkSession, dir: String): DataFrame = {
+    def asRanking(df: DataFrame): DataFrame =
+      df.select(col("query_id").as("q_id"), col("rk").as("rank"),
+        col("doc_id").as("neighbor_id"))
+    evalCore(asRanking(hybridRrfPq(spark, dir)),
+      asRanking(hybridRrf(spark, dir)))
+  }
+
+  /** [[evalHybridOracle]] with the approx leg replaced by the full PQ
+    * fusion replay ([[hybridRrfPqOracle]] riding as a nested WITH — its
+    * CTEs shadow the outer chain's instead of colliding).
+    */
+  val evalHybridPqOracle: String = {
+    val stride = graft.operators.TextAnalysis.Bm25QueryStride
+    s"""WITH ${graft.operators.TextAnalysis.bm25ScoreCtes(stride)},
+       |lex AS (
+       |  SELECT query_id, doc_id, rk AS rk_lex FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rk
+       |    FROM score
+       |  ) WHERE rk <= $TopK
+       |),
+       |xe AS (
+       |  SELECT vec_id, embedding, sqrt(${duckDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings
+       |),
+       |xsem AS (
+       |  SELECT query_id, doc_id, rk AS rk_sem FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckDot("e.embedding", "q.embedding")} / (e.nrm * q.nrm) DESC,
+       |          e.vec_id) AS rk
+       |    FROM xe e JOIN xe q ON q.vec_id % $stride = 0
+       |  ) WHERE rk <= $TopK
+       |),
+       |exact AS (
+       |  SELECT query_id AS q_id, doc_id AS neighbor_id, rk AS rank FROM (
+       |    SELECT query_id, doc_id, rk FROM (
+       |      SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rrf DESC, doc_id) AS rk
+       |      FROM (
+       |        SELECT coalesce(lex.query_id, s.query_id) AS query_id,
+       |          coalesce(lex.doc_id, s.doc_id) AS doc_id,
+       |          coalesce(1.0 / CAST($RrfK + rk_lex AS DOUBLE), 0.0) +
+       |            coalesce(1.0 / CAST($RrfK + rk_sem AS DOUBLE), 0.0) AS rrf
+       |        FROM lex FULL JOIN xsem s
+       |          ON lex.query_id = s.query_id AND lex.doc_id = s.doc_id
+       |      )
+       |    ) WHERE rk <= $TopK
+       |  )
+       |),
+       |approx AS (
+       |  SELECT query_id AS q_id, doc_id AS neighbor_id, rk AS rank
+       |  FROM (
+       |$hybridRrfPqOracle
+       |  )
+       |),
+       |hits AS (
+       |  SELECT q_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM approx JOIN exact USING (q_id, neighbor_id) GROUP BY 1
+       |),
+       |nnr AS (
+       |  SELECT a.q_id, a.rank AS nnrank_raw
+       |  FROM approx a JOIN (SELECT q_id, neighbor_id FROM exact WHERE rank = 1) nn
+       |    ON a.q_id = nn.q_id AND a.neighbor_id = nn.neighbor_id
+       |)
+       |SELECT qq.q_id AS q_id,
+       |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(hits, 0) AS DOUBLE) / $TopK AS recall_at_k,
+       |  CAST(coalesce(nnrank_raw, 0) AS BIGINT) AS nn_rank,
+       |  coalesce(1.0 / CAST(nnrank_raw AS DOUBLE), 0.0) AS rr
+       |FROM (SELECT DISTINCT q_id FROM exact) qq
+       |LEFT JOIN hits ON qq.q_id = hits.q_id
+       |LEFT JOIN nnr ON qq.q_id = nnr.q_id
+       |ORDER BY q_id""".stripMargin
+  }
+
   val evalHybridOracle: String = {
     val stride = graft.operators.TextAnalysis.Bm25QueryStride
     def fuse(sem: String): String =

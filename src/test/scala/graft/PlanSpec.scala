@@ -428,6 +428,27 @@ class PlanSpec extends SparkSpec {
       s"only the metadata-scale rank fusion may shuffle-join:\n${p.take(800)}")
   }
 
+  test("hybrid rrf on the pq index: code index never shuffles, bounded TopK everywhere") {
+    import graft.operators.Similarity
+    // build-or-reuse the dedicated full-corpus PQ index the hybrid serves
+    Similarity.hybridRrfPq(spark, Sf0001).queryExecution // force the persist
+    val p = plan(Similarity.hybridRrfPq(spark, Sf0001))
+    // one bounded window may rank the K-row coarse-centroid probe per
+    // query (broadcast literal, WindowGroupLimit-capped); everything
+    // data-scale — ADC candidates, refine pool, exact re-rank, fusion —
+    // must ride the TopK aggregate
+    assert(p.linesIterator.count(_.contains("Window [")) <= 1,
+      s"a second window means a data-scale ranking fell off the TopK aggregate:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    // the code index is read in place: probes and pools broadcast INTO it
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe/pool joins must broadcast into the code index:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no unkeyed join may touch the corpus:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") || p.contains("FullOuter"),
+      s"only the metadata-scale rank fusion may shuffle-join:\n${p.take(800)}")
+  }
+
   test("hybrid rrf on the ivf index: probed-list equi-join, bounded TopK everywhere") {
     graft.operators.Similarity.persistIvfIndexIfStale(spark, Sf0001)
     val p = plan(graft.operators.Similarity.hybridRrfIvf(spark, Sf0001))
