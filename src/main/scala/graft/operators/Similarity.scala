@@ -1358,7 +1358,8 @@ object Similarity {
   private def pqServeWhere(spark: SparkSession, dir: String, table: String,
       coarse: Seq[(Int, Seq[Long])], books: Seq[Seq[(Int, Seq[Long])]],
       queryPred: Column, nprobe: Int, refine: Int,
-      includeSelf: Boolean = false): DataFrame = {
+      includeSelf: Boolean = false,
+      querySet: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val bookLits = books.map(Clustering.centroidExpr)
@@ -1367,8 +1368,13 @@ object Similarity {
     val rec = spark.table(table).withColumn("rec", expr(
       s"""zip_with(element_at(${Clustering.centroidExpr(coarse)}, cluster_id + 1).c,
          |  concat(${wordExprs.mkString(", ")}), (a, b) -> a + b)""".stripMargin))
-    val qbase = emb(spark, dir).filter(queryPred)
+    // an arriving query-id set restricts by broadcast SEMI-JOIN — ids
+    // never collect to the driver (the ServeSetSpec discipline)
+    val qbase0 = emb(spark, dir).filter(queryPred)
       .selectExpr("vec_id", Clustering.quantizeSql)
+    val qbase = querySet.fold(qbase0)(qs =>
+      qbase0.join(broadcast(qs.select("vec_id").distinct()),
+        Seq("vec_id"), "left_semi"))
     val q = spark.table(table).select("vec_id")
       .join(broadcast(qbase), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("q").as("q_q"))
@@ -2085,14 +2091,19 @@ object Similarity {
     * Models + index build once behind the staleness gate; steady-state
     * calls pay the two index-served legs and the metadata-scale fusion.
     */
-  def hybridRrfPq(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.TextAnalysis
+  private[graft] def persistPqHybridIfStale(spark: SparkSession,
+      dir: String): Unit = {
     val all = emb(spark, dir).select("vec_id", "embedding")
     graft.core.ModelTables.persistGroupIfStale(spark, dir, "pq-hybrid:v1")(
       PqHyCoarse -> (() => ()),
       PqHyBooks -> (() => ()),
       PqHyTable -> (() => buildPqIndex(spark, all, PqHyTable, PqHyCoarse,
         PqHyBooks)))
+  }
+
+  def hybridRrfPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    persistPqHybridIfStale(spark, dir)
     val sem = pqServeWhere(spark, dir, PqHyTable,
         Clustering.loadCentroids(spark, PqHyCoarse),
         loadPqBooks(spark, PqHyBooks),
@@ -2102,6 +2113,48 @@ object Similarity {
         col("rank").as("rk_sem"))
     rrfFuse(bm25Leg(spark, dir), sem)
   }
+
+  /** [[hybridServeBatch]] with the semantic leg on the COMPRESSED index:
+    * one arriving batch of hybrid queries answered from the persisted
+    * BM25 postings + the PQ code index. Both leg restrictions are
+    * broadcast semi-joins — a corpus-derived query stream never
+    * materializes driver-side. Per-query stateless + frozen models, so
+    * the union of batch emissions equals the batch [[hybridRrfPq]] table
+    * for any chunking of the query set.
+    */
+  private[graft] def hybridServePqBatch(spark: SparkSession, dir: String,
+      querySet: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    val lexQueries = TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir))
+      .join(broadcast(querySet.select(col("vec_id").as("query_id")).distinct()),
+        Seq("query_id"), "left_semi")
+    val lex = TextAnalysis.bm25SearchAgainstDf(spark, lexQueries)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val sem = pqServeWhere(spark, dir, PqHyTable,
+        Clustering.loadCentroids(spark, PqHyCoarse),
+        loadPqBooks(spark, PqHyBooks),
+        col("vec_id") % TextAnalysis.Bm25QueryStride === 0,
+        NProbe, PqRefine, includeSelf = true, querySet = Some(querySet))
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rk_sem"))
+    rrfFuse(lex, sem)
+  }
+
+  /** Continuous hybrid serving from the compressed index — the PQ twin
+    * of [[hybridServeStream]]. The caller persists the BM25 index and
+    * the PQ-hybrid group BEFORE starting the stream.
+    */
+  def hybridServePqStream(newQueries: DataFrame, dir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newQueries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          sink(hybridServePqBatch(batch.sparkSession, dir,
+            batch.toDF().select("vec_id")))
+        }
+      }
+      .start()
 
   /** Oracle for [[hybridRrfPq]]: the BM25 score chain plus the FULL PQ
     * lifecycle replay (fit = membership = the whole corpus, query stride

@@ -1369,6 +1369,36 @@ object StreamGate {
       .orderBy("query_id", "rk")
   }
 
+  /** [[hybridServe]] on the COMPRESSED index: each arriving query batch
+    * is answered from the frozen BM25 postings + the PQ code index
+    * ([[graft.operators.Similarity.hybridServePqBatch]] — ADC + bounded
+    * exact re-rank, both query restrictions broadcast semi-joins).
+    * Per-query stateless + frozen models, so the emission union must
+    * equal the batch PQ-served fusion (oracle: hybridRrfPqOracle) — the
+    * serving tier a deployment runs once the corpus outgrows the flat
+    * index's RAM tier.
+    */
+  def hybridServePq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Similarity, TextAnalysis}
+    TextAnalysis.persistBm25Index(spark, dir)
+    Similarity.persistPqHybridIfStale(spark, dir)
+    val stream = replayCached(spark, s"hybridq|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "embeddings")
+         .filter(col("vec_id") % TextAnalysis.Bm25QueryStride === 0),
+        col("vec_id")))
+    val schema = Similarity.hybridRrfPq(spark, dir).schema
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    withGateParallelism(spark, GateStatePartitions) {
+      val q = Similarity.hybridServePqStream(stream, dir) { v =>
+        buf.synchronized { buf ++= v.collect() }; ()
+      }
+      try q.processAllAvailable() finally q.stop()
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      .orderBy("query_id", "rk")
+  }
+
   /** CONTINUOUS INDEX BUILD under the hard gate: the document table is
     * replayed in chunks and every micro-batch is ADMITTED to an
     * initially-empty BM25 index as append-only partials (postings
