@@ -994,7 +994,7 @@ object Similarity {
     }
   }
 
-  private def loadPqBooks(spark: SparkSession, table: String): Seq[Seq[(Int, Seq[Long])]] =
+  private[graft] def loadPqBooks(spark: SparkSession, table: String): Seq[Seq[(Int, Seq[Long])]] =
     groupBooks(spark.table(table).select("m", "cid", "c").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toSeq)).toSeq)
 
@@ -2123,16 +2123,27 @@ object Similarity {
     * for any chunking of the query set.
     */
   private[graft] def hybridServePqBatch(spark: SparkSession, dir: String,
-      querySet: DataFrame): DataFrame = {
+      querySet: DataFrame): DataFrame =
+    hybridServePqBatchWith(spark, dir, querySet,
+      Clustering.loadCentroids(spark, PqHyCoarse),
+      loadPqBooks(spark, PqHyBooks))
+
+  /** The per-batch serving plan GIVEN frozen models — the K-row coarse
+    * centroids + codebooks load once at stream start (the frozen-model
+    * inference discipline TokenBudgetStream uses for its budget map),
+    * not per micro-batch; with them in hand, per-batch plan construction
+    * reads zero rows (ServeSetSpec meters it).
+    */
+  private[graft] def hybridServePqBatchWith(spark: SparkSession, dir: String,
+      querySet: DataFrame, coarse: Seq[(Int, Seq[Long])],
+      books: Seq[Seq[(Int, Seq[Long])]]): DataFrame = {
     import graft.operators.TextAnalysis
     val lexQueries = TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir))
       .join(broadcast(querySet.select(col("vec_id").as("query_id")).distinct()),
         Seq("query_id"), "left_semi")
     val lex = TextAnalysis.bm25SearchAgainstDf(spark, lexQueries)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
-    val sem = pqServeWhere(spark, dir, PqHyTable,
-        Clustering.loadCentroids(spark, PqHyCoarse),
-        loadPqBooks(spark, PqHyBooks),
+    val sem = pqServeWhere(spark, dir, PqHyTable, coarse, books,
         col("vec_id") % TextAnalysis.Bm25QueryStride === 0,
         NProbe, PqRefine, includeSelf = true, querySet = Some(querySet))
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
@@ -2142,19 +2153,26 @@ object Similarity {
 
   /** Continuous hybrid serving from the compressed index — the PQ twin
     * of [[hybridServeStream]]. The caller persists the BM25 index and
-    * the PQ-hybrid group BEFORE starting the stream.
+    * the PQ-hybrid group BEFORE starting the stream; the codebooks load
+    * ONCE here (K-row model traffic) and are frozen for the stream's
+    * lifetime — a model refresh is a stream restart, exactly like every
+    * frozen-model scoring loop in the repo.
     */
   def hybridServePqStream(newQueries: DataFrame, dir: String)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark0 = newQueries.sparkSession
+    val coarse = Clustering.loadCentroids(spark0, PqHyCoarse)
+    val books = loadPqBooks(spark0, PqHyBooks)
     newQueries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          sink(hybridServePqBatch(batch.sparkSession, dir,
-            batch.toDF().select("vec_id")))
+          sink(hybridServePqBatchWith(batch.sparkSession, dir,
+            batch.toDF().select("vec_id"), coarse, books))
         }
       }
       .start()
+  }
 
   /** Oracle for [[hybridRrfPq]]: the BM25 score chain plus the FULL PQ
     * lifecycle replay (fit = membership = the whole corpus, query stride

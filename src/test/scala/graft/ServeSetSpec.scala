@@ -83,6 +83,25 @@ class ServeSetSpec extends SparkSpec {
     assert(served.nonEmpty && served === full)
   }
 
+  test("PQ hybrid serving: DataFrame query set builds collect-free and equals the PQ fusion restricted to it") {
+    val s2 = spark.newSession()
+    TextAnalysis.persistBm25Index(s2, Sf0001)
+    Similarity.persistPqHybridIfStale(s2, Sf0001)
+    val qSet = idSet(s2, TextAnalysis.Bm25QueryStride * 2)
+    // the K-row codebook/centroid loads happen ONCE at stream start (the
+    // frozen-model discipline) — the metered contract is the PER-BATCH
+    // plan construction, which must read zero rows given frozen models
+    val coarse = graft.operators.Clustering.loadCentroids(s2, Similarity.PqHyCoarse)
+    val books = Similarity.loadPqBooks(s2, Similarity.PqHyBooks)
+    val served = assertCollectFree("hybridServePqBatchWith") {
+      Similarity.hybridServePqBatchWith(s2, Sf0001, qSet, coarse, books)
+    }.collect().toSeq
+    val ids = qSet.collect().map(_.getLong(0)).toSet
+    val full = Similarity.hybridRrfPq(s2, Sf0001)
+      .collect().filter(r => ids.contains(r.getLong(0))).toSeq
+    assert(served.nonEmpty && served === full)
+  }
+
   test("streaming eval: DataFrame query set builds collect-free and equals the batch eval restricted to it") {
     val s2 = spark.newSession()
     val qSet = idSet(s2, 40) // subset of the stride-20 eval queries
