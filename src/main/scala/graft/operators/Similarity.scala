@@ -2114,6 +2114,21 @@ object Similarity {
     rrfFuse(bm25Leg(spark, dir), sem)
   }
 
+  /** The PQ semantic leg with the query stride overridden — the fixed-q
+    * scale probe's knob (probing a 20x corpus at 20x the stride holds
+    * the query COUNT constant, isolating per-query corpus cost — the
+    * ADC pool of ~corpus x nprobe / K candidates — from query-set
+    * growth, the same discipline as the other fixed-q rows in SCALE.md).
+    */
+  private[graft] def pqHybridSemLegStride(spark: SparkSession, dir: String,
+      stride: Int): DataFrame = {
+    persistPqHybridIfStale(spark, dir)
+    pqServeWhere(spark, dir, PqHyTable,
+      Clustering.loadCentroids(spark, PqHyCoarse),
+      loadPqBooks(spark, PqHyBooks),
+      col("vec_id") % stride === 0, NProbe, PqRefine, includeSelf = true)
+  }
+
   /** [[hybridServeBatch]] with the semantic leg on the COMPRESSED index:
     * one arriving batch of hybrid queries answered from the persisted
     * BM25 postings + the PQ code index. Both leg restrictions are
