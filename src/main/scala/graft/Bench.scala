@@ -74,8 +74,8 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Double)]
-    val runs: Seq[Seq[(String, Double)]] = (1 to repeat).map { r =>
-      selected.map { case (name, fn) =>
+    def timedPass(r: Int, qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)]): Seq[(String, Double)] =
+      qs.map { case (name, fn) =>
         // drop any blocks an operator cached: cached state must not leak
         // across (or speed up) unrelated queries in this long-lived session
         spark.catalog.clearCache()
@@ -95,8 +95,6 @@ object Bench {
             name -> -1.0
         }
       }
-    }
-    val loadEnd = loadAvg()
     def median(vs: Seq[Double]): Double = {
       val ok = vs.filter(_ >= 0).sorted
       if (ok.isEmpty) -1.0
@@ -106,8 +104,30 @@ object Bench {
       else if (ok.length % 2 == 1) ok(ok.length / 2)
       else (ok(ok.length / 2 - 1) + ok(ok.length / 2)) / 2
     }
+    val baseRuns: Seq[Seq[(String, Double)]] =
+      (1 to repeat).map(r => timedPass(r, selected))
+    // SUB-SECOND COHORT gets extra samples: queries this fast sit inside
+    // the box's scheduling jitter, and at repeat=3 a single noisy run
+    // moves the reported median by >1.5x — every round's entire drift
+    // list has been sub-second queries on byte-unchanged code. Topping
+    // the cohort up to SubSecondSamples total runs costs a few seconds
+    // of wall clock and zeroes the recurring adjudication cost. Only at
+    // repeat>=3 (the round-close discipline): local repeat=1 iteration
+    // stays one pass.
+    val SubSecondFloorSec = 1.5
+    val SubSecondSamples = 7
+    val cohort = selected.filter { case (name, _) =>
+      val m = median(baseRuns.map(_.toMap.apply(name)))
+      m >= 0 && m < SubSecondFloorSec
+    }
+    val extraRuns: Seq[Seq[(String, Double)]] =
+      if (repeat >= 3 && cohort.nonEmpty)
+        (repeat + 1 to SubSecondSamples).map(r => timedPass(r, cohort))
+      else Seq.empty
+    val runs = baseRuns ++ extraRuns
+    val loadEnd = loadAvg()
     val results = selected.map(_._1).map { name =>
-      name -> median(runs.map(_.toMap.apply(name)))
+      name -> median(runs.flatMap(_.toMap.get(name)))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -116,7 +136,7 @@ object Bench {
     // successful runs — surface the partial failures explicitly, or a
     // flaky query reads as a clean (and possibly faster) number
     val failedRuns = selected.map(_._1).map { name =>
-      name -> runs.count(_.toMap.apply(name) < 0)
+      name -> runs.count(_.toMap.get(name).exists(_ < 0))
     }.filter(_._2 > 0)
     val failedJson = failedRuns.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -143,13 +163,13 @@ object Bench {
       }.mkString(",")
       // per-query 1-min loadavg sampled just before each timed run — the
       // drift-adjudication context VERDICT r17 asked for
-      val loadRunsJson = (1 to repeat).map { r =>
+      val loadRunsJson = (1 to runs.length).map { r =>
         "\"load_run" + r + "\":" + loadSamples.filter(_._1 == r)
           .map { case (_, k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
       }.mkString(",")
       java.nio.file.Files.writeString(f.toPath,
-        s"""{"sf":"$sfDir","repeat":$repeat,"median":$qs,"total_median_sec":$total,"failed_runs":$failedJson,$loadJson,$runsJson,$loadRunsJson}""")
+        s"""{"sf":"$sfDir","repeat":$repeat,"subsecond_runs":${runs.length},"median":$qs,"total_median_sec":$total,"failed_runs":$failedJson,$loadJson,$runsJson,$loadRunsJson}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed ($outPath): ${e.getMessage}")
     }

@@ -2077,6 +2077,15 @@ object StreamGate {
     * Requires the decision log to carry BOTH outcomes — a gate whose
     * threshold never skips measures nothing about steady state, and one
     * that never fires measures nothing about the repair.
+    *
+    * SUPPORTED RANGE: the per-family thresholds below are probed at
+    * sf0.01/sf0.1, where per-append files-per-bucket growth is
+    * write-width-driven, not data-size-driven (tools.CompactPolicyProbe
+    * measured the ratios identical at both SFs). Running a policy gate
+    * at an unprobed SF or write width can legitimately produce a
+    * single-outcome decision log, which this check rejects as vacuous
+    * rather than reporting results — re-probe and adjust the threshold
+    * before trusting the gate there.
     */
   private def chunkedIngestWithTrigger(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType, files: Seq[Path],
@@ -2712,9 +2721,11 @@ object StreamGate {
         try files.foreach { f =>
           atomicFeed(f, watched, None)
           q.processAllAvailable()
-          // offsets for every published log are committed here — the
-          // sealing rule's window
-          decisions += retr.compactRetractLogIfLong(spark, RetractPolicyMaxLogs)
+          // offsets for every published log are committed here (the query
+          // just drained), so the committed watermark IS the max published
+          // id — the quiescent-caller case of the explicit-watermark rule
+          decisions += retr.compactRetractLogIfLong(spark, RetractPolicyMaxLogs,
+            retr.lastBatchId(spark))
         } finally q.stop()
       }
       if (!decisions.exists(_._2) || !decisions.exists(!_._2))

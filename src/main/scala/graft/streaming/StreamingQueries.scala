@@ -589,19 +589,30 @@ class LakeRetractStream(root: String, keyFields: Seq[String],
     * listing of the emission root counts the live batch logs above the
     * current seal — pure metadata, zero data jobs, the steady-state cost
     * of the policy — and the full [[compactRetractLog]] fold runs only
-    * past `maxLiveLogs`, sealing everything published so far. Call it
-    * between micro-batches (after `processAllAvailable`, or from the
-    * maintenance scheduler that serializes against the writer — the
-    * offsets of every published log are then committed, satisfying the
-    * sealing rule). Returns (live log count measured, fired?).
+    * past `maxLiveLogs`, sealing up to `committedBatchId`.
+    *
+    * `committedBatchId` is the COMMITTED WATERMARK and the caller must
+    * supply it explicitly: [[onChangelog]] publishes a batch's log
+    * BEFORE the streaming checkpoint commits its offsets, so a trigger
+    * that implicitly sealed the max PUBLISHED id could — racing a live
+    * writer — seal a batch whose crash-replay would then find its log
+    * folded away and be forced to re-derive against the already-mutated
+    * lake. Quiescent callers (after `processAllAvailable`, or a stopped
+    * query) pass [[lastBatchId]]; a scheduler running beside a live
+    * writer passes the last batch id the checkpoint's commit log names.
+    * Logs above the watermark neither count toward the fire decision
+    * (they are not sealable yet) nor get folded.
+    *
+    * Returns (committed live log count measured, fired?).
     */
-  def compactRetractLogIfLong(spark: SparkSession,
-      maxLiveLogs: Int): (Long, Boolean) = {
+  def compactRetractLogIfLong(spark: SparkSession, maxLiveLogs: Int,
+      committedBatchId: Long): (Long, Boolean) = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sealedId = segIds(fs).maxOption.getOrElse(-1L)
-    val live = batchIds(fs).count(_ > sealedId).toLong
+    val sealable = batchIds(fs).filter(id => id > sealedId && id <= committedBatchId)
+    val live = sealable.length.toLong
     if (live > maxLiveLogs) {
-      compactRetractLog(spark, lastBatchId(spark)); (live, true)
+      compactRetractLog(spark, sealable.max); (live, true)
     } else (live, false)
   }
 

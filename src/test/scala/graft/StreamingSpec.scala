@@ -206,15 +206,21 @@ class StreamingSpec extends SparkSpec {
     assert(retr.lastBatchId(spark) === 2L)
     // the retention POLICY follows the live-log count in both directions:
     // everything is sealed, so any threshold skips at 0 live logs...
-    assert(retr.compactRetractLogIfLong(spark, 0) === ((0L, false)))
+    assert(retr.compactRetractLogIfLong(spark, 0, retr.lastBatchId(spark)) === ((0L, false)))
     // ...new logs accumulate until the count crosses the threshold, the
     // fired fold seals them, and the next window skips again
     retr.onChangelog(Seq((4L, 1L)).toDF("k", "v"), null, 3L)
-    assert(retr.compactRetractLogIfLong(spark, 1) === ((1L, false)))
+    assert(retr.compactRetractLogIfLong(spark, 1, 3L) === ((1L, false)))
     retr.onChangelog(Seq((5L, 2L)).toDF("k", "v"), null, 4L)
-    val (live, fired) = retr.compactRetractLogIfLong(spark, 1)
+    // the committed watermark FENCES the trigger: with batch 4's log
+    // published but its offsets not yet committed, the trigger neither
+    // counts nor seals it — a racing scheduler cannot fold a log that a
+    // crash-replay would still need to reuse
+    assert(retr.compactRetractLogIfLong(spark, 1, 3L) === ((1L, false)))
+    val (live, fired) = retr.compactRetractLogIfLong(spark, 1, 4L)
     assert(live === 2L && fired)
-    assert(retr.compactRetractLogIfLong(spark, 1) === ((0L, false)))
+    assert(retr.lastBatchId(spark) === 4L, "the fired fold sealed past the watermark")
+    assert(retr.compactRetractLogIfLong(spark, 1, 4L) === ((0L, false)))
     assert(fold() === want + ((4L, 1L)) + ((5L, 2L)),
       "the fired retention fold changed the consumer fold")
   }

@@ -5,6 +5,7 @@ common-query totals, and the outliers in both directions.
 Usage: python3 tools/bench_compare.py <new.json> <old.json> [ratio_floor]
 """
 import json
+import statistics
 import sys
 
 
@@ -20,10 +21,13 @@ def main():
     new, old = medians(sys.argv[1]), medians(sys.argv[2])
     floor = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     shared = sorted(set(new) & set(old))
+    if not shared:
+        sys.exit(f"no shared queries between {sys.argv[1]} and {sys.argv[2]} "
+                 "- nothing to compare")
     ratios = sorted((new[q] / old[q], q) for q in shared)
-    med = ratios[len(ratios) // 2]
+    med = statistics.median(r for r, _ in ratios)
     print(f"shared queries: {len(shared)}")
-    print(f"median per-query ratio: {med[0]:.2f}x (at {med[1]})")
+    print(f"median per-query ratio: {med:.2f}x")
     print(f"common-query totals: new {sum(new[q] for q in shared):.1f} s, "
           f"old {sum(old[q] for q in shared):.1f} s")
     hi = [(r, q) for r, q in ratios if r > floor]
