@@ -327,12 +327,29 @@ object Similarity {
     * forget run under the build-then-mutate staleness gate, so
     * steady-state calls pay only the search.
     */
+  /** The plain bucketed IVF index build over a corpus dir — the shared
+    * write behind the forget-family gates (`sim_ivf_forget` and the
+    * unified wave's ivf member).
+    */
+  private[graft] def ivfIndexWriteFor(spark: SparkSession, dir: String,
+      table: String): Unit =
+    withNorm(spark, dir)
+      .select("label", "vec_id", "embedding", "nrm")
+      .write.bucketBy(8, "label").saveAsTable(table)
+
+  /** [[buildPqIndex]] over the full corpus dir — the forget-family build
+    * (fit = membership = the whole corpus; forgetting deletes rows, it
+    * does not re-train).
+    */
+  private[graft] def buildPqIndexFor(spark: SparkSession, dir: String,
+      table: String, coarseTable: String, booksTable: String): Unit =
+    buildPqIndex(spark, emb(spark, dir).select("vec_id", "embedding"),
+      table, coarseTable, booksTable)
+
   def ivfForget(spark: SparkSession, dir: String): DataFrame = {
     graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
       "ivf-forget:v1")(
-      IvfFgTable -> (() => withNorm(spark, dir)
-        .select("label", "vec_id", "embedding", "nrm")
-        .write.bucketBy(8, "label").saveAsTable(IvfFgTable)))(
+      IvfFgTable -> (() => ivfIndexWriteFor(spark, dir, IvfFgTable)))(
       () => { forgetIvfVectors(spark, IvfFgTable, forgetVecIds(spark, dir)); () })
     ivfAgainstCore(spark, dir, IvfFgTable, NProbe, queryStride = 20,
       includeSelf = false)
@@ -1424,12 +1441,11 @@ object Similarity {
     * steady-state calls pay only the search.
     */
   def pqForget(spark: SparkSession, dir: String): DataFrame = {
-    val all = emb(spark, dir).select("vec_id", "embedding")
     graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
       "pq-forget:v1")(
       PqFgCoarse -> (() => ()),
       PqFgBooks -> (() => ()),
-      PqFgTable -> (() => buildPqIndex(spark, all, PqFgTable, PqFgCoarse,
+      PqFgTable -> (() => buildPqIndexFor(spark, dir, PqFgTable, PqFgCoarse,
         PqFgBooks)))(
       () => { forgetPqVectors(spark, PqFgTable, forgetVecIds(spark, dir)); () })
     pqServe(spark, dir, PqFgTable, PqFgCoarse, PqFgBooks)

@@ -1515,6 +1515,71 @@ object StreamGate {
     } finally { spark.sql(s"DROP TABLE IF EXISTS $t"); () }
   }
 
+  /** THE UNIFIED DELETION WAVE OVER A REQUEST STREAM — the streaming
+    * twin of `pipe_forget_all` ([[graft.operators.ForgetWave.forgetAll]]):
+    * deletion requests for ALL FIVE index families arrive as one
+    * (family, id) stream, and every micro-batch is applied as a durable
+    * [[graft.operators.ForgetWave]] wave of its own — id sets published
+    * to the batch's manifest first, family verbs applied in manifest
+    * order, done markers sealing each. Family verbs are idempotent
+    * anti-joins, so any chunking (and at-least-once redelivery — the
+    * manifest makes a replayed batch skip, not re-derive) of the request
+    * stream lands on the single-batch-wave index state; the verification
+    * union must equal the batch oracle. The request sets are resolved
+    * ONCE against the pre-wave builds — the stream a pipeline receives
+    * is already resolved (a deletion request names content, and the
+    * derived dedup/phash suppressor sets are that naming).
+    *
+    * Build + streamed wave run under the build-then-mutate staleness
+    * gate (nine index tables, including the PQ five-fit, are too heavy
+    * to rebuild per call); steady-state calls pay only the five
+    * verification reads.
+    */
+  def forgetAllWave(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ForgetWave
+    ForgetWave.forgetAllWith(spark, dir, ForgetWave.Wv2Tables,
+      "forget-wave-stream:v1") { families =>
+      val root = gateTmp("graft-gate-forgetall")
+      try {
+        val requests = families.map(f =>
+            f.resolve().select(lit(f.name).as("family"),
+              col(f.key).cast("long").as("id")))
+          .reduce(_.unionByName(_))
+        val (stageRoot, files) = stageChunkFiles(requests, col("id"), chunks = 2)
+        try {
+          val watched = root.resolve("watched")
+          Files.createDirectories(watched)
+          withGateParallelism(spark, GateStatePartitions) {
+            val stream = spark.readStream.schema(requests.schema)
+              .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+            val q = stream.writeStream
+              .outputMode("append")
+              .option("checkpointLocation", root.resolve("ck").toString)
+              .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+                if (!batch.isEmpty) {
+                  val present = batch.select("family").distinct()
+                    .collect().map(_.getString(0)).toSet // bounded: <= 5 rows
+                  val b = batch.toDF().persist()
+                  try {
+                    val fams = families.filter(f => present(f.name)).map(f =>
+                      f.copy(resolve = () => b.filter(col("family") === f.name)
+                        .select(col("id").as(f.key))))
+                    ForgetWave.run(spark,
+                      root.resolve(s"wave=$batchId").toString, fams)
+                  } finally { b.unpersist(); () }
+                  ()
+                }
+              }.start()
+            try files.foreach { f =>
+              atomicFeed(f, watched, None)
+              q.processAllAvailable()
+            } finally q.stop()
+          }
+        } finally rmrf(stageRoot)
+      } finally rmrf(root)
+    }
+  }
+
   /** CONTINUOUS MULTIMODAL ADMISSION under the hard gate — the phash
     * ingest loop ([[graft.operators.Multimodal.phashAdmitStream]]): the
     * corpus phash index is built first; augmented media arrivals

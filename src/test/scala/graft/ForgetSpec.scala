@@ -216,4 +216,99 @@ class ForgetSpec extends SparkSpec {
         "distinct-fold must restore the exact pre-residue content")
     } finally drop(t)
   }
+
+  test("a torn deletion wave resumes to the all-five filtered state; sets frozen at publish") {
+    import graft.operators.{Dedup, ForgetWave, Multimodal}
+    val wv = Seq("tws_post", "tws_df", "tws_stats", "tws_bands", "tws_ivf",
+      "tws_pq", "tws_pq_coarse", "tws_pq_books", "tws_phash")
+    val ct = wv.map(_.replace("tws_", "twc_"))
+    drop(wv ++ ct: _*)
+    val waveDir = java.nio.file.Files.createTempDirectory("graft-wave-spec")
+      .resolve("wave").toString
+    def families(resolved: java.util.concurrent.atomic.AtomicInteger) =
+      ForgetWave.standardFamilies(spark, Sf0001, wv(0), wv(1), wv(2), wv(3),
+          wv(4), wv(5), wv(6), wv(7), wv(8))
+        .map(f => f.copy(resolve = () => { resolved.incrementAndGet(); f.resolve() }))
+    try {
+      ForgetWave.buildEntries(spark, Sf0001, wv(0), wv(1), wv(2), wv(3),
+        wv(4), wv(5), wv(6), wv(7), wv(8)).foreach(_._2())
+      val resolved = new java.util.concurrent.atomic.AtomicInteger(0)
+      // CRASH 1: between the ivf apply and its done marker (the verb ran,
+      // the wave has no record) — bm25 and dedup are marked, phash/pq
+      // never reached
+      intercept[RuntimeException] {
+        ForgetWave.run(spark, waveDir, families(resolved).map(f =>
+          if (f.name == "ivf")
+            f.copy(apply = ids => { f.apply(ids)
+              throw new RuntimeException("crash after ivf rewrite") })
+          else f))
+      }
+      assert(resolved.get === 5, "publish must resolve every family once")
+      assert(!ForgetWave.isComplete(spark, waveDir, families(resolved)))
+      // CRASH 2: between family rewrites (before phash does anything).
+      // The resume must NOT re-resolve (the manifest froze the sets —
+      // re-derivation would now read already-mutated indexes), must
+      // re-apply the unmarked ivf (idempotent anti-join), and must crash
+      // with bm25/dedup untouched.
+      intercept[RuntimeException] {
+        ForgetWave.run(spark, waveDir, families(resolved).map(f =>
+          if (f.name == "phash")
+            f.copy(apply = _ => throw new RuntimeException("crash before phash"))
+          else f))
+      }
+      assert(resolved.get === 5, "a resume must never re-resolve a published wave")
+      // CLEAN RESUME: only the unfinished families apply
+      val decisions = ForgetWave.run(spark, waveDir, families(resolved))
+      assert(decisions === Seq("bm25" -> false, "dedup" -> false,
+        "ivf" -> false, "phash" -> true, "pq" -> true))
+      assert(ForgetWave.isComplete(spark, waveDir, families(resolved)))
+      assert(resolved.get === 5)
+      // a fully-applied wave is a no-op
+      assert(ForgetWave.run(spark, waveDir, families(resolved)).forall(!_._2))
+      // BIT-EQUALITY ON ALL FIVE vs a control build anti-joined with the
+      // PUBLISHED id sets (read back from the manifest — the sets the
+      // wave is accountable to)
+      ForgetWave.buildEntries(spark, Sf0001, ct(0), ct(1), ct(2), ct(3),
+        ct(4), ct(5), ct(6), ct(7), ct(8)).foreach(_._2())
+      def ids(fam: String) = spark.read.parquet(s"$waveDir/ids/$fam")
+      def anti(table: String, fam: String, key: String) = {
+        // re-select the declared column order: a USING join moves its key
+        // to the front (the rewriteBucketedTable discipline)
+        val cols = spark.table(table).columns
+        spark.table(table).join(ids(fam), Seq(key), "left_anti")
+          .select(cols.map(col).toIndexedSeq: _*)
+      }
+      val post = anti(ct(0), "bm25", "doc_id")
+      assert(rows(spark.table(wv(0))) === rows(post), "bm25 postings differ")
+      assert(rows(spark.table(wv(1))) ===
+        rows(post.groupBy("token").agg(count(lit(1)).cast("bigint").as("df"))),
+        "bm25 df differs from a surviving-postings rebuild")
+      assert(rows(spark.table(wv(2))) ===
+        rows(post.groupBy("doc_id").agg(max("dl").as("dl"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum("dl").cast("bigint").as("sum_dl"))),
+        "bm25 stats differ from a surviving-postings rebuild")
+      assert(rows(spark.table(wv(3))) === rows(anti(ct(3), "dedup", "doc_id")),
+        "dedup band table differs")
+      assert(rows(spark.table(wv(4))) === rows(anti(ct(4), "ivf", "vec_id")),
+        "ivf index differs")
+      // the PQ fits are deterministic, so the control build's codes are
+      // the wave build's codes; forget deletes rows, never re-trains
+      assert(rows(spark.table(wv(5))) === rows(anti(ct(5), "pq", "vec_id")),
+        "pq code index differs")
+      assert(rows(spark.table(wv(6))) === rows(spark.table(ct(6))),
+        "pq coarse model must be untouched by the wave")
+      assert(rows(spark.table(wv(7))) === rows(spark.table(ct(7))),
+        "pq codebooks must be untouched by the wave")
+      assert(rows(spark.table(wv(8))) === rows(anti(ct(8), "phash", "doc_id")),
+        "phash band table differs")
+    } finally {
+      drop(wv ++ ct: _*)
+      val d = new java.io.File(waveDir).getParentFile
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
+  }
 }
