@@ -1956,6 +1956,164 @@ object TextAnalysis {
        |WHERE rk <= $Bm25TopK
        |ORDER BY query_id, rk""".stripMargin
 
+  // ---- generation-pointer serving: reads during maintenance ----
+
+  /** GENERATION-POINTER layout for the BM25 index — the serve-during-
+    * maintenance discipline. The in-place rewrites ([[compactBm25Index]],
+    * [[forgetBm25Docs]]) carry a SINGLE-WRITER contract that implicitly
+    * excludes readers too: DROP+RENAME swaps the canonical table under a
+    * concurrently-planned query, which can then hit vanished part files.
+    * A serving tier at 100x scale cannot stop for compaction, so this
+    * layer makes index generations IMMUTABLE and moves the swap into a
+    * pointer:
+    *
+    *  - generation N lives in tables `<base>_post_gN` / `_df_gN` /
+    *    `_stats_gN`, written once and never touched again;
+    *  - the live pointer is the MAX marker file `g=N` under the
+    *    `<base>.GEN` directory next to the warehouse tables — publishing
+    *    is one atomic empty-file create, and a torn rewrite (tables
+    *    written, marker missing) is invisible to readers and repaired by
+    *    re-running the rewrite (it drops and rebuilds the unpublished
+    *    generation);
+    *  - readers resolve the pointer ONCE at plan time
+    *    ([[bm25SearchAgainstGen]]) and keep reading their resolved
+    *    generation to completion;
+    *  - the sweeper retains generation N-1 when publishing N+1, so a
+    *    reader that resolved just before a flip still has its tables; a
+    *    reader must only outlive fewer than two full rewrite cycles —
+    *    query latency vs compaction cadence, orders of magnitude apart
+    *    in any deployment.
+    *
+    * StorageSpec drives a search loop concurrently with fired
+    * generation rewrites: zero errors, every answer equal to one
+    * generation's oracle.
+    */
+  private def genDir(spark: SparkSession, base: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"$base.GEN")
+
+  private[graft] def genTables(base: String, g: Long): (String, String, String) =
+    (s"${base}_post_g$g", s"${base}_df_g$g", s"${base}_stats_g$g")
+
+  /** The live generation — the max published marker. */
+  def bm25GenCurrent(spark: SparkSession, base: String): Long = {
+    val d = genDir(spark, base)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) sys.error(s"no generations published under $d")
+    val gs = fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+    if (gs.isEmpty) sys.error(s"no generations published under $d")
+    gs.max
+  }
+
+  /** Build generation 0 from a (doc_id, tk) corpus frame and publish the
+    * pointer. Idempotent: an already-initialized base returns its live
+    * generation; a torn init (tables written, marker missing) rebuilds.
+    */
+  def bm25GenInit(spark: SparkSession, base: String, corpus: DataFrame): Long = {
+    val d = genDir(spark, base)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d) && fs.listStatus(d).exists(_.getPath.getName.startsWith("g=")))
+      return bm25GenCurrent(spark, base)
+    val (p, df, st) = genTables(base, 0L)
+    Seq(p, df, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    bm25IndexWritesOf(spark, corpus, p, df, st).foreach(_._2())
+    fs.mkdirs(d)
+    fs.create(new org.apache.hadoop.fs.Path(d, "g=0"), true).close()
+    0L
+  }
+
+  /** Publish generation N+1 = `transform`(generation N's postings), with
+    * df/stats rebuilt from the new postings — the generation twin of the
+    * in-place [[rewriteBm25IndexHooked]], with NO marker fence: nothing
+    * is ever inconsistent in place, the pointer flip IS the commit, and
+    * concurrent readers keep serving N (or N-1) throughout. Sweeps
+    * generations <= N-1 after the flip. Returns the new generation.
+    */
+  def bm25GenRewrite(spark: SparkSession, base: String)(
+      transform: DataFrame => DataFrame): Long = {
+    val g = bm25GenCurrent(spark, base)
+    val (p0, _, _) = genTables(base, g)
+    val (p1, d1, s1) = genTables(base, g + 1)
+    // a torn previous attempt left unpublished g+1 tables: rebuild them
+    Seq(p1, d1, s1).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val cols = spark.table(p0).columns
+    transform(spark.table(p0))
+      .select(cols.map(col).toIndexedSeq: _*)
+      .repartition(Bm25Buckets, col("token"))
+      .write.bucketBy(Bm25Buckets, "token").saveAsTable(p1)
+    val post = spark.table(p1)
+    post.groupBy("token").agg(count(lit(1)).cast("bigint").as("df"))
+      .write.saveAsTable(d1)
+    post.groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("dl").cast("bigint").as("sum_dl"))
+      .write.saveAsTable(s1)
+    val d = genDir(spark, base)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(d, s"g=${g + 1}"), true).close()
+    // retain N-1 for in-flight readers; drop everything older
+    (0L until g).foreach { old =>
+      val (op, od, os) = genTables(base, old)
+      Seq(op, od, os).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      fs.delete(new org.apache.hadoop.fs.Path(d, s"g=$old"), false)
+    }
+    g + 1
+  }
+
+  /** Drop every generation and the pointer dir — the gate/spec cleanup. */
+  private[graft] def bm25GenDropAll(spark: SparkSession, base: String): Unit = {
+    val d = genDir(spark, base)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d)) {
+      fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+        .foreach { g =>
+          val (p, df, st) = genTables(base, g)
+          Seq(p, df, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        }
+      fs.delete(d, true); ()
+    }
+  }
+
+  /** Search through the pointer: resolve the live generation at plan
+    * time, then the standard indexed search against its immutable
+    * tables. No torn-marker repair path — generations are never
+    * internally inconsistent.
+    */
+  def bm25SearchAgainstGen(spark: SparkSession, queries: DataFrame,
+      base: String): DataFrame = {
+    val (p, df, st) = genTables(base, bm25GenCurrent(spark, base))
+    bm25SearchAgainst(spark, queries, p, df, st)
+  }
+
+  private[graft] val Bm25GenBase = "bm25gen"
+  private val Bm25GenAnchor = "bm25gen_anchor"
+
+  /** `txt_bm25_gen`: the generation-pointer lifecycle as a gated row —
+    * init generation 0 from the corpus, publish generation 1 as the
+    * forget rewrite (a REAL maintenance fire, so the pointer flip is
+    * observable in the answer), search through the pointer. Must equal
+    * the in-place forget path bit-for-bit (same oracle as
+    * `txt_bm25_forget`). The anchor table carries the staleness stamp
+    * for the whole generation chain (generation tables have dynamic
+    * names, so they cannot be stamped directly); steady-state calls pay
+    * only the pointer read + search.
+    */
+  def bm25GenForget(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.ModelTables.persistGroupMutatedIfStale(spark, dir,
+      "bm25-gen:v1")(
+      Bm25GenAnchor -> (() => {
+        bm25GenDropAll(spark, Bm25GenBase)
+        bm25GenInit(spark, Bm25GenBase, bm25Corpus(spark, dir))
+        spark.range(1).write.saveAsTable(Bm25GenAnchor)
+      }))(
+      () => { bm25GenRewrite(spark, Bm25GenBase)(
+        _.join(broadcast(forgetDocIds(spark, dir)), Seq("doc_id"), "left_anti")); () })
+    bm25SearchAgainstGen(spark,
+      bm25QueriesOf(bm25Corpus(spark, dir)), Bm25GenBase)
+  }
+
   // ---- percolation: standing queries, streaming documents ----
 
   /** Gate standing-query stride: 10x sparser than the search query set.

@@ -1022,4 +1022,73 @@ class StorageSpec extends SparkSpec {
         s"4-term search read every postings bucket: ${sel.get.matched}")
     } finally { tables.foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
+
+  test("generation-pointer serving: searches run concurrently with fired rewrites, every answer is one generation's") {
+    import graft.operators.TextAnalysis
+    val base = "sspec_bm25gen"
+    def queries = TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, Sf0001))
+    def search(): Seq[String] =
+      TextAnalysis.bm25SearchAgainstGen(spark, queries, base)
+        .collect().map(_.toString).sorted.toSeq
+    def forgetA(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_id") % 17 =!= 3)
+    def forgetB(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("doc_id") % 11 =!= 0)
+    TextAnalysis.bm25GenDropAll(spark, base)
+    try {
+      // expected per-generation answers, derived serially first
+      TextAnalysis.bm25GenInit(spark, base, TextAnalysis.bm25Corpus(spark, Sf0001))
+      val e0 = search()
+      TextAnalysis.bm25GenRewrite(spark, base)(forgetA)
+      val e1 = search()
+      TextAnalysis.bm25GenRewrite(spark, base)(forgetB)
+      val e2 = search()
+      assert(e0 != e1 && e1 != e2,
+        "the rewrites must change the answer or the spanning claim is vacuous")
+      // fresh chain for the concurrent phase
+      TextAnalysis.bm25GenDropAll(spark, base)
+      TextAnalysis.bm25GenInit(spark, base, TextAnalysis.bm25Corpus(spark, Sf0001))
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val searches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val results = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      val readerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val reader = new Thread(() => {
+        try {
+          // keep searching until the writer finished, then two more reads
+          // that must see the final generation
+          while (!done.get()) { results.synchronized { results += search() }; searches.incrementAndGet(); () }
+          (1 to 2).foreach { _ => results.synchronized { results += search() }; () }
+        } catch { case t: Throwable => readerErr.set(t) }
+      })
+      def awaitSearches(n: Int): Unit = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (searches.get() < n && readerErr.get() == null) {
+          assert(System.nanoTime() < deadline, "reader made no progress")
+          Thread.sleep(20)
+        }
+      }
+      reader.start()
+      try {
+        // flip 1 fires while the reader is mid-loop on generation 0
+        awaitSearches(2)
+        TextAnalysis.bm25GenRewrite(spark, base)(forgetA)
+        // let the reader finish any search that straddled flip 1 plus one
+        // clean one, so no single search can span BOTH flips (the N-1
+        // retention window is one rewrite wide by design)
+        val after1 = searches.get()
+        awaitSearches(after1 + 2)
+        TextAnalysis.bm25GenRewrite(spark, base)(forgetB)
+      } finally { done.set(true); reader.join(180000) }
+      assert(readerErr.get() == null,
+        s"a concurrent search failed: ${Option(readerErr.get()).map(_.toString).getOrElse("")}")
+      val observed = results.synchronized { results.toList }
+      val valid = Set(e0, e1, e2)
+      observed.zipWithIndex.foreach { case (r, i) =>
+        assert(valid.contains(r), s"search $i returned no generation's answer")
+      }
+      assert(observed.head === e0, "the pre-flip search must serve generation 0")
+      assert(observed.last === e2, "the post-writer search must serve the final generation")
+      assert(observed.distinct.size >= 2, "the reader never spanned a flip")
+    } finally TextAnalysis.bm25GenDropAll(spark, base)
+  }
 }
