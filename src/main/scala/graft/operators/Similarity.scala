@@ -2167,14 +2167,15 @@ object Similarity {
     */
   private[graft] def hybridServePqBatchWith(spark: SparkSession, dir: String,
       querySet: DataFrame, coarse: Seq[(Int, Seq[Long])],
-      books: Seq[Seq[(Int, Seq[Long])]]): DataFrame = {
+      books: Seq[Seq[(Int, Seq[Long])]],
+      table: String = PqHyTable): DataFrame = {
     import graft.operators.TextAnalysis
     val lexQueries = TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(spark, dir))
       .join(broadcast(querySet.select(col("vec_id").as("query_id")).distinct()),
         Seq("query_id"), "left_semi")
     val lex = TextAnalysis.bm25SearchAgainstDf(spark, lexQueries)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
-    val sem = pqServeWhere(spark, dir, PqHyTable, coarse, books,
+    val sem = pqServeWhere(spark, dir, table, coarse, books,
         col("vec_id") % TextAnalysis.Bm25QueryStride === 0,
         NProbe, PqRefine, includeSelf = true, querySet = Some(querySet))
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
@@ -2203,6 +2204,167 @@ object Similarity {
         }
       }
       .start()
+  }
+
+  // -------------------------------------------------------------------------
+  // Generation-aware serving: the stream picks up a re-train without restart
+  // -------------------------------------------------------------------------
+
+  private[graft] val PqSr0Table = "pq_sr0_index"
+  private[graft] val PqSr0Coarse = "pq_sr0_coarse"
+  private[graft] val PqSr0Books = "pq_sr0_books"
+  private[graft] val PqSr1Table = "pq_sr1_index"
+  private[graft] val PqSr1Coarse = "pq_sr1_coarse"
+  private[graft] val PqSr1Books = "pq_sr1_books"
+
+  /** The serve-refresh gate's two model GENERATIONS, persisted once per
+    * corpus snapshot: generation 0 is the drift state (fit on two-thirds,
+    * the last third admitted under those frozen codebooks — the
+    * [[pqRetrain]] pre-state), generation 1 is the re-train's OUTPUT.
+    * [[retrainPq]] is pinned bit-identical to a fresh build on current
+    * content (`sim_pq_retrain`), so generation 1 is materialized as that
+    * fresh build directly and the gate replays the OPERATIONAL sequence —
+    * the pointer flip a fired re-train publishes — at serving cost.
+    */
+  private[graft] def persistPqServeGens(spark: SparkSession, dir: String): Unit = {
+    val all = emb(spark, dir).select("vec_id", "embedding")
+    graft.core.ModelTables.persistGroupIfStale(spark, dir, "pq-serve-gen:v1")(
+      PqSr0Coarse -> (() => ()),
+      PqSr0Books -> (() => ()),
+      PqSr0Table -> (() => {
+        buildPqIndex(spark, all.filter(col("vec_id") % IvfRbIngestMod =!= 0),
+          PqSr0Table, PqSr0Coarse, PqSr0Books)
+        pqAdmit(all.filter(col("vec_id") % IvfRbIngestMod === 0),
+          PqSr0Table, PqSr0Coarse, PqSr0Books)
+      }),
+      PqSr1Coarse -> (() => ()),
+      PqSr1Books -> (() => ()),
+      PqSr1Table -> (() => buildPqIndexFor(spark, dir, PqSr1Table,
+        PqSr1Coarse, PqSr1Books)))
+  }
+
+  /** The serving tier's MODEL-GENERATION POINTER — the same max-marker
+    * mechanism as the BM25 table generations
+    * ([[TextAnalysis.bm25GenCurrent]]): a fired re-train publishes its
+    * generation with one atomic empty-file create, and the serving
+    * stream re-resolves the pointer at every micro-batch boundary
+    * (one listing + two K-row model loads — cheap enough to pay per
+    * batch) instead of freezing models at stream start. A re-train no
+    * longer strands a running serve stream.
+    */
+  private def srGenDir(spark: SparkSession): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "pq_sr.GEN")
+
+  def pqServeGenCurrent(spark: SparkSession): Long = {
+    val d = srGenDir(spark)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) sys.error(s"no serving generation published under $d")
+    val gs = fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+    if (gs.isEmpty) sys.error(s"no serving generation published under $d")
+    gs.max
+  }
+
+  def pqServeGenPublish(spark: SparkSession, g: Long): Unit = {
+    val d = srGenDir(spark)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(d)
+    fs.create(new org.apache.hadoop.fs.Path(d, s"g=$g"), true).close()
+  }
+
+  private[graft] def pqServeGenReset(spark: SparkSession): Unit = {
+    val d = srGenDir(spark)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(d, true)
+    pqServeGenPublish(spark, 0L)
+  }
+
+  private[graft] def srTables(g: Long): (String, String, String) =
+    if (g == 0L) (PqSr0Table, PqSr0Coarse, PqSr0Books)
+    else (PqSr1Table, PqSr1Coarse, PqSr1Books)
+
+  /** [[hybridServePqStream]] with GENERATION-AWARE models: instead of
+    * freezing coarse + codebooks at stream start, every micro-batch
+    * re-resolves the published model generation and serves under it —
+    * emission is piecewise equal to the batch fusion under whichever
+    * generation each batch resolved. The per-batch overhead is bounded
+    * model traffic (marker listing, K-row coarse, PqM x PqKc codebooks);
+    * the serving plan itself is unchanged.
+    */
+  def hybridServePqStreamRefreshing(newQueries: DataFrame, dir: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newQueries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val (t, c, b) = srTables(pqServeGenCurrent(s))
+          sink(hybridServePqBatchWith(s, dir, batch.toDF().select("vec_id"),
+            Clustering.loadCentroids(s, c), loadPqBooks(s, b), table = t))
+        }
+      }
+      .start()
+
+  /** Oracle for `stream_hybrid_serve_refresh`: the lexical leg is
+    * generation-independent; the semantic leg is PIECEWISE — chunk-0
+    * queries replay the PQ lifecycle under the DRIFT fit (two-thirds,
+    * members all: the pre-retrain generation), later chunks under the
+    * re-trained fit (all). The chunk arithmetic mirrors the staged
+    * split exactly ([[graft.streaming.StreamingQueries.chunkIdSql]]).
+    */
+  val hybridServeRefreshOracle: String = {
+    val stride = graft.operators.TextAnalysis.Bm25QueryStride
+    def semSql(fitWhere: String): String = pqLifecycleOracleFrom(
+      s"""qfit AS (SELECT vec_id, q FROM q WHERE $fitWhere),
+         |mem AS (SELECT vec_id, q FROM q)""".stripMargin,
+      queryStride = stride, includeSelf = true)
+    s"""WITH ${graft.operators.TextAnalysis.bm25ScoreCtes(stride)},
+       |lex AS (
+       |  SELECT query_id, doc_id, rk AS rk_lex FROM (
+       |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS rk
+       |    FROM score
+       |  ) WHERE rk <= $TopK
+       |),
+       |qbounds AS (
+       |  SELECT min(vec_id) AS t0, max(vec_id) - min(vec_id) + 1 AS span
+       |  FROM embeddings WHERE vec_id % $stride = 0
+       |),
+       |semold AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id, rank AS rk_sem
+       |  FROM (
+       |${semSql(s"vec_id % $IvfRbIngestMod <> 0")}
+       |  )
+       |),
+       |semnew AS (
+       |  SELECT q_id AS query_id, neighbor_id AS doc_id, rank AS rk_sem
+       |  FROM (
+       |${semSql("TRUE")}
+       |  )
+       |),
+       |sem AS (
+       |  SELECT s.query_id, s.doc_id, s.rk_sem FROM semold s, qbounds b
+       |  WHERE CAST((s.query_id - b.t0) * 3 // b.span AS INT) = 0
+       |  UNION ALL
+       |  SELECT s.query_id, s.doc_id, s.rk_sem FROM semnew s, qbounds b
+       |  WHERE CAST((s.query_id - b.t0) * 3 // b.span AS INT) >= 1
+       |),
+       |fused AS (
+       |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+       |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |    coalesce(1.0 / CAST($RrfK + rk_lex AS DOUBLE), 0.0) +
+       |      coalesce(1.0 / CAST($RrfK + rk_sem AS DOUBLE), 0.0) AS rrf
+       |  FROM lex FULL JOIN sem
+       |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+       |)
+       |SELECT query_id, rk, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rk
+       |  FROM fused
+       |)
+       |WHERE rk <= $TopK
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   /** Oracle for [[hybridRrfPq]]: the BM25 score chain plus the FULL PQ

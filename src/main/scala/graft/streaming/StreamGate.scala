@@ -1399,6 +1399,68 @@ object StreamGate {
       .orderBy("query_id", "rk")
   }
 
+  /** GENERATION-AWARE SERVING under the hard gate — the serve stream
+    * spans a published RE-TRAIN without restarting:
+    * [[graft.operators.Similarity.hybridServePqStreamRefreshing]]
+    * re-resolves the model-generation pointer at every micro-batch
+    * boundary (marker listing + K-row model loads), so when the
+    * maintenance path publishes generation 1 (the re-trained models +
+    * re-encoded index — its equality to a fresh fit is pinned by
+    * `sim_pq_retrain`) between micro-batches, the next batch serves
+    * under it. Chunk 0 is served under the drift generation (fit on
+    * two-thirds, last third admitted stale), chunks 1-2 under the
+    * re-train; the emission union must equal the PIECEWISE batch
+    * oracles. The pre-flight check that the two generations' coarse
+    * models actually differ keeps the flip observable (a vacuous flip
+    * would gate nothing).
+    */
+  def hybridServeRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Clustering, Similarity, TextAnalysis}
+    TextAnalysis.persistBm25Index(spark, dir)
+    Similarity.persistPqServeGens(spark, dir)
+    require(Clustering.loadCentroids(spark, Similarity.PqSr0Coarse) !=
+      Clustering.loadCentroids(spark, Similarity.PqSr1Coarse),
+      "the re-train must change the coarse model or the flip is unobservable")
+    val files = stagedFilesCached(spark, s"hybridqid|$dir", chunks = 3)(
+      (Tables.load(spark, dir, "embeddings").select("vec_id")
+         .filter(col("vec_id") % TextAnalysis.Bm25QueryStride === 0),
+        col("vec_id")))
+    Similarity.pqServeGenReset(spark)
+    val root = gateTmp("graft-gate-serverefresh")
+    val watched = root.resolve("watched")
+    Files.createDirectories(watched)
+    // rrfFuse's output shape (query_id, rk, doc_id, rrf)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rk", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rrf", org.apache.spark.sql.types.DoubleType)))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      withGateParallelism(spark, GateStatePartitions) {
+        val stream = spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType))))
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val q = Similarity.hybridServePqStreamRefreshing(stream, dir) { v =>
+          buf.synchronized { buf ++= v.collect() }; ()
+        }
+        try {
+          atomicFeed(files.head, watched, None)
+          q.processAllAvailable()
+          // the maintenance path fires: generation 1 goes live between
+          // micro-batches with one atomic marker create
+          Similarity.pqServeGenPublish(spark, 1L)
+          files.tail.foreach { f => atomicFeed(f, watched, None) }
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+    } finally rmrf(root)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      .orderBy("query_id", "rk")
+  }
+
   /** CONTINUOUS INDEX BUILD under the hard gate: the document table is
     * replayed in chunks and every micro-batch is ADMITTED to an
     * initially-empty BM25 index as append-only partials (postings

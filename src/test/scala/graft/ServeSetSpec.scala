@@ -113,4 +113,49 @@ class ServeSetSpec extends SparkSpec {
       .collect().filter(r => ids.contains(r.getLong(0))).toSeq
     assert(got.nonEmpty && got === full)
   }
+
+  test("generation-aware serving: the stream picks up a published re-train at the batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s2 = spark.newSession()
+    import s2.implicits._
+    TextAnalysis.persistBm25Index(s2, Sf0001)
+    Similarity.persistPqServeGens(s2, Sf0001)
+    Similarity.pqServeGenReset(s2)
+    assert(Similarity.pqServeGenCurrent(s2) === 0L)
+    val qSet = idSet(s2, TextAnalysis.Bm25QueryStride * 2)
+    val qIds = qSet.collect().map(_.getLong(0)).toSeq
+    assert(qIds.nonEmpty)
+    // the batch oracles: the SAME query set served under each generation
+    def servedUnder(g: Long): Seq[String] = {
+      val (t, c, b) = Similarity.srTables(g)
+      Similarity.hybridServePqBatchWith(s2, Sf0001, qSet,
+          graft.operators.Clustering.loadCentroids(s2, c),
+          Similarity.loadPqBooks(s2, b), t)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val want0 = servedUnder(0L)
+    val want1 = servedUnder(1L)
+    assert(want0 !== want1,
+      "the re-train must change some answer or the boundary is unobservable")
+    // drive the refreshing stream across the flip with identical batches:
+    // a frozen-model stream would answer batch 2 like batch 1
+    val mem = MemoryStream[Long](s2)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q = Similarity.hybridServePqStreamRefreshing(
+      mem.toDF().select(col("value").as("vec_id")), Sf0001) { v =>
+      batches.synchronized { batches += v.collect().map(_.toString).sorted.toSeq }; ()
+    }
+    try {
+      mem.addData(qIds: _*)
+      q.processAllAvailable()
+      Similarity.pqServeGenPublish(s2, 1L) // the re-train publishes
+      mem.addData(qIds: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = batches.synchronized(batches.toList)
+    assert(out.size === 2)
+    assert(out.head === want0, "batch 1 must serve the drift generation")
+    assert(out.last === want1,
+      "batch 2 must serve the re-trained generation — the stream did not re-resolve")
+  }
 }
