@@ -2254,6 +2254,130 @@ object TextAnalysis {
        |SELECT query_id, doc_id, score_micro FROM score
        |ORDER BY query_id, doc_id""".stripMargin
 
+  // ---- percolation with an UPDATABLE standing-query lake ----
+
+  /** The standing query set as a DATAFRAME (query_id, token) — what the
+    * lake-backed percolator persists and re-resolves per micro-batch; no
+    * driver collect anywhere on the registration path.
+    */
+  private[graft] def bm25StandingQueriesDf(spark: SparkSession, dir: String,
+      seedWhere: org.apache.spark.sql.Column): DataFrame =
+    bm25Corpus(spark, dir)
+      .filter(col("doc_id") % Bm25PercolateStride === 0)
+      .filter(seedWhere)
+      .selectExpr("doc_id AS query_id",
+        s"explode(array_distinct(slice(tk, 1, $Bm25QueryTerms))) AS token")
+
+  /** The percolate-lake gate's two standing generations: set A (every
+    * 2nd stride seed) is registered at stream start; set B (stride seeds
+    * off the 3rd multiples) replaces it mid-stream — A\\B retires alerts,
+    * B\\A registers new ones, so both update directions are exercised.
+    */
+  private[graft] def percolateSeedA: org.apache.spark.sql.Column =
+    col("doc_id") % (2L * Bm25PercolateStride) === 0
+  private[graft] def percolateSeedB: org.apache.spark.sql.Column =
+    col("doc_id") % (3L * Bm25PercolateStride) =!= 0
+
+  /** [[bm25ScoreDocs]] with the standing set as a DataFrame: term
+    * membership is a broadcast semi-join instead of a literal IN (the
+    * mass-query discipline of [[bm25SearchAgainstDf]]), the standing
+    * frame broadcasts into the batch-local tf, and the frozen df/stats
+    * folds are unchanged. Identical rows to the driver-values form for
+    * the same set, with zero collects — which is what lets the streaming
+    * percolator RE-RESOLVE the set per micro-batch.
+    */
+  private[graft] def bm25ScoreDocsDf(batch: DataFrame, standing: DataFrame,
+      dfTable: String, statsTable: String,
+      minScoreMicro: Option[Long] = None): DataFrame = {
+    val s = batch.sparkSession
+    val qTokens = standing.select("token").distinct()
+    val tf = batch.selectExpr("doc_id", s"$toks AS tk")
+      .selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS token")
+      .join(broadcast(qTokens), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfreq = s.table(dfTable)
+      .join(broadcast(qTokens), Seq("token"), "left_semi")
+      .groupBy("token").agg(sum("df").cast("bigint").as("df"))
+    val stats = s.table(statsTable)
+      .agg(sum("n_docs").cast("bigint").as("n_docs"),
+        sum("sum_dl").cast("bigint").as("sum_dl"))
+    val scored = tf.join(broadcast(standing), "token")
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .selectExpr("query_id", "doc_id", s"$bm25MicroExpr AS micro")
+      .groupBy("query_id", "doc_id").agg(sum("micro").as("score_micro"))
+    minScoreMicro.fold(scored)(t => scored.filter(col("score_micro") >= t))
+  }
+
+  /** Continuous percolation against a PERSISTED standing-query lake:
+    * every micro-batch re-resolves the lake at its boundary, so alerts
+    * can be registered and retired WITHOUT restarting the percolator —
+    * the gap that made [[bm25PercolateStream]]'s frozen `Seq` a restart
+    * per standing-set change. The lake read is bounded (it is the set of
+    * registered alerts); scoring is [[bm25ScoreDocsDf]]'s zero-collect
+    * plan. Lake updates follow the single-writer discipline every
+    * maintenance verb here uses: publish between micro-batches.
+    */
+  def bm25PercolateLakeStream(newDocs: DataFrame, lakePath: String,
+      dfTable: String = Bm25DfTable, statsTable: String = Bm25StatsTable)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          sink(bm25ScoreDocsDf(batch, s.read.parquet(lakePath),
+            dfTable, statsTable))
+        }
+      }
+      .start()
+
+  /** Oracle for `stream_bm25_percolate_lake`: the document chunks are the
+    * staged split (chunk arithmetic mirrored from
+    * [[graft.streaming.StreamingQueries.chunkIdSql]]); chunk-0 docs score
+    * against standing set A, chunks 1-2 against set B; df/stats stay the
+    * frozen full-corpus constants throughout (percolator semantics —
+    * updating WHO is listening never changes the statistic space).
+    */
+  val bm25PercolateLakeOracle: String = {
+    val stride = Bm25PercolateStride
+    s"""WITH dall AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |qa AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:$Bm25QueryTerms])) AS token
+       |  FROM dall WHERE doc_id % ${2L * stride} = 0
+       |),
+       |qb AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(tk[1:$Bm25QueryTerms])) AS token
+       |  FROM dall WHERE doc_id % $stride = 0 AND doc_id % ${3L * stride} <> 0
+       |),
+       |qt AS (SELECT token FROM qa UNION SELECT token FROM qb),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl FROM (
+       |    SELECT doc_id, len(tk) AS dl, unnest(tk) AS token FROM dall
+       |  ) WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2
+       |),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS sum_dl FROM dall),
+       |bounds AS (SELECT min(doc_id) AS t0, max(doc_id) - min(doc_id) + 1 AS span FROM documents),
+       |terma AS (
+       |  SELECT query_id, doc_id, $bm25MicroExpr AS micro
+       |  FROM tf JOIN qa USING (token) JOIN dfreq USING (token)
+       |  CROSS JOIN stats CROSS JOIN bounds
+       |  WHERE CAST((doc_id - t0) * 3 // span AS INT) = 0
+       |),
+       |termb AS (
+       |  SELECT query_id, doc_id, $bm25MicroExpr AS micro
+       |  FROM tf JOIN qb USING (token) JOIN dfreq USING (token)
+       |  CROSS JOIN stats CROSS JOIN bounds
+       |  WHERE CAST((doc_id - t0) * 3 // span AS INT) >= 1
+       |)
+       |SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+       |FROM (SELECT * FROM terma UNION ALL SELECT * FROM termb)
+       |GROUP BY 1, 2
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Phrase search (positional postings)
   // -------------------------------------------------------------------------

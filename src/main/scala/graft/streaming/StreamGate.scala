@@ -693,6 +693,57 @@ object StreamGate {
       .orderBy("query_id", "doc_id")
   }
 
+  /** PERCOLATION WITH A LIVE STANDING-QUERY LAKE under the hard gate —
+    * the updatable twin of [[bm25Percolate]] (whose standing set is
+    * frozen at stream start: adding or retiring an alert is a restart):
+    * set A is published to the lake, documents replay in chunks, and
+    * BETWEEN micro-batches the lake is republished as set B (A\B retires
+    * alerts, B\A registers new ones — both update directions). Each
+    * micro-batch re-resolves the lake at its boundary
+    * ([[graft.operators.TextAnalysis.bm25PercolateLakeStream]]), so the
+    * emission union must equal the PIECEWISE batch score table: chunk-0
+    * docs against A, chunks 1-2 against B, df/stats frozen throughout.
+    */
+  def bm25PercolateLake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.persistBm25Index(spark, dir)
+    val docsDf = Tables.load(spark, dir, "documents")
+    val files = stagedFilesCached(spark, s"docs|$dir", chunks = 3)(
+      (docsDf, col("doc_id")))
+    val root = gateTmp("graft-gate-perclake")
+    val lake = root.resolve("standing").toString
+    val watched = root.resolve("watched")
+    Files.createDirectories(watched)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score_micro", org.apache.spark.sql.types.LongType)))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      TextAnalysis.bm25StandingQueriesDf(spark, dir, TextAnalysis.percolateSeedA)
+        .write.mode("overwrite").parquet(lake)
+      withGateParallelism(spark, GateStatePartitions) {
+        val stream = spark.readStream.schema(docsDf.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val q = TextAnalysis.bm25PercolateLakeStream(stream, lake) { v =>
+          buf.synchronized { buf ++= v.collect() }; ()
+        }
+        try {
+          atomicFeed(files.head, watched, None)
+          q.processAllAvailable()
+          // the standing set changes between micro-batches: publish B
+          TextAnalysis.bm25StandingQueriesDf(spark, dir, TextAnalysis.percolateSeedB)
+            .write.mode("overwrite").parquet(lake)
+          files.tail.foreach { f => atomicFeed(f, watched, None) }
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+    } finally rmrf(root)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.synchronized(buf.toList).asJava, schema)
+      .orderBy("query_id", "doc_id")
+  }
+
   /** CONTINUOUS INDEX-QUALITY MONITORING under the hard gate: the query
     * vectors (every 20th embedding) arrive as a replayed stream; each
     * micro-batch is evaluated — IVF vs exact, recall@10 and reciprocal

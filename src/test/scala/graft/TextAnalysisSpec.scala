@@ -115,4 +115,20 @@ class TextAnalysisSpec extends SparkSpec {
     val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(5000), prop)
     assert(res.passed, s"BPE encoding falsified: ${res.status}")
   }
+
+  test("lake percolation scorer (DataFrame standing set) equals the driver-values scorer") {
+    import org.apache.spark.sql.functions._
+    TextAnalysis.persistBm25Index(spark, Sf0001)
+    val batch = graft.core.Tables.load(spark, Sf0001, "documents")
+    val standingSeq = TextAnalysis.bm25StandingQueries(spark, Sf0001)
+    val standingDf = TextAnalysis.bm25StandingQueriesDf(spark, Sf0001, lit(true))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val a = rows(TextAnalysis.bm25ScoreDocs(batch, standingSeq,
+      TextAnalysis.Bm25DfTable, TextAnalysis.Bm25StatsTable))
+    val b = rows(TextAnalysis.bm25ScoreDocsDf(batch, standingDf,
+      TextAnalysis.Bm25DfTable, TextAnalysis.Bm25StatsTable))
+    assert(a.nonEmpty && a === b,
+      "the zero-collect DataFrame scorer must emit exactly the literal-set scorer's rows")
+  }
 }
