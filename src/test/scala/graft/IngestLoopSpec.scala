@@ -187,4 +187,100 @@ class IngestLoopSpec extends SparkSpec {
       assert(got === want, "post-fire search differs from the sealed index")
     } finally { Seq(p, f, st).foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t")); () }
   }
+
+  test("the maintenance scheduler serializes two families' triggers against one live ingest") {
+    import graft.operators.TextAnalysis
+    import graft.streaming.MaintenanceScheduler
+    import org.apache.spark.sql.Row
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val root = Files.createTempDirectory("graft-sched-spec")
+    def atomicCopy(src: java.nio.file.Path, dstDir: java.nio.file.Path): Unit = {
+      val tmp = dstDir.resolve(s".tmp-${src.getFileName}")
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dstDir.resolve(src.getFileName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE); ()
+    }
+    // stage the arrival chunks once (same thirds for both runs)
+    val arrivals = Dedup.ingestArrivals(s2, Sf0001)
+    val Array(mn, mx) = arrivals.agg(min("doc_id"), max("doc_id"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = math.max(1L, mx - mn + 1)
+    val chunkFiles = (0 until 3).map { k =>
+      val d = root.resolve(s"chunk$k")
+      arrivals.filter(((col("doc_id") - mn) * 3 / span).cast("int") === k)
+        .repartition(1).write.parquet(d.toString)
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(d)
+      try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+    }
+    // one run = one live ingest (two streams over one watched dir: BM25
+    // admission + dedup band admission), with `window` called after every
+    // chunk. The scheduler path registers both triggers; the control path
+    // registers none — verdicts must agree (schedule independence).
+    def run(tag: String, sched: Option[MaintenanceScheduler => Unit]): (Seq[String], Seq[String]) = {
+      val (p, f, st, bands) = (s"sched_${tag}_post", s"sched_${tag}_df",
+        s"sched_${tag}_stats", s"sched_${tag}_bands")
+      dropTables(p, f, st, bands)
+      val watched = root.resolve(s"watched_$tag")
+      Files.createDirectories(watched)
+      try {
+        Dedup.persistCorpusBands(s2, Sf0001, bands)
+        Dedup.compactCorpusBands(s2, bands) // seal the dedup floor
+        val scheduler = new MaintenanceScheduler
+        sched.foreach(register => register(scheduler))
+        val verdicts = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def stream() = s2.readStream.schema(arrivals.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched.toString)
+        val qBm = TextAnalysis.bm25IngestStream(
+          stream().select("doc_id", "text"), p, f, st)()
+        val qDd = Dedup.incrementalStreamAdmitting(stream(), bands,
+          Some(root.resolve(s"ck_$tag").toString)) { v =>
+          verdicts.synchronized { verdicts ++= v.collect() }; ()
+        }
+        try chunkFiles.foreach { cf =>
+          atomicCopy(cf, watched)
+          scheduler.maintenanceWindow(qBm, qDd)
+        } finally { qBm.stop(); qDd.stop() }
+        sched.foreach { _ =>
+          val ds = scheduler.decisions
+          assert(ds.map(d => (d.window, d.policy)) ===
+            (1 to 3).flatMap(w => Seq((w, "bm25"), (w, "dedup"))),
+            "every window must run every policy, in registration order")
+          Seq("bm25", "dedup").foreach { fam =>
+            val mine = ds.filter(_.policy == fam)
+            assert(mine.exists(_.fired) && mine.exists(!_.fired),
+              s"$fam needs both outcomes to be non-vacuous: $ds")
+          }
+        }
+        val search = TextAnalysis.bm25SearchAgainst(s2,
+            TextAnalysis.bm25QueriesOf(TextAnalysis.bm25Corpus(s2, Sf0001)), p, f, st)
+          .collect().map(_.toString).sorted.toSeq
+        (search, verdicts.synchronized(verdicts.map(_.toString).sorted.toSeq))
+      } finally dropTables(p, f, st, bands)
+    }
+    try {
+      val (searchA, verdictsA) = run("a", Some { s =>
+        s.register("bm25")(() => Dedup.compactIfFragmentedWith(s2,
+          s"sched_a_post", maxFilesPerBucket = 5.5)(
+          () => { TextAnalysis.compactBm25Index(s2,
+            "sched_a_post", "sched_a_df", "sched_a_stats"); () }))
+          .register("dedup")(() =>
+            Dedup.compactIfFragmented(s2, "sched_a_bands", "band_key"))
+        ()
+      })
+      val (searchB, verdictsB) = run("b", None)
+      assert(searchA.nonEmpty && searchA === searchB,
+        "maintenance schedule changed the BM25 answers")
+      assert(verdictsA.nonEmpty && verdictsA === verdictsB,
+        "maintenance schedule changed the dedup verdicts")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
 }
