@@ -140,7 +140,7 @@ object ModelTables {
     * catalog doesn't know a previous session's table, and saveAsTable
     * refuses its orphaned warehouse dir (LOCATION_ALREADY_EXISTS).
     */
-  private def dropBothLayers(spark: SparkSession, table: String): Unit = {
+  private[graft] def dropBothLayers(spark: SparkSession, table: String): Unit = {
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     spark.sql(s"DROP TABLE IF EXISTS $table")

@@ -2016,7 +2016,9 @@ object TextAnalysis {
     if (fs.exists(d) && fs.listStatus(d).exists(_.getPath.getName.startsWith("g=")))
       return bm25GenCurrent(spark, base)
     val (p, df, st) = genTables(base, 0L)
-    Seq(p, df, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // both catalog layers: a fresh JVM's in-memory catalog doesn't know a
+    // previous JVM's generation tables while their warehouse dirs survive
+    Seq(p, df, st).foreach(t => graft.core.ModelTables.dropBothLayers(spark, t))
     bm25IndexWritesOf(spark, corpus, p, df, st).foreach(_._2())
     fs.mkdirs(d)
     fs.create(new org.apache.hadoop.fs.Path(d, "g=0"), true).close()
@@ -2036,7 +2038,8 @@ object TextAnalysis {
     val (p0, _, _) = genTables(base, g)
     val (p1, d1, s1) = genTables(base, g + 1)
     // a torn previous attempt left unpublished g+1 tables: rebuild them
-    Seq(p1, d1, s1).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // (both layers — see bm25GenInit)
+    Seq(p1, d1, s1).foreach(t => graft.core.ModelTables.dropBothLayers(spark, t))
     val cols = spark.table(p0).columns
     transform(spark.table(p0))
       .select(cols.map(col).toIndexedSeq: _*)
@@ -2055,25 +2058,26 @@ object TextAnalysis {
     // retain N-1 for in-flight readers; drop everything older
     (0L until g).foreach { old =>
       val (op, od, os) = genTables(base, old)
-      Seq(op, od, os).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(op, od, os).foreach(t => graft.core.ModelTables.dropBothLayers(spark, t))
       fs.delete(new org.apache.hadoop.fs.Path(d, s"g=$old"), false)
     }
     g + 1
   }
 
-  /** Drop every generation and the pointer dir — the gate/spec cleanup. */
+  /** Drop every generation (catalog-known OR orphaned by a previous JVM —
+    * the warehouse dirs outlive the in-memory catalog) and the pointer
+    * dir — the gate/spec cleanup and the stale-rebuild prelude.
+    */
   private[graft] def bm25GenDropAll(spark: SparkSession, base: String): Unit = {
-    val d = genDir(spark, base)
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(d)) {
-      fs.listStatus(d).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
-        .foreach { g =>
-          val (p, df, st) = genTables(base, g)
-          Seq(p, df, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-        }
-      fs.delete(d, true); ()
-    }
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pat = s"${java.util.regex.Pattern.quote(base)}_(post|df|stats)_g[0-9]+".r.pattern
+    if (fs.exists(wh))
+      fs.listStatus(wh).toSeq.map(_.getPath.getName)
+        .filter(n => pat.matcher(n).matches())
+        .foreach(t => graft.core.ModelTables.dropBothLayers(spark, t))
+    fs.delete(genDir(spark, base), true); ()
   }
 
   /** Search through the pointer: resolve the live generation at plan

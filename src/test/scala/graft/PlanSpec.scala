@@ -517,4 +517,22 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")),
       "the aggregation must run inside a codegen stage")
   }
+
+  test("lake percolation scorer: standing set broadcasts into the batch, stats is the only cross") {
+    import graft.operators.TextAnalysis
+    TextAnalysis.persistBm25Index(spark, Sf0001)
+    val p = plan(TextAnalysis.bm25ScoreDocsDf(
+      graft.core.Tables.load(spark, Sf0001, "documents"),
+      TextAnalysis.bm25StandingQueriesDf(spark, Sf0001,
+        org.apache.spark.sql.functions.lit(true)),
+      TextAnalysis.Bm25DfTable, TextAnalysis.Bm25StatsTable))
+    assert(!p.contains("CartesianProduct"),
+      s"the lake scorer must never cross-join queries x docs:\n${p.take(800)}")
+    // one BNLJ allowed: the 1-row (n_docs, sum_dl) stats broadcast; the
+    // standing set and df folds must ride broadcast HASH joins on token
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"expected at most the 1-row stats cross, got $bnl:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"standing-set membership must be a broadcast hash join:\n${p.take(800)}")
+  }
 }
