@@ -217,6 +217,61 @@ class ForgetSpec extends SparkSpec {
     } finally drop(t)
   }
 
+  test("deletion-wave protocol: a publish crash re-resolves only the missing sets; the manifest freezes the list") {
+    import graft.operators.ForgetWave
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-wave-proto")
+    val waveDir = root.resolve("wave").toString
+    val applied = scala.collection.mutable.Map.empty[String, Long]
+    val resolves = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def fam(name: String, n: Long, poisonFirstResolve: Boolean = false) =
+      ForgetWave.Family(name, "doc_id",
+        resolve = () => {
+          resolves(name) += 1
+          if (poisonFirstResolve && resolves(name) == 1)
+            throw new RuntimeException(s"crash resolving $name")
+          (0L until n).toDF("doc_id")
+        },
+        apply = ids => { applied(name) = ids.count(); () })
+    try {
+      // CRASH DURING PUBLISH: family b's first resolve dies. Family a's id
+      // set is already published; nothing has applied anywhere.
+      intercept[RuntimeException] {
+        ForgetWave.run(spark, waveDir,
+          Seq(fam("a", 2), fam("b", 3, poisonFirstResolve = true), fam("c", 4)))
+      }
+      assert(applied.isEmpty, "a publish crash must precede every apply")
+      // RETRY: only the UNPUBLISHED sets re-resolve (a's parquet dir is the
+      // durable record; re-resolving a published set is forbidden only
+      // after the manifest — before it, missing sets may re-derive because
+      // nothing has mutated yet)
+      val d1 = ForgetWave.run(spark, waveDir,
+        Seq(fam("a", 2), fam("b", 3), fam("c", 4)))
+      assert(d1 === Seq("a" -> true, "b" -> true, "c" -> true))
+      assert(resolves("a") === 1, "a published set must not re-resolve")
+      assert(resolves("b") === 2 && resolves("c") === 1, s"got $resolves")
+      assert(applied === Map("a" -> 2L, "b" -> 3L, "c" -> 4L))
+      // the manifest FREEZES the family list: a resume describing a
+      // different wave is a caller bug, not a new wave
+      intercept[IllegalArgumentException] {
+        ForgetWave.run(spark, waveDir, Seq(fam("a", 2), fam("b", 3)))
+      }
+      // duplicate family names are refused up front
+      intercept[IllegalArgumentException] {
+        ForgetWave.run(spark, root.resolve("w2").toString,
+          Seq(fam("x", 1), fam("x", 1)))
+      }
+      // a completed wave is a durable no-op
+      assert(ForgetWave.run(spark, waveDir,
+        Seq(fam("a", 2), fam("b", 3), fam("c", 4))).forall(!_._2))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("a torn deletion wave resumes to the all-five filtered state; sets frozen at publish") {
     import graft.operators.{Dedup, ForgetWave, Multimodal}
     val wv = Seq("tws_post", "tws_df", "tws_stats", "tws_bands", "tws_ivf",
