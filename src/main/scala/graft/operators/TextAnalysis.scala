@@ -2314,14 +2314,63 @@ object TextAnalysis {
     minScoreMicro.fold(scored)(t => scored.filter(col("score_micro") >= t))
   }
 
+  /** GENERATION-POINTERED standing-query lake — registrations live in
+    * immutable per-generation parquet dirs (`<lake>/g=N`), and an update
+    * PUBLISHES generation N+1 (write to a dot-temp dir, one atomic
+    * rename is the commit) instead of overwriting in place, so an
+    * updater racing a concurrently-planned micro-batch can never expose
+    * a half-written set: the batch keeps reading the generation it
+    * resolved. Readers take the max generation; the sweeper retains N-1
+    * (the same calculus as the BM25 table generations). The lake is
+    * bounded — it IS the registered alert set — so a publish is one
+    * bounded write + a rename at any corpus scale.
+    */
+  object StandingLake {
+    private def gens(fs: org.apache.hadoop.fs.FileSystem,
+        root: org.apache.hadoop.fs.Path): Seq[Long] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("g=")).map(_.stripPrefix("g=").toLong)
+
+    /** Publish `standing` as the next generation; returns its id. */
+    def publish(standing: DataFrame, lakeDir: String): Long = {
+      val spark = standing.sparkSession
+      val root = new org.apache.hadoop.fs.Path(lakeDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val g = gens(fs, root).maxOption.getOrElse(-1L) + 1
+      val tmp = new org.apache.hadoop.fs.Path(root, s".tmp-g-$g")
+      standing.write.mode("overwrite").parquet(tmp.toString)
+      val dest = new org.apache.hadoop.fs.Path(root, s"g=$g")
+      if (!fs.rename(tmp, dest) && !fs.exists(dest))
+        sys.error(s"could not publish standing-lake generation $g under $lakeDir")
+      // retain g-1 for in-flight readers; drop older generations and any
+      // torn temp a crashed publish left
+      gens(fs, root).filter(_ < g - 1).foreach(old =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"g=$old"), true))
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-")).foreach(fs.delete(_, true))
+      g
+    }
+
+    /** The live generation's path — resolved once per micro-batch. */
+    def resolve(spark: SparkSession, lakeDir: String): String = {
+      val root = new org.apache.hadoop.fs.Path(lakeDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val g = gens(fs, root).maxOption.getOrElse(
+        sys.error(s"no standing-query generation published under $lakeDir"))
+      new org.apache.hadoop.fs.Path(root, s"g=$g").toString
+    }
+  }
+
   /** Continuous percolation against a PERSISTED standing-query lake:
-    * every micro-batch re-resolves the lake at its boundary, so alerts
-    * can be registered and retired WITHOUT restarting the percolator —
-    * the gap that made [[bm25PercolateStream]]'s frozen `Seq` a restart
-    * per standing-set change. The lake read is bounded (it is the set of
-    * registered alerts); scoring is [[bm25ScoreDocsDf]]'s zero-collect
-    * plan. Lake updates follow the single-writer discipline every
-    * maintenance verb here uses: publish between micro-batches.
+    * every micro-batch re-resolves the live lake GENERATION at its
+    * boundary ([[StandingLake]]), so alerts can be registered and
+    * retired WITHOUT restarting the percolator — the gap that made
+    * [[bm25PercolateStream]]'s frozen `Seq` a restart per standing-set
+    * change — and an update can race a planning batch safely
+    * (generations are immutable; the publish rename is the commit). The
+    * lake read is bounded (it is the set of registered alerts); scoring
+    * is [[bm25ScoreDocsDf]]'s zero-collect plan.
     */
   def bm25PercolateLakeStream(newDocs: DataFrame, lakePath: String,
       dfTable: String = Bm25DfTable, statsTable: String = Bm25StatsTable)(
@@ -2331,7 +2380,8 @@ object TextAnalysis {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          sink(bm25ScoreDocsDf(batch, s.read.parquet(lakePath),
+          sink(bm25ScoreDocsDf(batch,
+            s.read.parquet(StandingLake.resolve(s, lakePath)),
             dfTable, statsTable))
         }
       }

@@ -720,8 +720,9 @@ object StreamGate {
       org.apache.spark.sql.types.StructField("score_micro", org.apache.spark.sql.types.LongType)))
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     try {
-      TextAnalysis.bm25StandingQueriesDf(spark, dir, TextAnalysis.percolateSeedA)
-        .write.mode("overwrite").parquet(lake)
+      TextAnalysis.StandingLake.publish(
+        TextAnalysis.bm25StandingQueriesDf(spark, dir, TextAnalysis.percolateSeedA),
+        lake)
       withGateParallelism(spark, GateStatePartitions) {
         val stream = spark.readStream.schema(docsDf.schema)
           .option("maxFilesPerTrigger", "1").parquet(watched.toString)
@@ -731,9 +732,12 @@ object StreamGate {
         try {
           atomicFeed(files.head, watched, None)
           q.processAllAvailable()
-          // the standing set changes between micro-batches: publish B
-          TextAnalysis.bm25StandingQueriesDf(spark, dir, TextAnalysis.percolateSeedB)
-            .write.mode("overwrite").parquet(lake)
+          // the standing set changes mid-stream: set B goes live as the
+          // next immutable generation (publish = one atomic rename; a
+          // racing batch would keep reading its resolved generation)
+          TextAnalysis.StandingLake.publish(
+            TextAnalysis.bm25StandingQueriesDf(spark, dir, TextAnalysis.percolateSeedB),
+            lake)
           files.tail.foreach { f => atomicFeed(f, watched, None) }
           q.processAllAvailable()
         } finally q.stop()

@@ -116,6 +116,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.passed, s"BPE encoding falsified: ${res.status}")
   }
 
+  test("standing-lake generations: publish commits by rename, resolve takes the max, sweeper retains N-1") {
+    import spark.implicits._
+    import TextAnalysis.StandingLake
+    val root = java.nio.file.Files.createTempDirectory("graft-lake-spec")
+    val lake = root.resolve("standing").toString
+    def setOf(ts: (Long, String)*) = ts.toSeq.toDF("query_id", "token")
+    def readIds(): Set[Long] =
+      spark.read.parquet(StandingLake.resolve(spark, lake))
+        .select("query_id").collect().map(_.getLong(0)).toSet
+    def genDirs(): Set[String] = {
+      val d = new java.io.File(lake)
+      Option(d.listFiles()).toSeq.flatten.map(_.getName).filter(_.startsWith("g=")).toSet
+    }
+    try {
+      intercept[RuntimeException](StandingLake.resolve(spark, lake))
+      assert(StandingLake.publish(setOf(1L -> "a"), lake) === 0L)
+      assert(readIds() === Set(1L))
+      assert(StandingLake.publish(setOf(2L -> "b", 3L -> "c"), lake) === 1L)
+      assert(readIds() === Set(2L, 3L))
+      // N-1 retained for an in-flight reader of the previous generation
+      assert(genDirs() === Set("g=0", "g=1"))
+      assert(StandingLake.publish(setOf(4L -> "d"), lake) === 2L)
+      assert(readIds() === Set(4L))
+      assert(genDirs() === Set("g=1", "g=2"), "the sweeper must drop g=0 and keep N-1")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("lake percolation scorer (DataFrame standing set) equals the driver-values scorer") {
     import org.apache.spark.sql.functions._
     TextAnalysis.persistBm25Index(spark, Sf0001)
