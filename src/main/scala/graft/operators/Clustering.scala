@@ -95,33 +95,42 @@ object Clustering {
     * therefore the same unrolled oracle, via [[kmeansOracleCtes]] /
     * [[lloydCtes]]).
     */
-  private[graft] def fitCentroidsOn(qDF: DataFrame, k: Int): Seq[(Int, Seq[Long])] = {
-    // seed draw: distributed TakeOrdered of (md5(id), id) — k rows collected
-    val seedRows = qDF
-      .withColumn("h", md5(col("vec_id").cast("string")))
-      .orderBy("h", "vec_id").limit(k)
-      .select("q").collect()
-    var cents: Seq[(Int, Seq[Long])] = seedRows.zipWithIndex.map { case (r, i) =>
-      i -> r.getSeq[Long](0)
-    }.toSeq
-    for (_ <- 1 until Iters) {
-      // update: two-level agg (map-side combine) over (cluster, dim) cells;
-      // floor(sum/count) in double is exact while |sum| < 2^53
-      val updated = assign(qDF, cents)
-        .select(col("cluster_id"), posexplode(col("q")).as(Seq("pos", "v")))
-        .groupBy("cluster_id", "pos")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .selectExpr("cluster_id", "pos",
-          "CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS v")
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
-        }
-      // a cluster that lost all members keeps its previous centroid
-      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
-    }
-    cents
+  private[graft] def fitCentroidsOn(qDF0: DataFrame, k: Int): Seq[(Int, Seq[Long])] = {
+    // The fit runs Iters Spark jobs (seed draw + Iters-1 updates) over the
+    // SAME input; without a persist each job recomputes the full upstream
+    // lineage (parquet scan + quantize, and for re-train fits an id join)
+    // from scratch. Cache the narrow (vec_id, q) frame for the fit's
+    // duration only — released before returning, so nothing leaks across
+    // queries.
+    val qDF = qDF0.persist()
+    try {
+      // seed draw: distributed TakeOrdered of (md5(id), id) — k rows collected
+      val seedRows = qDF
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h", "vec_id").limit(k)
+        .select("q").collect()
+      var cents: Seq[(Int, Seq[Long])] = seedRows.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Long](0)
+      }.toSeq
+      for (_ <- 1 until Iters) {
+        // update: two-level agg (map-side combine) over (cluster, dim) cells;
+        // floor(sum/count) in double is exact while |sum| < 2^53
+        val updated = assign(qDF, cents)
+          .select(col("cluster_id"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cluster_id", "pos")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .selectExpr("cluster_id", "pos",
+            "CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS v")
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+          }
+        // a cluster that lost all members keeps its previous centroid
+        cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+      }
+      cents
+    } finally { qDF.unpersist(); () }
   }
 
   private def assignOut(qDF: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame =

@@ -210,7 +210,11 @@ object Dedup {
     * Emits pairs with J >= 0.2.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    // persist: the shingle explode (split + 3-gram transform + distinct)
+    // feeds THREE consumers below (per-doc sizes, the df-cap, the inverted
+    // index) and the r21 plan audit showed it computed three times — one
+    // materialization instead; harnesses clear the session cache per query
+    val sh = shingles(spark, dir).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // df-cap BEFORE collect_list: the count aggregate is partial-agg safe
     // (no buffers), so a 10^8-doc stop-shingle is discarded without ever

@@ -944,7 +944,7 @@ object Similarity {
     * integer space so every later slice fit / encode / ADC distance is
     * oracle-replayable.
     */
-  private def pqResidualsOn(content: DataFrame,
+  private[graft] def pqResidualsOn(content: DataFrame,
       coarse: Seq[(Int, Seq[Long])]): DataFrame =
     Clustering.withAssignment(
         content.selectExpr("vec_id", Clustering.quantizeSql), coarse)
@@ -965,12 +965,64 @@ object Similarity {
     */
   private[graft] def fitPqCodebooksOn(content: DataFrame,
       coarse: Seq[(Int, Seq[Long])]): Seq[(Int, Int, Seq[Long])] = {
-    val res = pqResidualsOn(content, coarse)
-    (0 until PqM).flatMap { m =>
-      val slice = res.selectExpr("vec_id",
-        s"slice(r, ${m * PqSliceDim + 1}, $PqSliceDim) AS q")
-      Clustering.fitCentroidsOn(slice, PqKc).map { case (cid, c) => (m, cid, c) }
-    }
+    // FUSED fit — provably bit-identical to running
+    // [[Clustering.fitCentroidsOn]] once per slice (PqFitSpec pins it),
+    // but 3 Spark jobs over a cached narrow frame instead of PqM×Iters
+    // jobs each recomputing the residual lineage (scan + quantize +
+    // coarse argmin) from scratch:
+    //  - the per-slice seed draws all pick the SAME PqKc rows (the order
+    //    key (md5(vec_id), vec_id) is slice-independent), so ONE
+    //    TakeOrdered job fetches every slice's seeds at once;
+    //  - each Lloyd update round aggregates integer sums per
+    //    (slice, cid, pos) — slices are independent, so one job computes
+    //    all PqM updates; integer addition is order-independent, so the
+    //    fused groupBy lands on exactly the per-slice sums.
+    val res = pqResidualsOn(content, coarse).select("vec_id", "r").persist()
+    try {
+      val seedRows = res
+        .withColumn("h", md5(col("vec_id").cast("string")))
+        .orderBy("h", "vec_id").limit(PqKc)
+        .select("r").collect()
+      var books: Seq[Seq[(Int, Seq[Long])]] = (0 until PqM).map { m =>
+        seedRows.zipWithIndex.map { case (row, i) =>
+          i -> row.getSeq[Long](0).slice(m * PqSliceDim, (m + 1) * PqSliceDim).toSeq
+        }.toSeq
+      }
+      for (_ <- 1 until Clustering.Iters) {
+        // per slice m: the same argmin struct (dist, cid tie-break) the
+        // per-slice assignment uses, over slice m of r
+        val branches = (0 until PqM).map { m =>
+          s"""named_struct('m', $m,
+             |  'cid', array_min(transform(${Clustering.centroidExpr(books(m))},
+             |    s -> named_struct(
+             |      'dist', aggregate(zip_with(slice(r, ${m * PqSliceDim + 1}, $PqSliceDim),
+             |                                 s.c, (a, b) -> (a - b) * (a - b)),
+             |              0L, (acc, x) -> acc + x),
+             |      'cid', s.cid))).cid,
+             |  's', slice(r, ${m * PqSliceDim + 1}, $PqSliceDim))""".stripMargin
+        }
+        val updated = res
+          .select(explode(expr(branches.mkString("array(", ", ", ")"))).as("e"))
+          .select(col("e.m").as("m"), col("e.cid").as("cid"),
+            posexplode(col("e.s")).as(Seq("pos", "v")))
+          .groupBy("m", "cid", "pos")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"))
+          .selectExpr("m", "cid", "pos",
+            "CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS v")
+          .collect()
+          .groupBy(r2 => (r2.getInt(0), r2.getInt(1)))
+          .map { case (key, rows) =>
+            key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+          }
+        // a cluster that lost all members keeps its previous codeword
+        books = books.zipWithIndex.map { case (bk, m) =>
+          bk.map { case (cid, old) => cid -> updated.getOrElse((m, cid), old) }
+        }
+      }
+      books.zipWithIndex.flatMap { case (bk, m) =>
+        bk.map { case (cid, c) => (m, cid, c) }
+      }
+    } finally { res.unpersist(); () }
   }
 
   private[graft] def fitPqCodebooks(spark: SparkSession, dir: String,
@@ -1239,13 +1291,18 @@ object Similarity {
       table: String, coarseTable: String, booksTable: String,
       buckets: Int = 8): Unit = {
     import spark.implicits._
-    val coarse = Clustering.fitCentroidsOn(
-      content.selectExpr("vec_id", Clustering.quantizeSql), Clustering.K)
-    val bookRows = fitPqCodebooksOn(content, coarse)
-    coarse.toDF("cid", "c").write.mode("overwrite").saveAsTable(coarseTable)
-    bookRows.toDF("m", "cid", "c").write.mode("overwrite").saveAsTable(booksTable)
-    encodePq(content, coarse, groupBooks(bookRows))
-      .write.bucketBy(buckets, "cluster_id").saveAsTable(table)
+    // three full passes read `content` (coarse fit, residual fit, encode) —
+    // one materialization, released before returning
+    val c = content.persist()
+    try {
+      val coarse = Clustering.fitCentroidsOn(
+        c.selectExpr("vec_id", Clustering.quantizeSql), Clustering.K)
+      val bookRows = fitPqCodebooksOn(c, coarse)
+      coarse.toDF("cid", "c").write.mode("overwrite").saveAsTable(coarseTable)
+      bookRows.toDF("m", "cid", "c").write.mode("overwrite").saveAsTable(booksTable)
+      encodePq(c, coarse, groupBooks(bookRows))
+        .write.bucketBy(buckets, "cluster_id").saveAsTable(table)
+    } finally { c.unpersist(); () }
   }
 
   /** ADMISSION under the FROZEN models (FAISS `add()` after `train()`):
@@ -1340,10 +1397,14 @@ object Similarity {
       base.join(ids.select("vec_id"), Seq("vec_id"))
     // current content, not a cached listing (see rebalanceIfSkewed)
     spark.catalog.refreshTable(table)
-    val cur = content(spark.table(table))
-    val coarse = Clustering.fitCentroidsOn(
-      cur.selectExpr("vec_id", Clustering.quantizeSql), Clustering.K)
-    val bookRows = fitPqCodebooksOn(cur, coarse)
+    // both fits read the id-join result — one materialization, released
+    // before the rewrite (which must re-read the live table itself)
+    val cur = content(spark.table(table)).persist()
+    val (coarse, bookRows) = try {
+      val co = Clustering.fitCentroidsOn(
+        cur.selectExpr("vec_id", Clustering.quantizeSql), Clustering.K)
+      (co, fitPqCodebooksOn(cur, co))
+    } finally { cur.unpersist(); () }
     val books = groupBooks(bookRows)
     val files = graft.operators.Dedup.rewriteBucketedTable(spark, table,
       "cluster_id")(df => encodePq(content(df), coarse, books))
@@ -2463,7 +2524,14 @@ object Similarity {
 
   /** The lexical leg both hybrid forms share: the BM25 top-k ranking. */
   private def bm25Leg(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.TextAnalysis.bm25Topk(spark, dir)
+    // Serve the lexical leg from the persisted inverted index instead of
+    // the inline corpus scan: bm25Indexed is bit-identical to bm25Topk
+    // (they share the driver oracle), and the index-served form replaces
+    // the full tokenize + (doc, token) shuffle with a bucket-pruned
+    // postings read — the 100 TB shape the hybrid gates already use. The
+    // index builds once per (dir, fingerprint) behind the staleness gate,
+    // exactly like the IVF/PQ legs these fusions already ride.
+    graft.operators.TextAnalysis.bm25Indexed(spark, dir)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
 
   /** Reciprocal-rank fusion of two (query_id, doc_id, rank) tables —

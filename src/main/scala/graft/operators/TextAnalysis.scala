@@ -1475,11 +1475,18 @@ object TextAnalysis {
     val d = bm25Corpus(spark, dir)
     val queries = bm25QueriesOf(d)
     val qset = queries.select("token").distinct()
+    // persist: tf feeds BOTH the df derivation and the scoring join; the
+    // r21 plan audit showed the whole corpus tokenize + explode + query
+    // join running TWICE (no exchange reuse — the two consumers prune
+    // different columns). The cached frame is only the searched terms'
+    // postings (query-bounded, not corpus-vocabulary), and the harnesses
+    // clear the session cache between queries.
     val tf = d
       .selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS token")
       .join(broadcast(qset), "token")
       .groupBy("doc_id", "token")
       .agg(count(lit(1)).as("tf"), max("dl").as("dl")) // dl constant per doc
+      .persist()
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = d.agg(count(lit(1)).as("n_docs"),
       sum(expr("size(tk)")).cast("bigint").as("sum_dl"))

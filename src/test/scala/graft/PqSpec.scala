@@ -198,6 +198,27 @@ class PqSpec extends SparkSpec {
     assert(repaired === clean, "compaction must restore the clean serving answer")
   }
 
+  test("fused codebook fit is bit-identical to the per-slice sequential Lloyd fits") {
+    // r21 optimization seam: fitPqCodebooksOn fuses the PqM slice fits
+    // into one shared seed job + one update job per Lloyd round. The
+    // reference is the pre-fusion shape — an independent
+    // Clustering.fitCentroidsOn per residual slice — which must produce
+    // the IDENTICAL model (same seeds: the (md5, vec_id) order key is
+    // slice-independent; same integer sums: addition is order-independent).
+    val content = Tables.load(spark, Sf0001, "embeddings")
+    val coarse = graft.operators.Clustering.fitCentroidsOn(
+      content.selectExpr("vec_id", Clustering.quantizeSql), Clustering.K)
+    val fused = Similarity.fitPqCodebooksOn(content, coarse)
+    val res = Similarity.pqResidualsOn(content, coarse)
+    val reference = (0 until Similarity.PqM).flatMap { m =>
+      val slice = res.selectExpr("vec_id",
+        s"slice(r, ${m * Similarity.PqSliceDim + 1}, ${Similarity.PqSliceDim}) AS q")
+      Clustering.fitCentroidsOn(slice, Similarity.PqKc)
+        .map { case (cid, c) => (m, cid, c) }
+    }
+    assert(fused === reference)
+  }
+
   test("pq policy gate: uniform ingest windows SKIP, the hollowed-index window FIRES") {
     // ivfPolicy's twin on the compressed index: same coarse-list skew
     // proxy, same calibrated threshold (identical kmeans fit on the same
