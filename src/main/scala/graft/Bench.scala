@@ -168,8 +168,15 @@ object Bench {
           .map { case (_, k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")
       }.mkString(",")
+      // r20 ADVICE: report the top-up honestly — `subsecond_extra_runs`
+      // counts only the cohort-only passes that actually ran (0 when
+      // repeat<3 or the cohort is empty), and `subsecond_cohort` names the
+      // queries whose medians mix the full-suite profile with the
+      // warm-JVM cohort-only profile (a caveat bench_compare readers need
+      // when adjudicating cross-round drift on those queries).
+      val cohortJson = cohort.map("\"" + _._1 + "\"").mkString("[", ",", "]")
       java.nio.file.Files.writeString(f.toPath,
-        s"""{"sf":"$sfDir","repeat":$repeat,"subsecond_runs":${runs.length},"median":$qs,"total_median_sec":$total,"failed_runs":$failedJson,$loadJson,$runsJson,$loadRunsJson}""")
+        s"""{"sf":"$sfDir","repeat":$repeat,"subsecond_extra_runs":${extraRuns.length},"subsecond_cohort":$cohortJson,"median":$qs,"total_median_sec":$total,"failed_runs":$failedJson,$loadJson,$runsJson,$loadRunsJson}""")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] artifact write failed ($outPath): ${e.getMessage}")
     }

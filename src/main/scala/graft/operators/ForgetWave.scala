@@ -72,8 +72,18 @@ object ForgetWave {
         if (!fs.exists(ids)) {
           val tmp = new Path(root, s".tmp-ids-${f.name}")
           f.resolve().select(f.key).write.mode("overwrite").parquet(tmp.toString)
-          if (!fs.rename(tmp, ids) && !fs.exists(ids))
-            sys.error(s"could not publish the ${f.name} id set for wave $waveDir")
+          // r20 ADVICE: without the parent dir the first family's rename
+          // either fails outright (HDFS-like FSes) or degrades to a
+          // NON-atomic copy (RawLocalFileSystem) — and since fs.exists(ids)
+          // is the resume-skip test, a crash mid-copy would freeze a
+          // PARTIAL deletion set into the manifest. mkdirs first so the
+          // rename is a true atomic commit, and treat rename=false with a
+          // pre-existing dest as the error it is (a half-copied dest must
+          // not read as success).
+          fs.mkdirs(ids.getParent)
+          if (!fs.rename(tmp, ids))
+            sys.error(s"could not publish the ${f.name} id set for wave $waveDir" +
+              (if (fs.exists(ids)) " (dest already present — partial publish?)" else ""))
         }
       }
       val tmp = new Path(root, ".tmp-MANIFEST")

@@ -2342,8 +2342,16 @@ object Similarity {
   }
 
   private[graft] def srTables(g: Long): (String, String, String) =
+    // r20 ADVICE: only two serving-table slots exist; a third published
+    // generation must fail loudly here instead of silently serving the
+    // generation-1 models under a newer pointer. A general N-generation
+    // deployment derives table names from g (the TextAnalysis.genTables
+    // pattern); these two slots are the drift/re-train pair the refresh
+    // gate exercises.
     if (g == 0L) (PqSr0Table, PqSr0Coarse, PqSr0Books)
-    else (PqSr1Table, PqSr1Coarse, PqSr1Books)
+    else if (g == 1L) (PqSr1Table, PqSr1Coarse, PqSr1Books)
+    else sys.error(s"pq serving generation $g has no bound table slot " +
+      "(only g=0 and g=1 are published; publish tables for g before the pointer)")
 
   /** [[hybridServePqStream]] with GENERATION-AWARE models: instead of
     * freezing coarse + codebooks at stream start, every micro-batch

@@ -23,8 +23,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * mechanism. [[maintenanceWindow]] QUIESCES every registered writer
   * first — `processAllAvailable` returns only when all published work's
   * offsets are committed, satisfying rule 2 — then runs the registered
-  * triggers one at a time on the calling thread (rule 1: the writers are
-  * idle for the whole window, and no two repairs overlap). Policies run
+  * triggers one at a time on the calling thread (rule 1: no two repairs
+  * overlap, and the caller keeps the sources quiescent for the window —
+  * a contract the window VERIFIES by failing loudly if any writer
+  * processed rows while the triggers ran; see [[maintenanceWindow]]).
+  * Policies run
   * in registration order, every decision is logged, and a policy that
   * throws aborts the window — a half-run window is safe because every
   * fold is individually atomic and idempotent, and the next window
@@ -64,15 +67,41 @@ final class MaintenanceScheduler {
 
   /** Run one maintenance window: quiesce every `writer`, then execute
     * all registered triggers serially. Returns this window's decisions.
+    *
+    * QUIESCENT-SOURCE CONTRACT (r20 ADVICE): `processAllAvailable` only
+    * drains data available at that instant — the queries stay ACTIVE, so
+    * a source that keeps producing during the window would start a
+    * micro-batch concurrent with a fired rewrite, re-introducing exactly
+    * the single-writer race this scheduler exists to close. The caller
+    * must not feed the watched sources while a window runs (the gates'
+    * driver-controlled feed satisfies this by construction). The window
+    * VERIFIES the contract instead of trusting it: any new progress
+    * entry that processed rows between the quiesce and the end of the
+    * triggers fails the window loudly rather than letting a racing batch
+    * silently interleave with a DROP+RENAME.
     */
   def maintenanceWindow(writers: StreamingQuery*): Seq[Decision] =
     synchronized {
       writers.foreach(_.processAllAvailable())
+      // fence: the last committed batch per writer at quiesce time
+      val fence = writers.map(w =>
+        w -> Option(w.lastProgress).map(_.batchId).getOrElse(-1L))
       windows += 1
       val w = windows
       val ds = policies.toList.map { case (name, trigger) =>
         val (measure, fired) = trigger()
         Decision(w, name, measure, fired)
+      }
+      fence.foreach { case (wr, b0) =>
+        // no-data batches (watermark bookkeeping) are tolerated; a batch
+        // that PROCESSED ROWS ran concurrently with a possible rewrite
+        val bad = wr.recentProgress
+          .filter(p => p.batchId > b0 && p.numInputRows > 0)
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"maintenanceWindow $w: writer ${wr.name} processed " +
+            s"${bad.map(_.numInputRows).sum} rows (batch ${bad.map(_.batchId).max}) " +
+            "concurrently with the maintenance triggers — sources must be " +
+            "quiescent for the window's duration")
       }
       log ++= ds
       ds

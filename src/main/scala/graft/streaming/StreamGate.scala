@@ -2759,13 +2759,18 @@ object StreamGate {
       val q = CascadeQ4.startToParquetFrom(StreamingQueries.q4Level1(stream), sink,
         tmp.resolve("ck").toString, retract = retr)
       q.awaitTermination()
+      // one fold over the emission log feeds both the multiplicity check
+      // and the returned table (previously two full log reads)
       val folded = retr.emitted(spark)
         .groupBy("dept_cnt", "cnt_freq")
         .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
-      val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
-      require(bad == 0, s"level-2 retract fold left $bad non-unit multiplicities")
-      materialize(folded.filter(col("mult") === 1L)
-        .select(col("dept_cnt"), col("cnt_freq")).orderBy("dept_cnt"))
+        .persist()
+      try {
+        val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
+        require(bad == 0, s"level-2 retract fold left $bad non-unit multiplicities")
+        materialize(folded.filter(col("mult") === 1L)
+          .select(col("dept_cnt"), col("cnt_freq")).orderBy("dept_cnt"))
+      } finally { folded.unpersist(); () }
     } finally rmrf(tmp)
   }
 
@@ -2793,16 +2798,21 @@ object StreamGate {
           }.start()
         try q.processAllAvailable() finally q.stop()
       }
+      // one fold over the emission log feeds both the multiplicity check
+      // and the returned table (previously two full log reads)
       val folded = retr.emitted(spark)
         .groupBy("cell", "dept_cnt")
         .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
-      // a correct changelog folds every superseded (cell, cnt) pair to 0
-      // (its add canceled by its retract) and every surviving row to
-      // exactly 1 — anything else is a missed/double retraction
-      val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
-      require(bad == 0, s"lake retract fold left $bad non-unit multiplicities")
-      materialize(folded.filter(col("mult") === 1L)
-        .select(col("cell"), col("dept_cnt")).orderBy("cell"))
+        .persist()
+      try {
+        // a correct changelog folds every superseded (cell, cnt) pair to 0
+        // (its add canceled by its retract) and every surviving row to
+        // exactly 1 — anything else is a missed/double retraction
+        val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
+        require(bad == 0, s"lake retract fold left $bad non-unit multiplicities")
+        materialize(folded.filter(col("mult") === 1L)
+          .select(col("cell"), col("dept_cnt")).orderBy("cell"))
+      } finally { folded.unpersist(); () }
     } finally rmrf(tmp)
   }
 
@@ -2833,30 +2843,39 @@ object StreamGate {
           }.start()
         try q.processAllAvailable() finally q.stop()
       }
-      def fold(df: DataFrame): DataFrame = df
-        .groupBy("cell", "dept_cnt")
-        .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
-      def foldRows(df: DataFrame): Set[String] =
-        fold(df).filter(col("mult") === 1L).select("cell", "dept_cnt")
-          .collect().map(_.toString).toSet
-      val rawCount = retr.emitted(spark).count()
-      val want = foldRows(retr.emitted(spark))
+      // every verification fold carries the raw record count (nrec) so a
+      // single log read yields both the consumer fold AND the record
+      // count — the previous shape read the emission log twice per
+      // checkpoint (count, then fold)
+      def foldWithCount(df: DataFrame): (Set[String], Long) = {
+        val rows = df.groupBy("cell", "dept_cnt")
+          .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"),
+            count(lit(1)).as("nrec"))
+          .collect()
+        (rows.filter(_.getLong(2) == 1L)
+          .map(r => s"[${r.get(0)},${r.get(1)}]").toSet,
+          rows.map(_.getLong(3)).sum)
+      }
+      val (want, rawCount) = foldWithCount(retr.emitted(spark))
       val last = retr.lastBatchId(spark)
       // seal the first half only: snapshot + live logs must read together
       val (in1, out1) = retr.compactRetractLog(spark, last / 2)
       require(retr.emitted(spark).filter(col("batch") > last / 2).count() > 0,
         "mid-seal gate is vacuous: no live batches above the seal")
-      require(foldRows(retr.emitted(spark)) == want,
+      require(foldWithCount(retr.emitted(spark))._1 == want,
         "mid-seal compaction changed the consumer fold")
       // seal everything: the changelog is now one snapshot segment
       retr.compactRetractLog(spark, last)
-      require(foldRows(retr.emitted(spark)) == want,
+      val (finalFold, compactCount) = foldWithCount(retr.emitted(spark))
+      require(finalFold == want,
         "full-seal compaction changed the consumer fold")
-      val compactCount = retr.emitted(spark).count()
       require(compactCount < rawCount,
         s"compaction is vacuous: no superseded records dropped " +
           s"($rawCount -> $compactCount; mid-seal folded $in1 -> $out1)")
-      materialize(fold(retr.emitted(spark)).filter(col("mult") === 1L)
+      materialize(retr.emitted(spark)
+        .groupBy("cell", "dept_cnt")
+        .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
+        .filter(col("mult") === 1L)
         .select(col("cell"), col("dept_cnt")).orderBy("cell"))
     } finally rmrf(tmp)
   }
@@ -2914,13 +2933,18 @@ object StreamGate {
         throw new IllegalStateException(
           s"q4RetractPolicy: the gate needs both a fired and a skipped " +
             s"window to be non-vacuous; got ${decisions.toList}")
+      // one fold over the emission log feeds both the multiplicity check
+      // and the returned table (previously two full log reads)
       val folded = retr.emitted(spark)
         .groupBy("cell", "dept_cnt")
         .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
-      val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
-      require(bad == 0, s"retract fold left $bad non-unit multiplicities")
-      (materialize(folded.filter(col("mult") === 1L)
-        .select(col("cell"), col("dept_cnt")).orderBy("cell")), decisions.toSeq)
+        .persist()
+      try {
+        val bad = folded.filter(col("mult") =!= 1L && col("mult") =!= 0L).count()
+        require(bad == 0, s"retract fold left $bad non-unit multiplicities")
+        (materialize(folded.filter(col("mult") === 1L)
+          .select(col("cell"), col("dept_cnt")).orderBy("cell")), decisions.toSeq)
+      } finally { folded.unpersist(); () }
     } finally rmrf(tmp)
   }
 

@@ -560,18 +560,27 @@ class LakeRetractStream(root: String, keyFields: Seq[String],
       s"seal $sealedBatchId is below the published segment ${cur.get}")
     val input = emitted(spark).filter(col("batch") <= sealedBatchId)
     val valueCols = input.columns.filterNot(c => c == "is_add" || c == "batch").toSeq
+    // nrec (records per group) rides the fold so the consistency check,
+    // the before-count, and the after-count all come from ONE small
+    // aggregation over the cached fold — the previous shape re-read the
+    // whole emission log a second time just for `before = input.count()`
     val folded = input.groupBy(valueCols.map(col): _*)
-      .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"))
+      .agg(sum(when(col("is_add"), 1L).otherwise(-1L)).as("mult"),
+        count(lit(1)).as("nrec"))
       .persist()
     try {
-      val bad = folded.filter(col("mult") =!= 0L && col("mult") =!= 1L).count()
+      val audit = folded.agg(
+        sum(when(col("mult") =!= 0L && col("mult") =!= 1L, 1L).otherwise(0L)).as("bad"),
+        sum("nrec").as("before"),
+        sum(when(col("mult") === 1L, 1L).otherwise(0L)).as("after")).head()
+      val bad = audit.getLong(0)
       require(bad == 0L,
         s"changelog is inconsistent: $bad record groups with net multiplicity outside {0,1}")
-      val before = input.count()
+      val before = audit.getLong(1)
       val snap = folded.filter(col("mult") === 1L)
         .withColumn("is_add", lit(true))
         .select((col("is_add") +: valueCols.map(col)).toIndexedSeq: _*)
-      val after = snap.count()
+      val after = audit.getLong(2)
       val tmp = new Path(s"$snapRoot/.tmp-seg-$sealedBatchId")
       snap.write.mode("overwrite").parquet(tmp.toString)
       fs.mkdirs(dest.getParent)
