@@ -208,6 +208,12 @@ object Dedup {
   /** Pairwise Jaccard over distinct 3-gram shingle sets via an inverted
     * index self-join (shuffle on shingle), df-capped at 100 docs/shingle.
     * Emits pairs with J >= 0.2.
+    *
+    * CACHE-LIFETIME CONTRACT (r21 ADVICE): the returned DataFrame's lineage
+    * rides a `persist()` of the shingle explode that this method does NOT
+    * unpersist — three consumers share it. Callers in a long-lived session
+    * should `spark.catalog.clearCache()` (or unpersist after materializing)
+    * between unrelated queries, exactly as Bench/Verify do.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // persist: the shingle explode (split + 3-gram transform + distinct)

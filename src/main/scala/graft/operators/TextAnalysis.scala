@@ -1471,6 +1471,15 @@ object TextAnalysis {
         col("col.score").cast("long").as("score_micro")) // < 2^53: exact
       .orderBy("query_id", "rk")
 
+  /** CACHE-LIFETIME CONTRACT (r21 ADVICE): the returned DataFrame's lineage
+    * rides a `persist()` of the query-term postings (`tf` below) that this
+    * method does NOT unpersist — the cache must outlive the return for the
+    * two consumers to share it. Callers in a long-lived session should
+    * `spark.catalog.clearCache()` (or unpersist after materializing) between
+    * unrelated queries, exactly as Bench/Verify do; repeated un-cleared
+    * calls accumulate MEMORY_AND_DISK blocks bounded by the searched terms'
+    * postings per call.
+    */
   def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
     val d = bm25Corpus(spark, dir)
     val queries = bm25QueriesOf(d)

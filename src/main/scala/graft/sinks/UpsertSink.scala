@@ -167,6 +167,39 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
   private def bucketed(df: DataFrame): DataFrame =
     df.withColumn("bucket", pmod(hash(keyCol(df)), lit(nBuckets)))
 
+  /** Bucket ids the rows of `keyed` hash into — the ONLY lake buckets an
+    * upsert/retract of those keys can read or rewrite (a key's rows live
+    * solely in the bucket the key hashes to). One small collect: distinct
+    * over at most nBuckets ints. `keyed` must carry the key columns.
+    */
+  private[graft] def bucketIdsOf(keyed: DataFrame): Seq[Int] =
+    bucketed(keyed.select(keyFields.map(col): _*))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Current rows of the given buckets (schema-declared read through the
+    * bak fallback, like [[snapshot]] but BUCKET-PRUNED — O(touched
+    * buckets), never the whole lake). Callers deriving a changelog against
+    * the pre-mutation state read this once and hand it to
+    * [[upsertPrepared]] so the merge does not re-read the same buckets.
+    */
+  private[graft] def readBuckets(spark: org.apache.spark.sql.SparkSession,
+      ids: Seq[Int],
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    // the lake is rewritten by directory rename under the same paths —
+    // drop any cached listing before re-listing (snapshot's contract)
+    spark.catalog.refreshByPath(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Seq.empty
+      else ids.flatMap(bk =>
+        DirPublish.readable(fs, new org.apache.hadoop.fs.Path(root, s"bucket=$bk"))
+          .map(_.toString))
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+    else spark.read.schema(dataSchema).parquet(dirs: _*)
+  }
+
   /** Merge a batch of upserts (last-write-wins per key within the batch is
     * the caller's contract, as with any changelog) and deletes.
     *
@@ -188,9 +221,6 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
     * rename would lose the bucket if the rename failed after the delete.)
     */
   def upsert(batch: DataFrame, deletes: DataFrame = null): Unit = {
-    val spark = batch.sparkSession
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // persist: the touched-bucket collects and the merge job both read
     // these plans — without this the caller's batch plan executes twice
     val b = bucketed(batch).persist()
@@ -203,50 +233,90 @@ class ParquetUpsertSink(val path: String, val keyFields: Seq[String],
       val touched = delKeys.fold(b.select("bucket"))(dk =>
           b.select("bucket").union(dk.select("bucket")))
         .distinct().collect().map(_.getInt(0)).toSeq
-      if (touched.nonEmpty) {
-        // live (or bak) dirs of the touched buckets, read as one scan with
-        // the batch's schema declared explicitly — no footer inference, so
-        // a previously-emptied bucket's file-less dir reads as zero rows
-        val dirs = touched.flatMap(bk =>
-          DirPublish.readable(fs, new org.apache.hadoop.fs.Path(root, s"bucket=$bk"))
-            .map(_.toString))
-        val dataSchema = org.apache.spark.sql.types.StructType(
-          b.schema.fields.filterNot(_.name == "bucket"))
-        val merged =
-          if (dirs.isEmpty) b
-          else {
-            // bucket is recomputed from the key — the same pmod(hash) that
-            // placed the row at write time, so placement never drifts
-            val old = bucketed(spark.read.schema(dataSchema).parquet(dirs: _*))
-              .select(b.columns.map(col).toIndexedSeq: _*)
-            val replaced = b.select(keyCol(b).as("_k")).distinct()
-            old.join(replaced, keyCol(old) === col("_k"), "left_anti")
-              .unionByName(b)
-          }
-        val afterDeletes = delKeys match {
-          case Some(dk) =>
-            merged.join(dk.select("_del_key"),
-              keyCol(merged) === col("_del_key"), "left_anti")
-          case None => merged
-        }
-        val tmpRoot = new org.apache.hadoop.fs.Path(root, ".tmp-upsert")
-        fs.delete(tmpRoot, true) // leftovers of a crashed previous attempt
-        afterDeletes.write.partitionBy("bucket").mode("overwrite")
-          .parquet(tmpRoot.toString)
-        touched.foreach { bk =>
-          val src = new org.apache.hadoop.fs.Path(tmpRoot, s"bucket=$bk")
-          // a bucket emptied by deletes writes no partition dir: publish an
-          // empty one (delete-on-emptied-bucket keeps the live dir present)
-          if (!fs.exists(src)) fs.mkdirs(src)
-          DirPublish.publish(fs, src, new org.apache.hadoop.fs.Path(root, s"bucket=$bk"))
-        }
-        fs.delete(tmpRoot, true)
-        ()
-      }
+      mergeInto(b, delKeys, touched, old = None)
     } finally {
       b.unpersist()
       delKeys.foreach(_.unpersist())
     }
+  }
+
+  /** [[upsert]] with the touched buckets and their CURRENT rows already in
+    * hand: callers that derive a changelog against the pre-mutation lake
+    * ([[graft.streaming.LakeRetractStream]], the cascade's touched-bucket
+    * probe) read the touched buckets ONCE ([[bucketIdsOf]] +
+    * [[readBuckets]], persisted), derive their retractions from that
+    * frame, and hand it here — skipping both the touched-bucket collect
+    * and the merge's second read of the same buckets.
+    *
+    * Contract: `touched` = bucket ids of every key in `batch` and
+    * `deletes` (the caller computed them under THIS sink's key hashing),
+    * and `old` = the live rows of exactly those buckets (data schema, no
+    * bucket column) as of before this call. Crash/retry semantics are
+    * unchanged — on a replayed batch the caller re-reads and re-derives,
+    * and the merge reconverges exactly as [[upsert]] does.
+    */
+  private[graft] def upsertPrepared(batch: DataFrame, deletes: DataFrame,
+      touched: Seq[Int], old: DataFrame): Unit = {
+    val b = bucketed(batch).persist()
+    val delKeys = Option(deletes).map(d => bucketed(d)
+      .select(keyCol(d).as("_del_key"), col("bucket")).persist())
+    try mergeInto(b, delKeys, touched, old = Some(old))
+    finally {
+      b.unpersist()
+      delKeys.foreach(_.unpersist())
+    }
+  }
+
+  /** Shared merge core: anti-join the touched buckets' current rows
+    * against the batch's keys, union the batch, drop deletes, stage under
+    * a tmp root, publish per bucket with crash-safe renames. `old = None`
+    * reads the touched buckets here (the plain-[[upsert]] path);
+    * `Some(rows)` reuses a caller-provided (persisted) read.
+    */
+  private def mergeInto(b: DataFrame, delKeys: Option[DataFrame],
+      touched: Seq[Int], old: Option[DataFrame]): Unit = {
+    if (touched.isEmpty) return
+    val spark = b.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      b.schema.fields.filterNot(_.name == "bucket"))
+    // live (or bak) dirs of the touched buckets, read as one scan with
+    // the batch's schema declared explicitly — no footer inference, so
+    // a previously-emptied bucket's file-less dir reads as zero rows
+    val oldRows = old.getOrElse {
+      val dirs = touched.flatMap(bk =>
+        DirPublish.readable(fs, new org.apache.hadoop.fs.Path(root, s"bucket=$bk"))
+          .map(_.toString))
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], dataSchema)
+      else spark.read.schema(dataSchema).parquet(dirs: _*)
+    }
+    // bucket is recomputed from the key — the same pmod(hash) that
+    // placed the row at write time, so placement never drifts
+    val oldB = bucketed(oldRows).select(b.columns.map(col).toIndexedSeq: _*)
+    val replaced = b.select(keyCol(b).as("_k")).distinct()
+    val merged = oldB.join(replaced, keyCol(oldB) === col("_k"), "left_anti")
+      .unionByName(b)
+    val afterDeletes = delKeys match {
+      case Some(dk) =>
+        merged.join(dk.select("_del_key"),
+          keyCol(merged) === col("_del_key"), "left_anti")
+      case None => merged
+    }
+    val tmpRoot = new org.apache.hadoop.fs.Path(root, ".tmp-upsert")
+    fs.delete(tmpRoot, true) // leftovers of a crashed previous attempt
+    afterDeletes.write.partitionBy("bucket").mode("overwrite")
+      .parquet(tmpRoot.toString)
+    touched.foreach { bk =>
+      val src = new org.apache.hadoop.fs.Path(tmpRoot, s"bucket=$bk")
+      // a bucket emptied by deletes writes no partition dir: publish an
+      // empty one (delete-on-emptied-bucket keeps the live dir present)
+      if (!fs.exists(src)) fs.mkdirs(src)
+      DirPublish.publish(fs, src, new org.apache.hadoop.fs.Path(root, s"bucket=$bk"))
+    }
+    fs.delete(tmpRoot, true)
+    ()
   }
 
   /** Full lake contents. Goes through [[DirPublish.readable]] PER BUCKET:

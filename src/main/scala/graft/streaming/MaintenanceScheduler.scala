@@ -92,6 +92,10 @@ final class MaintenanceScheduler {
         val (measure, fired) = trigger()
         Decision(w, name, measure, fired)
       }
+      // log BEFORE the fence check (r21 ADVICE): a tripped fence is exactly
+      // the window whose trigger decisions the operator needs when
+      // diagnosing the detected race — throwing first would discard them
+      log ++= ds
       fence.foreach { case (wr, b0) =>
         // no-data batches (watermark bookkeeping) are tolerated; a batch
         // that PROCESSED ROWS ran concurrently with a possible rewrite
@@ -101,9 +105,9 @@ final class MaintenanceScheduler {
           s"maintenanceWindow $w: writer ${wr.name} processed " +
             s"${bad.map(_.numInputRows).sum} rows (batch ${bad.map(_.batchId).max}) " +
             "concurrently with the maintenance triggers — sources must be " +
-            "quiescent for the window's duration")
+            "quiescent for the window's duration; this window's decisions: " +
+            ds.mkString("[", ", ", "]"))
       }
-      log ++= ds
       ds
     }
 

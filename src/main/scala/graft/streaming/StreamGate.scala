@@ -461,12 +461,41 @@ object StreamGate {
     * bodies would restore the inner value). If gates are ever
     * parallelized, give each its own `spark.newSession()`.
     */
-  private def withGateParallelism[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prior = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
+  private def withGateParallelism[T](spark: SparkSession, n: Int,
+      scanNarrow: Boolean = false)(body: => T): T = {
+    // Scope the gate's parallelism knobs to the workload, not just the
+    // shuffle width (the same workload-sizing call as the shuffle width,
+    // r22 A/B-measured per knob on the same box/load):
+    //  - leafNodeDefaultParallelism: materialize()'s local-rows parents,
+    //    per-batch literal frames (touched-bucket lists, empty-lake
+    //    stand-ins) and limit/collect scaffolds otherwise each launch 32
+    //    near-empty leaf tasks per action (core-count-derived); sized to
+    //    the gate width for EVERY gate (probe: stream_ingest_admit
+    //    11.9->9.2 s, stream_q4_net_sink 8.8->7.1 s vs the
+    //    minPartitionNum-scoped leg).
+    //  - files.minPartitionNum (scanNarrow=true only): the retract/lake
+    //    protocol gates re-read small bucket/log files every batch and in
+    //    their post-stream audit folds; the session default of
+    //    minPartitionNum = defaultParallelism splits those KB-scale reads
+    //    into up to 32 near-empty scan tasks each (probe:
+    //    stream_q4_retract_lake 11.9->9.6 s, stream_q4_retract_compact
+    //    14.8->12.5 s). Gates whose per-batch work is a compute-heavy
+    //    join/search against a REAL table (admit joins, index searches)
+    //    keep the session default — the same probe showed narrowing their
+    //    scans COSTS 10-25% (stream_ingest_admit 9.2->11.9 s).
+    // At 100 TB both knobs are irrelevant inside a gate-sized batch
+    // (bytes/maxPartitionBytes dominates the split count) — they only trim
+    // the small-file floor a tiny batch otherwise pays per action.
+    val keys = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.leafNodeDefaultParallelism") ++
+      (if (scanNarrow) Seq("spark.sql.files.minPartitionNum") else Seq.empty)
+    val prior = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, n.toString))
     try body finally {
-      spark.conf.set(key, prior)
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       // every stateful gate runs (and stops) its query inside this block;
       // release its state-store providers now instead of waiting for the
       // 60 s maintenance sweep — in a session that runs gates back-to-back
@@ -2714,7 +2743,7 @@ object StreamGate {
     val ck = gateTmp("graft-gate-retract-ck")
     try {
       val schema = StreamingQueries.q4Level1(Rides.fromEvents(spark, dir)).schema
-      withGateParallelism(spark, 4) {
+      withGateParallelism(spark, 4, scanNarrow = true) {
         val q = StreamingQueries.q4Level1(stream).writeStream
           .outputMode("update").option("checkpointLocation", ck.toString)
           .foreachBatch { (b: Dataset[Row], _: Long) =>
@@ -2755,7 +2784,7 @@ object StreamGate {
     val sink = new ParquetUpsertSink(tmp.resolve("level2").toString, Seq("dept_cnt"), 4)
     val retr = new LakeRetractStream(tmp.resolve("retract").toString, Seq("dept_cnt"))
     val stream = ridesReplay(spark, dir, chunks = 3)
-    try withGateParallelism(spark, 4) {
+    try withGateParallelism(spark, 4, scanNarrow = true) {
       val q = CascadeQ4.startToParquetFrom(StreamingQueries.q4Level1(stream), sink,
         tmp.resolve("ck").toString, retract = retr)
       q.awaitTermination()
@@ -2789,7 +2818,7 @@ object StreamGate {
     val retr = new LakeRetractStream(tmp.resolve("retract").toString, Seq("cell"))
     val stream = ridesReplay(spark, dir)
     try {
-      withGateParallelism(spark, 4) {
+      withGateParallelism(spark, 4, scanNarrow = true) {
         val q = StreamingQueries.q4Level1(stream).writeStream
           .outputMode("update")
           .option("checkpointLocation", tmp.resolve("ck").toString)
@@ -2834,7 +2863,7 @@ object StreamGate {
     val retr = new LakeRetractStream(tmp.resolve("retract").toString, Seq("cell"))
     val stream = ridesReplay(spark, dir)
     try {
-      withGateParallelism(spark, 4) {
+      withGateParallelism(spark, 4, scanNarrow = true) {
         val q = StreamingQueries.q4Level1(stream).writeStream
           .outputMode("update")
           .option("checkpointLocation", tmp.resolve("ck").toString)
@@ -2910,7 +2939,7 @@ object StreamGate {
     Files.createDirectories(watched)
     val decisions = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
     try {
-      withGateParallelism(spark, 4) {
+      withGateParallelism(spark, 4, scanNarrow = true) {
         val stream = spark.readStream.schema(rides.schema)
           .option("maxFilesPerTrigger", "1").parquet(watched.toString)
         val q = StreamingQueries.q4Level1(stream).writeStream

@@ -439,23 +439,30 @@ class LakeRetractStream(root: String, keyFields: Seq[String],
       val delKeys = Option(deletes)
         .map(_.select(keyFields.map(col): _*).distinct().persist())
       try {
-        // every key this changelog touches retracts its last-emitted row
+        // every key this changelog touches retracts its last-emitted row.
+        // A key's last-emitted row lives ONLY in the state bucket the key
+        // hashes to, so the retract derivation reads the TOUCHED buckets,
+        // never the whole lake (O(touched buckets) per batch at any
+        // scale) — and the same pre-mutation read feeds the upsert's
+        // merge below, so those buckets are read once per batch, not
+        // twice.
         val touchedKeys = delKeys.fold(
           b.select(keyFields.map(col): _*).distinct())(
           b.select(keyFields.map(col): _*).distinct().unionByName(_).distinct())
-        val retracts =
-          if (!fs.exists(new Path(s"$root/state")))
-            b.filter(lit(false)) // empty lake: first batch only adds
-          else lake.snapshot(spark).join(touchedKeys, keyFields, "left_semi")
-        val out = retracts.withColumn("is_add", lit(false))
-          .unionByName(b.withColumn("is_add", lit(true)))
-          .select((col("is_add") +: upserts.columns.map(col).toIndexedSeq): _*)
-        val tmp = new Path(s"$emitRoot/.tmp-batch-$batchId")
-        out.write.mode("overwrite").parquet(tmp.toString)
-        fs.mkdirs(dest.getParent)
-        if (!fs.rename(tmp, dest) && !fs.exists(dest))
-          sys.error(s"could not publish retract log for batch $batchId")
-        lake.upsert(b, delKeys.orNull)
+        val touchedBk = lake.bucketIdsOf(touchedKeys)
+        val old = lake.readBuckets(spark, touchedBk, upserts.schema).persist()
+        try {
+          val retracts = old.join(touchedKeys, keyFields, "left_semi")
+          val out = retracts.withColumn("is_add", lit(false))
+            .unionByName(b.withColumn("is_add", lit(true)))
+            .select((col("is_add") +: upserts.columns.map(col).toIndexedSeq): _*)
+          val tmp = new Path(s"$emitRoot/.tmp-batch-$batchId")
+          out.write.mode("overwrite").parquet(tmp.toString)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(tmp, dest) && !fs.exists(dest))
+            sys.error(s"could not publish retract log for batch $batchId")
+          lake.upsertPrepared(b, delKeys.orNull, touchedBk, old)
+        } finally { old.unpersist(); () }
       } finally {
         b.unpersist()
         delKeys.foreach(_.unpersist()); ()
@@ -569,10 +576,16 @@ class LakeRetractStream(root: String, keyFields: Seq[String],
         count(lit(1)).as("nrec"))
       .persist()
     try {
+      // coalesce: over an EMPTY fold (a seal covering only batches whose
+      // logs carry zero records) the sums are NULL and getLong would NPE —
+      // an empty log audits clean and publishes an empty segment (r21
+      // ADVICE)
       val audit = folded.agg(
-        sum(when(col("mult") =!= 0L && col("mult") =!= 1L, 1L).otherwise(0L)).as("bad"),
-        sum("nrec").as("before"),
-        sum(when(col("mult") === 1L, 1L).otherwise(0L)).as("after")).head()
+        coalesce(sum(when(col("mult") =!= 0L && col("mult") =!= 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("bad"),
+        coalesce(sum("nrec"), lit(0L)).as("before"),
+        coalesce(sum(when(col("mult") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("after")).head()
       val bad = audit.getLong(0)
       require(bad == 0L,
         s"changelog is inconsistent: $bad record groups with net multiplicity outside {0,1}")
@@ -788,19 +801,29 @@ object CascadeQ4 {
       .persist()
     try {
       // 1. touched buckets = old counts of changed cells (pre-mutation lake)
-      //    UNION new counts UNION any surviving marker's buckets (torn attempt)
-      val l1Before = level1Snapshot(spark, level1, fs)
-      val fromBatch = l1Before.join(changed.select("cell"), "cell").select(col("dept_cnt"))
-        .union(changed.select(col("dept_cnt")))
-        .distinct()
-        .limit(TouchedCap + 1)
-        .as[Long].collect().toSeq
+      //    UNION new counts UNION any surviving marker's buckets (torn attempt).
+      //    A changed cell's old count lives ONLY in the level-1 state bucket
+      //    the cell hashes to, so the probe reads the TOUCHED buckets, never
+      //    the whole lake — and the same pre-mutation read feeds step 2's
+      //    merge, so those buckets are read once per batch, not twice.
+      val touchedBk = level1.bucketIdsOf(changed)
+      val l1Before = level1.readBuckets(spark, touchedBk, Level1Schema).persist()
       val touched: Option[Seq[Long]] =
-        if (fromBatch.length > TouchedCap) None
-        else readMarkers(fs, markers).map(m => (fromBatch ++ m).distinct)
-      writeMarker(fs, markers, batchId, touched) // BEFORE any lake mutation
-      // 2. level-1 lake absorbs the batch (idempotent on replay)
-      level1.upsert(changed)
+        try {
+          val fromBatch = l1Before.join(changed.select("cell"), "cell")
+            .select(col("dept_cnt"))
+            .union(changed.select(col("dept_cnt")))
+            .distinct()
+            .limit(TouchedCap + 1)
+            .as[Long].collect().toSeq
+          val t: Option[Seq[Long]] =
+            if (fromBatch.length > TouchedCap) None
+            else readMarkers(fs, markers).map(m => (fromBatch ++ m).distinct)
+          writeMarker(fs, markers, batchId, t) // BEFORE any lake mutation
+          // 2. level-1 lake absorbs the batch (idempotent on replay)
+          level1.upsertPrepared(changed, null, touchedBk, l1Before)
+          t
+        } finally { l1Before.unpersist(); () }
       // 3. recompute touched buckets from the new level-1 truth
       val freshAll = level1Snapshot(spark, level1, fs)
         .groupBy("dept_cnt").agg(count(lit(1)).as("cnt_freq"))

@@ -343,6 +343,45 @@ class StorageSpec extends SparkSpec {
       === Set((1, 11L), (2, 21L)))
   }
 
+  test("bucket-pruned read + prepared upsert match the full-snapshot forms (r22)") {
+    import spark.implicits._
+    import graft.sinks.ParquetUpsertSink
+    val path = Files.createTempDirectory("pqsinkpruned").toString + "/store"
+    val sink = new ParquetUpsertSink(path, Seq("cell"), nBuckets = 8)
+    // seed enough keys that every bucket is populated
+    sink.upsert((0 until 64).map(i => (i, i.toLong)).toDF("cell", "cnt"))
+
+    val batch = Seq((1, 101L), (2, 102L), (100, 100L)).toDF("cell", "cnt")
+    val delKeys = Seq((9, 0L)).toDF("cell", "cnt").select("cell")
+    val touchedKeys = batch.select("cell").unionByName(delKeys).distinct()
+
+    // the pruned read must return exactly the snapshot rows whose keys
+    // hash into the touched buckets — and the retract derivation
+    // (semi-join on the keys) must be IDENTICAL through either read
+    val bks = sink.bucketIdsOf(touchedKeys)
+    assert(bks.nonEmpty && bks.size < 8, s"fixture vacuous: $bks")
+    val pruned = sink.readBuckets(spark, bks, batch.schema)
+    val viaSnapshot = sink.snapshot(spark)
+      .join(touchedKeys, Seq("cell"), "left_semi")
+      .as[(Int, Long)].collect().toSet
+    val viaPruned = pruned.join(touchedKeys, Seq("cell"), "left_semi")
+      .as[(Int, Long)].collect().toSet
+    assert(viaPruned === viaSnapshot)
+    assert(viaPruned === Set((1, 1L), (2, 2L), (9, 9L))) // key 100 is new
+
+    // upsertPrepared over the caller-provided pre-read must land exactly
+    // where plain upsert would: replace 1 and 2, insert 100, delete 9
+    sink.upsertPrepared(batch, delKeys, bks, pruned)
+    assert(sink.snapshot(spark).as[(Int, Long)].collect().toSet
+      === ((0 until 64).toSet -- Set(1, 2, 9)).map(i => (i, i.toLong))
+        ++ Set((1, 101L), (2, 102L), (100, 100L)))
+
+    // a missing-lake pruned read is an empty frame, not an error (the
+    // retract stream's first batch folds through the same path)
+    val fresh = new ParquetUpsertSink(path + "-none", Seq("cell"), 8)
+    assert(fresh.readBuckets(spark, Seq(0, 1), batch.schema).count() === 0L)
+  }
+
   test("binaryFile source ingests raw media dirs into the decode seam") {
     import graft.operators.{Multimodal, DeterministicFakeDecoder}
     val dir = Files.createTempDirectory("media")

@@ -14,6 +14,15 @@ def medians(path):
     med = d.get("median")
     if med is None:  # older artifacts: single run under "queries"
         med = d.get("queries", {})
+    # r21 renamed subsecond_runs -> subsecond_extra_runs (old: total runs;
+    # new: cohort-only passes). Accept both so pre-r21 artifacts compare
+    # cleanly (r21 ADVICE), and surface the cohort caveat either way.
+    extra = d.get("subsecond_extra_runs", d.get("subsecond_runs", 0))
+    if extra:
+        cohort = d.get("subsecond_cohort", [])
+        print(f"note: {path} mixes sample profiles for "
+              f"{len(cohort) or 'its sub-second'} cohort queries "
+              f"({extra} extra runs)", file=sys.stderr)
     return {k: v for k, v in med.items() if isinstance(v, (int, float)) and v > 0}
 
 
